@@ -1,0 +1,193 @@
+"""Device-resident flat (exact) vector index.
+
+The TPU-native replacement for the reference's Qdrant collection +
+``query_points`` call (reference main.py:215-239, ingest.py:171-175):
+corpus embeddings live in HBM as one padded (capacity, D) array with a
+parallel (2, capacity) metadata-code array; search is the fused
+masked-matmul/top-k op (:mod:`financial_rag_system_tpu.ops.topk`), so a
+query batch costs one kernel launch and no host round-trips.
+
+Capacity is padded to the Pallas tile size and grows geometrically on
+overflow; padding rows carry code ``-2`` and are masked by ``n_valid``.
+Persistence is a .npz of the device arrays + the JSON document store —
+this is the checkpoint/resume story the reference lacked (SURVEY.md
+§5.4: durable state there was Qdrant's own volume).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from financial_rag_system_tpu.index.store import PAD_CODE, DocumentStore
+from financial_rag_system_tpu.ops.topk import masked_topk
+
+DEFAULT_TILE = 1024
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class FlatIndex:
+    """Exact cosine search over an HBM-resident corpus."""
+
+    def __init__(
+        self,
+        dim: int = 384,
+        *,
+        capacity: int = 8192,
+        tile: int = DEFAULT_TILE,
+        dtype: jnp.dtype = jnp.bfloat16,
+        use_pallas: bool = True,
+    ):
+        self.dim = dim
+        self.tile = tile
+        self.dtype = dtype
+        self.use_pallas = use_pallas
+        self.capacity = _round_up(max(capacity, tile), tile)
+        self.store = DocumentStore()
+        self._emb = jnp.zeros((self.capacity, dim), dtype=dtype)
+        self._codes = jnp.full((2, self.capacity), PAD_CODE, dtype=jnp.int32)
+
+    # ------------------------------------------------------------------
+    @property
+    def n_valid(self) -> int:
+        return len(self.store)
+
+    def _grow(self, needed: int) -> None:
+        new_cap = self.capacity
+        while new_cap < needed:
+            new_cap *= 2
+        new_cap = _round_up(new_cap, self.tile)
+        emb = jnp.zeros((new_cap, self.dim), dtype=self.dtype)
+        codes = jnp.full((2, new_cap), PAD_CODE, dtype=jnp.int32)
+        self._emb = jax.lax.dynamic_update_slice(emb, self._emb, (0, 0))
+        self._codes = jax.lax.dynamic_update_slice(codes, self._codes, (0, 0))
+        self.capacity = new_cap
+
+    def upsert(
+        self,
+        ids: Sequence[str],
+        vectors: np.ndarray,
+        texts: Sequence[str],
+        payloads: Sequence[dict[str, Any]],
+    ) -> int:
+        """Idempotent batched upsert (reference ingest.py:171-175).
+
+        Returns the number of *new* rows.  Vectors are L2-normalized on
+        the way in so search is pure dot-product cosine.
+        """
+        assert len(ids) == len(vectors) == len(texts) == len(payloads)
+        if not len(ids):
+            return 0
+        vecs = np.asarray(vectors, np.float32)
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        vecs = vecs / np.maximum(norms, 1e-12)
+
+        rows, code_rows, new_count = [], [], 0
+        for pid, text, payload in zip(ids, texts, payloads):
+            row, is_new = self.store.upsert(pid, text, payload)
+            new_count += is_new
+            rows.append(row)
+            code_rows.append(self.store.codes_for(payload))
+        if len(self.store) > self.capacity:
+            self._grow(len(self.store))
+
+        rows_a = np.asarray(rows, np.int64)
+        # scatter rows on device; contiguous appends take the fast slice path
+        if np.array_equal(rows_a, np.arange(rows_a[0], rows_a[0] + len(rows_a))):
+            self._emb = jax.lax.dynamic_update_slice(
+                self._emb, jnp.asarray(vecs, self.dtype), (int(rows_a[0]), 0)
+            )
+            self._codes = jax.lax.dynamic_update_slice(
+                self._codes,
+                jnp.asarray(np.asarray(code_rows, np.int32).T),
+                (0, int(rows_a[0])),
+            )
+        else:
+            self._emb = self._emb.at[rows_a].set(jnp.asarray(vecs, self.dtype))
+            self._codes = self._codes.at[:, rows_a].set(
+                jnp.asarray(np.asarray(code_rows, np.int32).T)
+            )
+        return new_count
+
+    # ------------------------------------------------------------------
+    def search_device(
+        self,
+        query_vecs: jax.Array,
+        query_filter: jax.Array,
+        k: int,
+    ) -> tuple[jax.Array, jax.Array]:
+        """Device-level search: (B, D) x (B, 2) codes -> (B, k) scores/rows."""
+        return masked_topk(
+            query_vecs.astype(self.dtype),
+            self._emb,
+            self._codes,
+            query_filter,
+            self.n_valid,
+            k,
+            tile=self.tile,
+            use_pallas=self.use_pallas,
+        )
+
+    def search(
+        self,
+        query_vecs: np.ndarray | jax.Array,
+        *,
+        ticker: str | None = None,
+        document_type: str | None = None,
+        k: int = 15,
+    ) -> list[list[dict[str, Any]]]:
+        """Full search: returns per-query hit lists with payloads + scores.
+
+        Matches the reference's retrieval contract: limit=k candidates,
+        ticker `must` filter, optional document_type (main.py:215-239).
+        """
+        q = jnp.asarray(query_vecs)
+        if q.ndim == 1:
+            q = q[None, :]
+        b = q.shape[0]
+        tcode, dcode = self.store.query_codes(ticker, document_type)
+        qf = jnp.tile(jnp.asarray([[tcode, dcode]], jnp.int32), (b, 1))
+        scores, rows = self.search_device(q, qf, k)
+        scores = np.asarray(scores)
+        rows = np.asarray(rows)
+        out: list[list[dict[str, Any]]] = []
+        for bi in range(b):
+            hits = []
+            for s, r in zip(scores[bi], rows[bi]):
+                if not np.isfinite(s):
+                    continue
+                payload = self.store.get(int(r))
+                payload["score"] = float(s)
+                payload["row"] = int(r)
+                hits.append(payload)
+            out.append(hits)
+        return out
+
+    # ------------------------------------------------------------------
+    def save(self, directory: str) -> None:
+        os.makedirs(directory, exist_ok=True)
+        np.savez_compressed(
+            os.path.join(directory, "flat_index.npz"),
+            emb=np.asarray(self._emb, np.float32),
+            codes=np.asarray(self._codes),
+            meta=np.asarray([self.dim, self.tile, self.capacity]),
+        )
+        self.store.save(os.path.join(directory, "store.json"))
+
+    @staticmethod
+    def load(directory: str, *, use_pallas: bool = True) -> "FlatIndex":
+        data = np.load(os.path.join(directory, "flat_index.npz"))
+        dim, tile, capacity = (int(x) for x in data["meta"])
+        idx = FlatIndex(dim, capacity=capacity, tile=tile, use_pallas=use_pallas)
+        idx._emb = jnp.asarray(data["emb"], idx.dtype)
+        idx._codes = jnp.asarray(data["codes"])
+        idx.store = DocumentStore.load(os.path.join(directory, "store.json"))
+        return idx

@@ -49,8 +49,8 @@ def _match_mask(codes: jax.Array, query_filter: jax.Array) -> jax.Array:
     dt_q = query_filter[:, 1:2]
     tick_c = codes[0:1, :]  # (1, N)
     dt_c = codes[1:2, :]
-    tick_ok = (tick_q < 0) | (tick_q == tick_c)
-    dt_ok = (dt_q < 0) | (dt_q == dt_c)
+    tick_ok = (tick_q == -1) | (tick_q == tick_c)
+    dt_ok = (dt_q == -1) | (dt_q == dt_c)
     return tick_ok & dt_ok
 
 
@@ -113,7 +113,7 @@ def _topk_kernel(
     dt_q = qf_ref[:, 1:2]
     tick_c = codes_ref[0:1, :]
     dt_c = codes_ref[1:2, :]
-    match = ((tick_q < 0) | (tick_q == tick_c)) & ((dt_q < 0) | (dt_q == dt_c))
+    match = ((tick_q == -1) | (tick_q == tick_c)) & ((dt_q == -1) | (dt_q == dt_c))
     local_ids = jax.lax.broadcasted_iota(jnp.int32, (b, tile), 1)
     gids = local_ids + step * tile
     match = match & (gids < nvalid_ref[0, 0])
