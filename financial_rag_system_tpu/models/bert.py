@@ -1,0 +1,190 @@
+"""Functional BERT encoder — the forward pass behind both serving models.
+
+TPU-native replacement for the torch forwards inside
+``SentenceTransformer("BAAI/bge-small-en-v1.5")`` and
+``CrossEncoder("cross-encoder/ms-marco-MiniLM-L-6-v2")`` (reference
+main.py:80-90): pure-functional JAX with parameters as a pytree, layers
+folded through ``lax.scan`` over stacked per-layer weights (one traced
+layer body regardless of depth), bf16 matmuls accumulating in f32 on
+the MXU, layernorm/softmax in f32 on the VPU.  Static bucketed shapes
+keep every variant a single compiled program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class BertConfig:
+    vocab_size: int = 30522
+    hidden: int = 384
+    layers: int = 12
+    heads: int = 12
+    intermediate: int = 1536
+    max_positions: int = 512
+    type_vocab: int = 2
+    ln_eps: float = 1e-12
+    # heads attached on top of the encoder
+    with_pooler: bool = False
+    num_labels: int = 0  # >0 => classification head (cross-encoder)
+
+
+# BAAI/bge-small-en-v1.5 — 12-layer BERT-small, CLS pooling, dim 384
+BGE_SMALL = BertConfig(layers=12, with_pooler=True)
+# cross-encoder/ms-marco-MiniLM-L-6-v2 — 6 layers, single-logit classifier
+MINILM_L6_CROSS = BertConfig(layers=6, with_pooler=True, num_labels=1)
+
+
+def _dense_init(key, shape, scale=0.02):
+    return scale * jax.random.normal(key, shape, jnp.float32)
+
+
+def init_params(key: jax.Array, cfg: BertConfig) -> dict:
+    """Random-init parameter pytree (layer weights stacked on axis 0)."""
+    keys = iter(jax.random.split(key, 64))
+    h, i, l = cfg.hidden, cfg.intermediate, cfg.layers
+    p = {
+        "embeddings": {
+            "word": _dense_init(next(keys), (cfg.vocab_size, h)),
+            "position": _dense_init(next(keys), (cfg.max_positions, h)),
+            "type": _dense_init(next(keys), (cfg.type_vocab, h)),
+            "ln_scale": jnp.ones((h,), jnp.float32),
+            "ln_bias": jnp.zeros((h,), jnp.float32),
+        },
+        "layers": {
+            "q_w": _dense_init(next(keys), (l, h, h)),
+            "q_b": jnp.zeros((l, h)),
+            "k_w": _dense_init(next(keys), (l, h, h)),
+            "k_b": jnp.zeros((l, h)),
+            "v_w": _dense_init(next(keys), (l, h, h)),
+            "v_b": jnp.zeros((l, h)),
+            "o_w": _dense_init(next(keys), (l, h, h)),
+            "o_b": jnp.zeros((l, h)),
+            "attn_ln_scale": jnp.ones((l, h)),
+            "attn_ln_bias": jnp.zeros((l, h)),
+            "in_w": _dense_init(next(keys), (l, h, i)),
+            "in_b": jnp.zeros((l, i)),
+            "out_w": _dense_init(next(keys), (l, i, h)),
+            "out_b": jnp.zeros((l, h)),
+            "mlp_ln_scale": jnp.ones((l, h)),
+            "mlp_ln_bias": jnp.zeros((l, h)),
+        },
+    }
+    if cfg.with_pooler:
+        p["pooler"] = {
+            "w": _dense_init(next(keys), (h, h)),
+            "b": jnp.zeros((h,)),
+        }
+    if cfg.num_labels:
+        p["classifier"] = {
+            "w": _dense_init(next(keys), (h, cfg.num_labels)),
+            "b": jnp.zeros((cfg.num_labels,)),
+        }
+    return p
+
+
+def _ln(x: jax.Array, scale: jax.Array, bias: jax.Array, eps: float) -> jax.Array:
+    x = x.astype(jnp.float32)
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+def _matmul(x: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
+    """bf16 x bf16 -> f32 on the MXU."""
+    y = jnp.dot(
+        x.astype(jnp.bfloat16),
+        w.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    return y + b
+
+
+def encode(
+    params: dict,
+    input_ids: jax.Array,  # (B, L) int32
+    token_type_ids: jax.Array,  # (B, L) int32
+    attention_mask: jax.Array,  # (B, L) int32/bool
+    cfg: BertConfig,
+) -> jax.Array:
+    """Returns final hidden states (B, L, H) float32."""
+    emb = params["embeddings"]
+    b, seq = input_ids.shape
+    h = (
+        emb["word"][input_ids]
+        + emb["position"][:seq][None, :, :]
+        + emb["type"][token_type_ids]
+    )
+    h = _ln(h, emb["ln_scale"], emb["ln_bias"], cfg.ln_eps)
+
+    nh, hd = cfg.heads, cfg.hidden // cfg.heads
+    neg = jnp.float32(-1e9)
+    bias = jnp.where(attention_mask[:, None, None, :] > 0, 0.0, neg)  # (B,1,1,L)
+    inv_sqrt = 1.0 / (hd**0.5)
+
+    def layer(hidden, lp):
+        q = _matmul(hidden, lp["q_w"], lp["q_b"]).reshape(b, seq, nh, hd)
+        k = _matmul(hidden, lp["k_w"], lp["k_b"]).reshape(b, seq, nh, hd)
+        v = _matmul(hidden, lp["v_w"], lp["v_b"]).reshape(b, seq, nh, hd)
+        logits = (
+            jnp.einsum(
+                "bqhd,bkhd->bhqk",
+                q.astype(jnp.bfloat16),
+                k.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+            * inv_sqrt
+            + bias
+        )
+        probs = jax.nn.softmax(logits, axis=-1)
+        ctx = jnp.einsum(
+            "bhqk,bkhd->bqhd",
+            probs.astype(jnp.bfloat16),
+            v.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        ).reshape(b, seq, cfg.hidden)
+        attn_out = _matmul(ctx, lp["o_w"], lp["o_b"])
+        hidden = _ln(
+            hidden + attn_out, lp["attn_ln_scale"], lp["attn_ln_bias"], cfg.ln_eps
+        )
+        mlp = _matmul(jax.nn.gelu(_matmul(hidden, lp["in_w"], lp["in_b"])),
+                      lp["out_w"], lp["out_b"])
+        hidden = _ln(
+            hidden + mlp, lp["mlp_ln_scale"], lp["mlp_ln_bias"], cfg.ln_eps
+        )
+        return hidden, None
+
+    h, _ = jax.lax.scan(layer, h, params["layers"])
+    return h
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def embed_cls(params, input_ids, token_type_ids, attention_mask, cfg: BertConfig):
+    """CLS-pooled, L2-normalized sentence embedding (BGE convention)."""
+    h = encode(params, input_ids, token_type_ids, attention_mask, cfg)
+    cls = h[:, 0, :]
+    return cls / jnp.linalg.norm(cls, axis=-1, keepdims=True).clip(1e-12)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def embed_mean(params, input_ids, token_type_ids, attention_mask, cfg: BertConfig):
+    """Mean-pooled, L2-normalized embedding (MiniLM bi-encoder convention)."""
+    h = encode(params, input_ids, token_type_ids, attention_mask, cfg)
+    m = attention_mask[:, :, None].astype(jnp.float32)
+    mean = jnp.sum(h * m, axis=1) / jnp.sum(m, axis=1).clip(1e-9)
+    return mean / jnp.linalg.norm(mean, axis=-1, keepdims=True).clip(1e-12)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def cross_score(params, input_ids, token_type_ids, attention_mask, cfg: BertConfig):
+    """Cross-encoder relevance logit per pair (B,) — MiniLM rerank head."""
+    h = encode(params, input_ids, token_type_ids, attention_mask, cfg)
+    cls = h[:, 0, :]
+    pooled = jnp.tanh(_matmul(cls, params["pooler"]["w"], params["pooler"]["b"]))
+    logits = _matmul(pooled, params["classifier"]["w"], params["classifier"]["b"])
+    return logits[:, 0]

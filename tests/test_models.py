@@ -1,0 +1,178 @@
+"""Tokenizer, BERT forward, embedder/reranker behavior + torch parity."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from financial_rag_system_tpu.models import bert
+from financial_rag_system_tpu.models.embedder import HashEmbedder
+from financial_rag_system_tpu.models.reranker import HashReranker, rerank
+from financial_rag_system_tpu.models.tokenizer import (
+    CLS_ID,
+    SEP_ID,
+    Tokenizer,
+    pad_batch,
+)
+
+TINY = bert.BertConfig(
+    vocab_size=512, hidden=64, layers=2, heads=4, intermediate=128,
+    max_positions=64, with_pooler=True, num_labels=1,
+)
+
+
+def test_tokenizer_deterministic():
+    t = Tokenizer()
+    a = t.encode("Apple reported record revenue in Q4 2023.")
+    b = t.encode("Apple reported record revenue in Q4 2023.")
+    assert a.input_ids == b.input_ids
+    assert a.input_ids[0] == CLS_ID and a.input_ids[-1] == SEP_ID
+
+
+def test_tokenizer_pair_types():
+    t = Tokenizer()
+    e = t.encode_pair("what is revenue", "revenue was $1b", max_len=64)
+    assert e.input_ids[0] == CLS_ID
+    assert e.input_ids.count(SEP_ID) == 2
+    first_sep = e.input_ids.index(SEP_ID)
+    assert all(x == 0 for x in e.token_type_ids[: first_sep + 1])
+    assert all(x == 1 for x in e.token_type_ids[first_sep + 1 :])
+
+
+def test_pair_truncation():
+    t = Tokenizer()
+    e = t.encode_pair("short q", "word " * 500, max_len=128)
+    assert len(e.input_ids) <= 128
+
+
+def test_pad_batch_buckets():
+    t = Tokenizer()
+    encs = [t.encode("hello world"), t.encode("a much longer sentence " * 3)]
+    ids, types, mask = pad_batch(encs)
+    assert ids.shape[0] == 2 and ids.shape[1] in (32, 64, 128, 256, 512)
+    assert mask[0].sum() == len(encs[0].input_ids)
+
+
+def test_bert_forward_mask_invariance():
+    """Padding tokens must not affect real-token outputs."""
+    params = bert.init_params(jax.random.PRNGKey(0), TINY)
+    ids = jnp.array([[101, 5, 6, 7, 102, 0, 0, 0]], jnp.int32)
+    types = jnp.zeros_like(ids)
+    mask = jnp.array([[1, 1, 1, 1, 1, 0, 0, 0]], jnp.int32)
+    h1 = bert.encode(params, ids, types, mask, TINY)
+    ids2 = ids.at[0, 5:].set(99)  # garbage in padding
+    h2 = bert.encode(params, ids2, types, mask, TINY)
+    np.testing.assert_allclose(
+        np.asarray(h1[0, :5]), np.asarray(h2[0, :5]), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_embed_cls_normalized():
+    params = bert.init_params(jax.random.PRNGKey(0), TINY)
+    ids = jnp.array([[101, 5, 6, 102], [101, 9, 10, 102]], jnp.int32)
+    v = bert.embed_cls(params, ids, jnp.zeros_like(ids), jnp.ones_like(ids), TINY)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(v), axis=1), 1.0, rtol=1e-5)
+
+
+def test_cross_score_shape():
+    params = bert.init_params(jax.random.PRNGKey(0), TINY)
+    ids = jnp.array([[101, 5, 102, 6, 102]], jnp.int32)
+    s = bert.cross_score(
+        params, ids, jnp.zeros_like(ids), jnp.ones_like(ids), TINY
+    )
+    assert s.shape == (1,)
+
+
+def test_hash_embedder_lexical():
+    e = HashEmbedder(dim=128)
+    v = e.encode(
+        [
+            "apple revenue grew in the december quarter",
+            "apple revenue increased in the december quarter",
+            "entirely unrelated text about weather patterns",
+        ]
+    )
+    assert v.shape == (3, 128)
+    np.testing.assert_allclose(np.linalg.norm(v, axis=1), 1.0, rtol=1e-5)
+    sim_related = v[0] @ v[1]
+    sim_unrelated = v[0] @ v[2]
+    assert sim_related > sim_unrelated + 0.2
+    # determinism across instances
+    v2 = HashEmbedder(dim=128).encode(["apple revenue grew in the december quarter"])
+    np.testing.assert_allclose(v[0], v2[0], rtol=1e-6)
+
+
+def test_hash_reranker_and_rule():
+    r = HashReranker()
+    hits = [
+        {"text": "the weather is nice today", "row": 0},
+        {"text": "apple gross margin expanded to 45 percent", "row": 1},
+        {"text": "microsoft cloud revenue", "row": 2},
+    ]
+    scores = r.score("what was apple's gross margin", [h["text"] for h in hits])
+    top = rerank("q", hits, scores, top_k=2)
+    assert top[0]["row"] == 1
+    assert len(top) == 2
+    assert top[0]["rerank_score"] >= top[1]["rerank_score"]
+
+
+def test_identity_reranker_preserves_order():
+    r = HashReranker(identity=True)
+    scores = r.score("q", ["a", "b", "c"])
+    assert list(np.argsort(scores)[::-1]) == [0, 1, 2]
+
+
+@pytest.mark.parametrize("num_labels", [0, 1])
+def test_torch_parity(tmp_path, num_labels):
+    """Our forward must match HF transformers on identical weights."""
+    torch = pytest.importorskip("torch")
+    import transformers
+
+    hf_cfg = transformers.BertConfig(
+        vocab_size=512, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=128,
+        max_position_embeddings=64, type_vocab_size=2,
+    )
+    torch.manual_seed(0)
+    if num_labels:
+        model = transformers.BertForSequenceClassification(
+            transformers.BertConfig(**{**hf_cfg.to_dict(), "num_labels": 1})
+        )
+    else:
+        model = transformers.BertModel(hf_cfg)
+    model.eval()
+    torch.save(model.state_dict(), tmp_path / "pytorch_model.bin")
+    (tmp_path / "config.json").write_text(hf_cfg.to_json_string())
+
+    from financial_rag_system_tpu.models.hf_loader import load_bert_checkpoint
+
+    params, cfg = load_bert_checkpoint(
+        str(tmp_path), with_pooler=True, num_labels=num_labels
+    )
+
+    ids = np.array([[101, 5, 6, 7, 102, 0], [101, 9, 10, 102, 0, 0]], np.int32)
+    mask = np.array([[1, 1, 1, 1, 1, 0], [1, 1, 1, 1, 0, 0]], np.int32)
+    types = np.zeros_like(ids)
+
+    with torch.no_grad():
+        t_ids = torch.tensor(ids, dtype=torch.long)
+        t_mask = torch.tensor(mask, dtype=torch.long)
+        if num_labels:
+            ref = model(t_ids, attention_mask=t_mask).logits.numpy()[:, 0]
+            got = np.asarray(
+                bert.cross_score(
+                    params, jnp.asarray(ids), jnp.asarray(types),
+                    jnp.asarray(mask), cfg,
+                )
+            )
+        else:
+            ref = model(t_ids, attention_mask=t_mask).last_hidden_state.numpy()
+            got = np.asarray(
+                bert.encode(params, jnp.asarray(ids), jnp.asarray(types),
+                            jnp.asarray(mask), cfg)
+            )
+            ref = ref * mask[:, :, None]  # only compare real tokens
+            got = got * mask[:, :, None]
+    # bf16 matmuls vs torch f32: expect close but not bitwise
+    np.testing.assert_allclose(got, ref, rtol=0.05, atol=0.05)
