@@ -1,0 +1,212 @@
+"""Mesh-sharded corpus search: per-shard top-k + all-gather merge.
+
+The scaling tier the reference never had (SURVEY.md §5.8): corpus rows
+shard across the ``corpus`` mesh axis via ``NamedSharding``; under
+``shard_map`` each device runs the fused masked top-k over its local
+rows, local row ids are offset to global ids, the (B, k) partial results
+``all_gather`` over ICI, and every device computes the identical global
+merge (a top-k over n_shards*k candidates) — so the result is replicated
+and no host round-trip happens anywhere.
+
+Padding note: capacity is padded per-shard (each shard a multiple of the
+Pallas tile); ``n_valid`` rows are laid out contiguously round-robin-free
+(block layout), so shard s owns global rows [s*rows_per_shard, ...).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from financial_rag_system_tpu.index.store import PAD_CODE, DocumentStore
+from financial_rag_system_tpu.ops.topk import masked_topk_xla, masked_topk_pallas
+from financial_rag_system_tpu.parallel.mesh import AXIS_CORPUS
+
+DEFAULT_TILE = 1024
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def make_sharded_search(
+    mesh: Mesh,
+    *,
+    k: int,
+    tile: int = DEFAULT_TILE,
+    use_pallas: bool = False,
+):
+    """Build the jitted sharded search fn.
+
+    fn(queries (B,D) repl, emb (N,D) corpus-sharded, codes (2,N) sharded,
+       query_filter (B,2) repl, n_valid scalar repl) -> (B,k) scores/ids,
+    replicated.
+    """
+
+    def local_search(queries, emb, codes, qf, n_valid):
+        shard_rows = emb.shape[0]
+        sid = jax.lax.axis_index(AXIS_CORPUS)
+        base = sid * shard_rows
+        # valid rows within this shard: clamp(n_valid - base, 0, shard_rows)
+        local_valid = jnp.clip(n_valid - base, 0, shard_rows)
+        if use_pallas:
+            s, i = masked_topk_pallas(queries, emb, codes, qf, local_valid, k, tile=tile)
+        else:
+            s, i = masked_topk_xla(queries, emb, codes, qf, local_valid, k)
+        gi = i + base
+        # gather partials from every shard: (B, n_shards*k)
+        all_s = jax.lax.all_gather(s, AXIS_CORPUS, axis=1, tiled=True)
+        all_i = jax.lax.all_gather(gi, AXIS_CORPUS, axis=1, tiled=True)
+        ms, mpos = jax.lax.top_k(all_s, k)
+        mi = jnp.take_along_axis(all_i, mpos, axis=1)
+        return ms, mi.astype(jnp.int32)
+
+    fn = jax.shard_map(
+        local_search,
+        mesh=mesh,
+        in_specs=(P(), P(AXIS_CORPUS, None), P(None, AXIS_CORPUS), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+class ShardedFlatIndex:
+    """Exact search over a corpus sharded across the mesh's corpus axis.
+
+    Host-side bookkeeping matches FlatIndex (same DocumentStore contract);
+    device arrays are placed with NamedSharding so XLA keeps each shard
+    resident on its device and the search never re-shards.
+    """
+
+    def __init__(
+        self,
+        mesh: Mesh,
+        dim: int = 384,
+        *,
+        capacity: int = 1 << 15,
+        tile: int = DEFAULT_TILE,
+        dtype: jnp.dtype = jnp.bfloat16,
+        use_pallas: bool = False,
+    ):
+        self.mesh = mesh
+        self.dim = dim
+        self.tile = tile
+        self.dtype = dtype
+        self.use_pallas = use_pallas
+        self.n_shards = mesh.shape[AXIS_CORPUS]
+        per_shard = _round_up(
+            max(capacity // self.n_shards, tile), tile
+        )
+        self.capacity = per_shard * self.n_shards
+        self.store = DocumentStore()
+        self._emb_sharding = NamedSharding(mesh, P(AXIS_CORPUS, None))
+        self._codes_sharding = NamedSharding(mesh, P(None, AXIS_CORPUS))
+        self._emb = jax.device_put(
+            jnp.zeros((self.capacity, dim), dtype=dtype), self._emb_sharding
+        )
+        self._codes = jax.device_put(
+            jnp.full((2, self.capacity), PAD_CODE, dtype=jnp.int32),
+            self._codes_sharding,
+        )
+        self._search_cache: dict[int, Any] = {}
+
+    @property
+    def n_valid(self) -> int:
+        return len(self.store)
+
+    def _grow(self, needed: int) -> None:
+        per_shard = self.capacity // self.n_shards
+        while per_shard * self.n_shards < needed:
+            per_shard *= 2
+        new_cap = per_shard * self.n_shards
+        emb = np.zeros((new_cap, self.dim), np.float32)
+        codes = np.full((2, new_cap), PAD_CODE, np.int32)
+        emb[: self.capacity] = np.asarray(self._emb, np.float32)
+        codes[:, : self.capacity] = np.asarray(self._codes)
+        self.capacity = new_cap
+        self._emb = jax.device_put(jnp.asarray(emb, self.dtype), self._emb_sharding)
+        self._codes = jax.device_put(jnp.asarray(codes), self._codes_sharding)
+
+    def upsert(
+        self,
+        ids: Sequence[str],
+        vectors: np.ndarray,
+        texts: Sequence[str],
+        payloads: Sequence[dict[str, Any]],
+    ) -> int:
+        if not len(ids):
+            return 0
+        vecs = np.asarray(vectors, np.float32)
+        vecs = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+        rows, code_rows, new_count = [], [], 0
+        for pid, text, payload in zip(ids, texts, payloads):
+            row, is_new = self.store.upsert(pid, text, payload)
+            new_count += is_new
+            rows.append(row)
+            code_rows.append(self.store.codes_for(payload))
+        if len(self.store) > self.capacity:
+            self._grow(len(self.store))
+        rows_a = np.asarray(rows)
+        # scattered device update keeping the sharding
+        self._emb = jax.device_put(
+            self._emb.at[rows_a].set(jnp.asarray(vecs, self.dtype)),
+            self._emb_sharding,
+        )
+        self._codes = jax.device_put(
+            self._codes.at[:, rows_a].set(
+                jnp.asarray(np.asarray(code_rows, np.int32).T)
+            ),
+            self._codes_sharding,
+        )
+        return new_count
+
+    def search_device(self, query_vecs: jax.Array, query_filter: jax.Array, k: int):
+        fn = self._search_cache.get(k)
+        if fn is None:
+            fn = make_sharded_search(
+                self.mesh, k=k, tile=self.tile, use_pallas=self.use_pallas
+            )
+            self._search_cache[k] = fn
+        return fn(
+            query_vecs.astype(self.dtype),
+            self._emb,
+            self._codes,
+            query_filter,
+            jnp.asarray(self.n_valid, jnp.int32),
+        )
+
+    def search(
+        self,
+        query_vecs: np.ndarray | jax.Array,
+        *,
+        ticker: str | None = None,
+        document_type: str | None = None,
+        k: int = 15,
+    ) -> list[list[dict[str, Any]]]:
+        q = jnp.asarray(query_vecs)
+        if q.ndim == 1:
+            q = q[None, :]
+        b = q.shape[0]
+        tcode, dcode = self.store.query_codes(ticker, document_type)
+        qf = jnp.tile(jnp.asarray([[tcode, dcode]], jnp.int32), (b, 1))
+        scores, rows = self.search_device(q, qf, k)
+        scores, rows = np.asarray(scores), np.asarray(rows)
+        out: list[list[dict[str, Any]]] = []
+        for bi in range(b):
+            hits = []
+            for s, r in zip(scores[bi], rows[bi]):
+                if not np.isfinite(s):
+                    continue
+                payload = self.store.get(int(r))
+                payload["score"] = float(s)
+                payload["row"] = int(r)
+                hits.append(payload)
+            out.append(hits)
+        return out

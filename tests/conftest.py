@@ -9,7 +9,7 @@ stand-ins while the control plane stays live.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # the session env pins a TPU platform
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,6 +17,12 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 os.environ["TESTING"] = "True"
 os.environ.setdefault("DATABASE_URL", ":memory:")
+
+# pytest's own startup imports jax before this file runs, so the env vars
+# above are too late for jax's config module — override post-import too.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
