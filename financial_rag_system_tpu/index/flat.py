@@ -24,6 +24,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from financial_rag_system_tpu.index.base import SearchMixin
 from financial_rag_system_tpu.index.store import PAD_CODE, DocumentStore
 from financial_rag_system_tpu.ops.topk import masked_topk
 
@@ -34,7 +35,7 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-class FlatIndex:
+class FlatIndex(SearchMixin):
     """Exact cosine search over an HBM-resident corpus."""
 
     def __init__(
@@ -136,40 +137,7 @@ class FlatIndex:
             use_pallas=self.use_pallas,
         )
 
-    def search(
-        self,
-        query_vecs: np.ndarray | jax.Array,
-        *,
-        ticker: str | None = None,
-        document_type: str | None = None,
-        k: int = 15,
-    ) -> list[list[dict[str, Any]]]:
-        """Full search: returns per-query hit lists with payloads + scores.
-
-        Matches the reference's retrieval contract: limit=k candidates,
-        ticker `must` filter, optional document_type (main.py:215-239).
-        """
-        q = jnp.asarray(query_vecs)
-        if q.ndim == 1:
-            q = q[None, :]
-        b = q.shape[0]
-        tcode, dcode = self.store.query_codes(ticker, document_type)
-        qf = jnp.tile(jnp.asarray([[tcode, dcode]], jnp.int32), (b, 1))
-        scores, rows = self.search_device(q, qf, k)
-        scores = np.asarray(scores)
-        rows = np.asarray(rows)
-        out: list[list[dict[str, Any]]] = []
-        for bi in range(b):
-            hits = []
-            for s, r in zip(scores[bi], rows[bi]):
-                if not np.isfinite(s):
-                    continue
-                payload = self.store.get(int(r))
-                payload["score"] = float(s)
-                payload["row"] = int(r)
-                hits.append(payload)
-            out.append(hits)
-        return out
+    # search()/search_batch() come from SearchMixin.
 
     # ------------------------------------------------------------------
     def save(self, directory: str) -> None:

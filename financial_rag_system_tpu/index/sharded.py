@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from financial_rag_system_tpu.index.base import SearchMixin
 from financial_rag_system_tpu.index.store import PAD_CODE, DocumentStore
 from financial_rag_system_tpu.ops.topk import masked_topk_xla, masked_topk_pallas
 from financial_rag_system_tpu.parallel.mesh import AXIS_CORPUS
@@ -77,7 +78,7 @@ def make_sharded_search(
     return jax.jit(fn)
 
 
-class ShardedFlatIndex:
+class ShardedFlatIndex(SearchMixin):
     """Exact search over a corpus sharded across the mesh's corpus axis.
 
     Host-side bookkeeping matches FlatIndex (same DocumentStore contract);
@@ -182,31 +183,4 @@ class ShardedFlatIndex:
             jnp.asarray(self.n_valid, jnp.int32),
         )
 
-    def search(
-        self,
-        query_vecs: np.ndarray | jax.Array,
-        *,
-        ticker: str | None = None,
-        document_type: str | None = None,
-        k: int = 15,
-    ) -> list[list[dict[str, Any]]]:
-        q = jnp.asarray(query_vecs)
-        if q.ndim == 1:
-            q = q[None, :]
-        b = q.shape[0]
-        tcode, dcode = self.store.query_codes(ticker, document_type)
-        qf = jnp.tile(jnp.asarray([[tcode, dcode]], jnp.int32), (b, 1))
-        scores, rows = self.search_device(q, qf, k)
-        scores, rows = np.asarray(scores), np.asarray(rows)
-        out: list[list[dict[str, Any]]] = []
-        for bi in range(b):
-            hits = []
-            for s, r in zip(scores[bi], rows[bi]):
-                if not np.isfinite(s):
-                    continue
-                payload = self.store.get(int(r))
-                payload["score"] = float(s)
-                payload["row"] = int(r)
-                hits.append(payload)
-            out.append(hits)
-        return out
+    # search()/search_batch() come from SearchMixin.

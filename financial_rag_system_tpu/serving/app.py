@@ -1,0 +1,165 @@
+"""HTTP serving shell (aiohttp) — the reference's FastAPI surface.
+
+Endpoints and semantics match reference main.py:126-328 / main2.py:318-342:
+
+- ``POST /ask``       {query, ticker, document_type?, top_k=5} -> answer doc
+- ``POST /embed``     {texts: [...]} -> {embeddings: [[...]]} (ingestion reuse)
+- ``POST /feedback``  {query_hash, rating} -> {status: ok}
+- ``DELETE /cache/clear/{ticker}`` -> {cleared_entries: N}
+- ``GET /health`` ``/ready`` ``/queue_status``
+- extras: ``GET /metrics`` (stage-latency aggregates), ``GET /traces``
+
+Validation uses pydantic and returns 422 on schema errors, matching
+FastAPI's contract (the reference test suite asserts 422 on a missing
+ticker, tests.py:76-80).  /ask is wrapped in the reference's 90 s
+request timeout (main2.py:330-331).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+from typing import Optional
+
+from aiohttp import web
+from pydantic import BaseModel, ValidationError
+
+from financial_rag_system_tpu.obs.tracing import get_tracer
+from financial_rag_system_tpu.serving.engine import RAGEngine
+
+
+class QueryRequest(BaseModel):
+    query: str
+    ticker: str
+    document_type: Optional[str] = None
+    top_k: int = 5
+
+
+class EmbedRequest(BaseModel):
+    texts: list[str]
+
+
+class FeedbackRequest(BaseModel):
+    query_hash: str
+    rating: int
+
+
+def _validation_error(exc: ValidationError) -> web.Response:
+    return web.json_response({"detail": json.loads(exc.json())}, status=422)
+
+
+def create_app(engine: RAGEngine) -> web.Application:
+    app = web.Application()
+
+    async def on_startup(app: web.Application) -> None:
+        await engine.startup()
+
+    async def on_cleanup(app: web.Application) -> None:
+        await engine.shutdown()
+
+    app.on_startup.append(on_startup)
+    app.on_cleanup.append(on_cleanup)
+
+    async def ask(request: web.Request) -> web.Response:
+        try:
+            req = QueryRequest.model_validate(await request.json())
+        except ValidationError as exc:
+            return _validation_error(exc)
+        try:
+            result = await asyncio.wait_for(
+                engine.ask(
+                    req.query, req.ticker, req.top_k, req.document_type
+                ),
+                timeout=engine.cfg.request_timeout_s,
+            )
+        except asyncio.TimeoutError:
+            return web.json_response({"detail": "request timed out"}, status=504)
+        return web.json_response(result)
+
+    async def embed(request: web.Request) -> web.Response:
+        try:
+            req = EmbedRequest.model_validate(await request.json())
+        except ValidationError as exc:
+            return _validation_error(exc)
+        return web.json_response({"embeddings": await engine.embed(req.texts)})
+
+    async def feedback(request: web.Request) -> web.Response:
+        try:
+            req = FeedbackRequest.model_validate(await request.json())
+        except ValidationError as exc:
+            return _validation_error(exc)
+        await asyncio.to_thread(engine.feedback, req.query_hash, req.rating)
+        return web.json_response({"status": "ok"})
+
+    async def clear_cache(request: web.Request) -> web.Response:
+        ticker = request.match_info["ticker"]
+        count = await asyncio.to_thread(engine.clear_cache, ticker)
+        return web.json_response({"cleared_entries": count})
+
+    async def health(request: web.Request) -> web.Response:
+        return web.json_response({"status": "ok"})
+
+    async def ready(request: web.Request) -> web.Response:
+        return web.json_response(engine.ready())
+
+    async def queue_status(request: web.Request) -> web.Response:
+        return web.json_response(engine.queue_status())
+
+    async def metrics(request: web.Request) -> web.Response:
+        return web.json_response(get_tracer().metrics_snapshot())
+
+    async def traces(request: web.Request) -> web.Response:
+        n = int(request.query.get("n", 20))
+        return web.json_response(get_tracer().recent_traces(n))
+
+    app.add_routes(
+        [
+            web.post("/ask", ask),
+            web.post("/embed", embed),
+            web.post("/feedback", feedback),
+            web.delete("/cache/clear/{ticker}", clear_cache),
+            web.get("/health", health),
+            web.get("/ready", ready),
+            web.get("/queue_status", queue_status),
+            web.get("/metrics", metrics),
+            web.get("/traces", traces),
+        ]
+    )
+    return app
+
+
+def build_default_engine(mode: str = "batched") -> RAGEngine:
+    """Wire an engine from env config: persisted index if present, else empty."""
+    import os
+
+    from financial_rag_system_tpu.index.flat import FlatIndex
+    from financial_rag_system_tpu.models.embedder import get_embedder
+    from financial_rag_system_tpu.models.reranker import get_reranker
+    from financial_rag_system_tpu.utils.config import get_config
+
+    cfg = get_config()
+    if os.path.exists(os.path.join(cfg.index_dir, "flat_index.npz")):
+        index = FlatIndex.load(cfg.index_dir, use_pallas=cfg.use_pallas)
+    else:
+        index = FlatIndex(
+            cfg.embed_dim, tile=cfg.corpus_tile, use_pallas=cfg.use_pallas
+        )
+    return RAGEngine(
+        cfg,
+        index,
+        get_embedder(cfg.embed_dim),
+        get_reranker(testing=cfg.testing),
+        mode=mode,
+    )
+
+
+def main() -> None:  # pragma: no cover — manual entry point
+    from financial_rag_system_tpu.utils.config import get_config
+
+    cfg = get_config()
+    engine = build_default_engine()
+    web.run_app(create_app(engine), host=cfg.host, port=cfg.port)
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

@@ -1,0 +1,118 @@
+"""Dynamic request batcher — the core serving scheduling primitive.
+
+Keeps the reference's design constants and algorithm exactly
+(main2.py:50-53, 281-295): block on the queue for the first request,
+sleep the 50 ms batching window, drain without waiting up to
+MAX_BATCH_SIZE=32, run ONE batched compute for the whole set, then
+resolve each request's future.
+
+TPU-native difference: the reference batches only the embedding forward
+and then does per-request Qdrant HTTP calls; here the single batched
+device program does embed AND retrieval (per-query metadata filters ride
+into the fused top-k kernel as an int32 array), so a full mixed-ticker
+batch costs one tokenize + two kernel launches and zero host round-trips.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from financial_rag_system_tpu.obs.tracing import get_tracer
+
+
+@dataclass
+class _Item:
+    query: str
+    ticker: str | None
+    document_type: str | None
+    future: asyncio.Future = field(repr=False)
+    enqueued_s: float = field(default_factory=time.time)
+
+
+# batch_fn(queries, filters) -> list of per-request results
+BatchFn = Callable[[list[str], list[tuple[str | None, str | None]]], list[Any]]
+
+
+class DynamicBatcher:
+    def __init__(
+        self,
+        batch_fn: BatchFn,
+        *,
+        window_s: float = 0.05,
+        max_batch: int = 32,
+    ):
+        self.batch_fn = batch_fn
+        self.window_s = window_s
+        self.max_batch = max_batch
+        self.queue: asyncio.Queue[_Item] = asyncio.Queue()
+        self._task: asyncio.Task | None = None
+        self._closed = False
+
+    # -- lifecycle -------------------------------------------------------
+
+    def start(self) -> None:
+        if self._task is None:
+            self._task = asyncio.get_running_loop().create_task(self._run())
+
+    async def stop(self) -> None:
+        self._closed = True
+        if self._task is not None:
+            self._task.cancel()
+            try:
+                await self._task
+            except asyncio.CancelledError:
+                pass
+            self._task = None
+
+    @property
+    def queue_size(self) -> int:
+        return self.queue.qsize()
+
+    # -- client side -------------------------------------------------------
+
+    async def submit(
+        self,
+        query: str,
+        ticker: str | None,
+        document_type: str | None = None,
+    ) -> Any:
+        """Enqueue and await this request's slice of the batched compute."""
+        fut = asyncio.get_running_loop().create_future()
+        await self.queue.put(_Item(query, ticker, document_type, fut))
+        return await fut
+
+    # -- batcher loop --------------------------------------------------------
+
+    async def _run(self) -> None:
+        tracer = get_tracer()
+        while not self._closed:
+            first = await self.queue.get()
+            await asyncio.sleep(self.window_s)  # batching window (main2.py:286)
+            batch = [first]
+            while len(batch) < self.max_batch:
+                try:
+                    batch.append(self.queue.get_nowait())
+                except asyncio.QueueEmpty:
+                    break
+            queries = [it.query for it in batch]
+            filters = [(it.ticker, it.document_type) for it in batch]
+            t0 = time.time()
+            try:
+                with tracer.span(
+                    "Batch_Embedding", kind="TOOL",
+                    inputs={"batch_size": len(batch)},
+                ):
+                    results = await asyncio.to_thread(self.batch_fn, queries, filters)
+            except Exception as exc:  # resolve everyone with the failure
+                for it in batch:
+                    if not it.future.done():
+                        it.future.set_exception(exc)
+                continue
+            tracer.log_metric("batch_size", len(batch))
+            tracer.log_metric("batch_compute_ms", (time.time() - t0) * 1000)
+            for it, res in zip(batch, results):
+                if not it.future.done():
+                    it.future.set_result(res)

@@ -1,0 +1,238 @@
+"""The RAG engine: cache -> route -> embed+retrieve -> rerank -> generate.
+
+Orchestrates the full request pipeline with the reference's exact
+behavioral surface (SURVEY.md §7 invariants):
+
+- cache key ``sha256(f"{ticker}_{query.lower()}")``; hit returns
+  provider "Cache" with the sentinel source (reference main.py:341-352)
+- miss: SIMPLE/COMPLEX routing, retrieve 15 candidates (ticker must /
+  optional document_type filters), cross-encoder rerank ->
+  ``argsort[::-1][:top_k]``, breaker-guarded LLM generation with the
+  degraded fallback, write-behind cache save skipped for degraded
+  answers (main.py:412-415)
+- response schema {query_hash, query, answer, sources[{score, text,
+  document_type}], cached, provider} (main.py:417-424)
+
+Two modes, mirroring the reference's two apps: "batched" (main2.py —
+dynamic 50 ms/32 batching; embedding AND retrieval run as one device
+program for the whole batch) and "sequential" (main.py — the latency
+baseline).  Span taxonomy and per-stage latency metrics follow
+main2.py:207-263.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import time
+from typing import Any
+
+import numpy as np
+
+from financial_rag_system_tpu.obs.tracing import get_tracer
+from financial_rag_system_tpu.serving.batcher import DynamicBatcher
+from financial_rag_system_tpu.serving.breaker import CircuitBreaker
+from financial_rag_system_tpu.serving.cache import CacheDB
+from financial_rag_system_tpu.serving.llm import (
+    LLMClient,
+    MockLLMClient,
+    generate_answer,
+)
+from financial_rag_system_tpu.serving.router import route_query
+from financial_rag_system_tpu.utils.config import Config
+from financial_rag_system_tpu.utils.hashing import cache_key
+
+
+class RAGEngine:
+    def __init__(
+        self,
+        cfg: Config,
+        index,
+        embedder,
+        reranker,
+        *,
+        mode: str = "batched",
+        llm: LLMClient | None = None,
+        cache: CacheDB | None = None,
+        breaker: CircuitBreaker | None = None,
+    ):
+        assert mode in ("batched", "sequential")
+        self.cfg = cfg
+        self.index = index
+        self.embedder = embedder
+        self.reranker = reranker
+        self.mode = mode
+        self.cache = cache or CacheDB(cfg.database_url)
+        self.breaker = breaker or CircuitBreaker(
+            cfg.breaker_state_path, cfg.breaker_cooldown_s
+        )
+        self.llm = llm or (MockLLMClient(cfg) if cfg.testing else LLMClient(cfg))
+        self.llm_semaphore = asyncio.Semaphore(cfg.max_concurrent_llm)
+        self.tracer = get_tracer()
+        self.batcher: DynamicBatcher | None = None
+        if mode == "batched":
+            self.batcher = DynamicBatcher(
+                self._embed_retrieve_batch,
+                window_s=cfg.batch_window_s,
+                max_batch=cfg.max_batch_size,
+            )
+
+    # -- lifecycle ---------------------------------------------------------
+
+    async def startup(self) -> None:
+        if self.batcher is not None:
+            self.batcher.start()
+
+    async def shutdown(self) -> None:
+        if self.batcher is not None:
+            await self.batcher.stop()
+        await self.llm.aclose()
+
+    # -- batched device work -------------------------------------------------
+
+    def _embed_retrieve_batch(
+        self,
+        queries: list[str],
+        filters: list[tuple[str | None, str | None]],
+    ) -> list[tuple[np.ndarray, list[dict[str, Any]]]]:
+        """One device pass for the whole batch: embed then fused search."""
+        vecs = self.embedder.encode(queries)
+        hits = self.index.search_batch(vecs, filters, k=self.cfg.retrieve_k)
+        return list(zip(vecs, hits))
+
+    # -- public API -----------------------------------------------------------
+
+    async def embed(self, texts: list[str]) -> list[list[float]]:
+        """The /embed endpoint used by ingestion (reference main.py:144-149)."""
+        vecs = await asyncio.to_thread(self.embedder.encode, texts)
+        return np.asarray(vecs).tolist()
+
+    async def ask(
+        self,
+        query: str,
+        ticker: str,
+        top_k: int = 5,
+        document_type: str | None = None,
+    ) -> dict[str, Any]:
+        arrival = time.time()
+        q_hash = cache_key(ticker, query)
+
+        cached = await asyncio.to_thread(self.cache.lookup, q_hash, ticker.upper())
+        if cached is not None:
+            return {
+                "query_hash": q_hash,
+                "query": query,
+                "answer": cached,
+                "sources": [
+                    {"score": 1.0, "text": "Semantic Cache", "document_type": "Cache"}
+                ],
+                "cached": True,
+                "provider": "Cache",
+            }
+
+        with self.tracer.span(
+            "RAG_Workflow", kind="CHAIN",
+            inputs={"user_query": query, "ticker": ticker},
+        ) as root:
+            async with self.llm_semaphore:
+                with self.tracer.span("1_Query_Routing", kind="TOOL"):
+                    t0 = time.time()
+                    complexity = route_query(query)
+                    self.tracer.log_metric("router_ms", (time.time() - t0) * 1000)
+
+                t0 = time.time()
+                with self.tracer.span(
+                    "2_Vector_Retrieval", kind="RETRIEVER",
+                    inputs={"ticker": ticker, "k": self.cfg.retrieve_k},
+                ) as sp:
+                    if self.batcher is not None:
+                        _vec, hits = await self.batcher.submit(
+                            query, ticker, document_type
+                        )
+                    else:  # sequential baseline path
+                        _vec, hits = (
+                            await asyncio.to_thread(
+                                self._embed_retrieve_batch,
+                                [query],
+                                [(ticker, document_type)],
+                            )
+                        )[0]
+                    sp.outputs = [h["text"] for h in hits]
+                self.tracer.log_metric("retrieval_ms", (time.time() - t0) * 1000)
+                self.tracer.log_metric("retrieved_docs", len(hits))
+
+                t0 = time.time()
+                with self.tracer.span("3_Reranking", kind="TOOL"):
+                    if hits:
+                        scores = await asyncio.to_thread(
+                            self.reranker.score, query, [h["text"] for h in hits]
+                        )
+                        order = np.argsort(scores)[::-1][:top_k]
+                        top = [
+                            {**hits[int(i)], "rerank_score": float(scores[int(i)])}
+                            for i in order
+                        ]
+                    else:
+                        top = []
+                self.tracer.log_metric("rerank_ms", (time.time() - t0) * 1000)
+                self.tracer.log_metric("reranked_docs", len(top))
+
+                context = "\n\n".join(h["text"] for h in top)
+                t0 = time.time()
+                with self.tracer.span("LLM_Generation", kind="LLM") as sp:
+                    answer, provider = await generate_answer(
+                        self.llm, self.breaker, query, context, complexity
+                    )
+                    sp.outputs = answer
+                self.tracer.log_metric("llm_ms", (time.time() - t0) * 1000)
+                self.tracer.log_metric(
+                    "total_e2e_ms", (time.time() - arrival) * 1000
+                )
+                root.outputs = answer
+                root.attrs.update(
+                    {"complexity": complexity, "provider": provider, "top_k": top_k}
+                )
+
+        if provider != "System Degraded":
+            # write-behind (reference main.py:412-415)
+            asyncio.get_running_loop().create_task(
+                asyncio.to_thread(
+                    self.cache.save, q_hash, ticker, query, answer, provider
+                )
+            )
+
+        return {
+            "query_hash": q_hash,
+            "query": query,
+            "answer": answer,
+            "sources": [
+                {
+                    "score": h.get("rerank_score", h.get("score", 0.0)),
+                    "text": h["text"],
+                    "document_type": h.get("document_type", "SEC Filing"),
+                }
+                for h in top
+            ],
+            "cached": False,
+            "provider": provider,
+        }
+
+    # -- ops surface -----------------------------------------------------------
+
+    def feedback(self, query_hash: str, rating: int) -> None:
+        self.cache.add_feedback(query_hash, rating)
+
+    def clear_cache(self, ticker: str) -> int:
+        return self.cache.clear_ticker(ticker)
+
+    def queue_status(self) -> dict[str, Any]:
+        return {
+            "mode": self.mode,
+            "queue_size": self.batcher.queue_size if self.batcher else 0,
+        }
+
+    def ready(self) -> dict[str, Any]:
+        try:
+            n = self.index.n_valid
+            return {"status": "ready", "indexed_chunks": n}
+        except Exception as exc:  # pragma: no cover
+            return {"status": "not_ready", "error": str(exc)}

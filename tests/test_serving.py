@@ -1,0 +1,232 @@
+"""Serving shell tests — the reference's six tests (tests.py:61-121) plus
+coverage the reference lacked: the batched engine, the breaker, routing.
+"""
+
+import asyncio
+
+import numpy as np
+import pytest
+from aiohttp.test_utils import TestClient, TestServer
+
+from financial_rag_system_tpu.index.flat import FlatIndex
+from financial_rag_system_tpu.models.embedder import HashEmbedder
+from financial_rag_system_tpu.models.reranker import HashReranker
+from financial_rag_system_tpu.serving.app import create_app
+from financial_rag_system_tpu.serving.breaker import DEGRADED_ANSWER, CircuitBreaker
+from financial_rag_system_tpu.serving.engine import RAGEngine
+from financial_rag_system_tpu.serving.llm import MOCK_ANSWER, LLMClient
+from financial_rag_system_tpu.utils.config import Config
+
+DOCS = [
+    ("Apple reported revenue of 89.5 billion dollars for the quarter", "AAPL"),
+    ("Apple gross margin expanded to 45.2 percent on services growth", "AAPL"),
+    ("Apple faces supply chain risk concentrated in asia", "AAPL"),
+    ("Microsoft cloud revenue grew 24 percent year over year", "MSFT"),
+    ("Microsoft operating income increased on azure strength", "MSFT"),
+]
+
+
+def make_engine(tmp_path, mode="batched", llm=None, cooldown=60.0):
+    cfg = Config(
+        testing=True,
+        database_url=":memory:",
+        batch_window_s=0.01,
+        breaker_state_path=str(tmp_path / "cb.json"),
+        breaker_cooldown_s=cooldown,
+    )
+    emb = HashEmbedder(dim=cfg.embed_dim)
+    index = FlatIndex(cfg.embed_dim, capacity=128, tile=128, use_pallas=False)
+    vecs = emb.encode([d for d, _ in DOCS])
+    index.upsert(
+        [f"d{i}" for i in range(len(DOCS))],
+        vecs,
+        [d for d, _ in DOCS],
+        [
+            {"ticker": t, "document_type": "10-Q", "source_file": f"f{i}"}
+            for i, (_, t) in enumerate(DOCS)
+        ],
+    )
+    return RAGEngine(cfg, index, emb, HashReranker(), mode=mode, llm=llm)
+
+
+def with_client(tmp_path, coro, **engine_kw):
+    async def runner():
+        engine = make_engine(tmp_path, **engine_kw)
+        app = create_app(engine)
+        async with TestClient(TestServer(app)) as client:
+            await coro(client, engine)
+
+    asyncio.run(runner())
+
+
+# --- the reference's six tests (tests.py:61-121) ---------------------------
+
+
+def test_feedback(tmp_path):
+    async def t(client, engine):
+        r = await client.post(
+            "/feedback", json={"query_hash": "abc", "rating": 1}
+        )
+        assert r.status == 200
+        assert (await r.json())["status"] == "ok"
+        assert engine.cache.feedback_count() == 1
+
+    with_client(tmp_path, t)
+
+
+def test_cache_clear_empty(tmp_path):
+    async def t(client, engine):
+        r = await client.delete("/cache/clear/AAPL")
+        assert (await r.json())["cleared_entries"] == 0
+
+    with_client(tmp_path, t)
+
+
+def test_schema_validation_422(tmp_path):
+    async def t(client, engine):
+        r = await client.post("/ask", json={"query": "no ticker"})
+        assert r.status == 422
+
+    with_client(tmp_path, t)
+
+
+def test_cache_write_then_hit(tmp_path):
+    async def t(client, engine):
+        body = {"query": "What was Apple's revenue?", "ticker": "AAPL"}
+        r1 = await (await client.post("/ask", json=body)).json()
+        assert r1["cached"] is False
+        assert r1["answer"] == MOCK_ANSWER
+        await asyncio.sleep(0.05)  # write-behind
+        assert engine.cache.cache_count() == 1
+        r2 = await (await client.post("/ask", json=body)).json()
+        assert r2["cached"] is True
+        assert r2["provider"] == "Cache"
+        assert r2["answer"] == MOCK_ANSWER
+        assert r2["query_hash"] == r1["query_hash"]
+        assert r2["sources"] == [
+            {"score": 1.0, "text": "Semantic Cache", "document_type": "Cache"}
+        ]
+
+    with_client(tmp_path, t)
+
+
+def test_health(tmp_path):
+    async def t(client, engine):
+        r = await client.get("/health")
+        assert (await r.json())["status"] == "ok"
+
+    with_client(tmp_path, t)
+
+
+def test_queue_status_sequential(tmp_path):
+    async def t(client, engine):
+        r = await (await client.get("/queue_status")).json()
+        assert r["mode"] == "sequential"
+        assert r["queue_size"] == 0
+
+    with_client(tmp_path, t, mode="sequential")
+
+
+# --- beyond the reference ---------------------------------------------------
+
+
+def test_embed_endpoint(tmp_path):
+    async def t(client, engine):
+        r = await (await client.post("/embed", json={"texts": ["a", "b"]})).json()
+        v = np.asarray(r["embeddings"])
+        assert v.shape == (2, 384)
+        np.testing.assert_allclose(np.linalg.norm(v, axis=1), 1.0, rtol=1e-4)
+
+    with_client(tmp_path, t)
+
+
+def test_ask_sources_ticker_filtered(tmp_path):
+    async def t(client, engine):
+        r = await (
+            await client.post(
+                "/ask",
+                json={
+                    "query": "cloud revenue growth",
+                    "ticker": "MSFT",
+                    "top_k": 2,
+                },
+            )
+        ).json()
+        assert len(r["sources"]) == 2
+        assert all("Microsoft" in s["text"] for s in r["sources"])
+        assert r["sources"][0]["score"] >= r["sources"][1]["score"]
+
+    with_client(tmp_path, t)
+
+
+def test_batched_concurrent_asks(tmp_path):
+    async def t(client, engine):
+        bodies = [
+            {"query": f"question number {i} about apple", "ticker": "AAPL"}
+            for i in range(6)
+        ]
+        rs = await asyncio.gather(
+            *[client.post("/ask", json=b) for b in bodies]
+        )
+        docs = [await r.json() for r in rs]
+        assert all(d["answer"] == MOCK_ANSWER for d in docs)
+        assert len({d["query_hash"] for d in docs}) == 6
+        from financial_rag_system_tpu.obs.tracing import get_tracer
+
+        snap = get_tracer().metrics_snapshot()
+        assert snap["batch_size"]["count"] >= 1
+
+    with_client(tmp_path, t)
+
+
+def test_ready_reports_index(tmp_path):
+    async def t(client, engine):
+        r = await (await client.get("/ready")).json()
+        assert r["status"] == "ready"
+        assert r["indexed_chunks"] == len(DOCS)
+
+    with_client(tmp_path, t)
+
+
+class _FailingLLM(LLMClient):
+    async def chat(self, model, system, user):
+        raise RuntimeError("llm down")
+
+
+def test_breaker_degraded_and_heal(tmp_path):
+    async def t(client, engine):
+        body = {"query": "what is apple revenue", "ticker": "AAPL"}
+        r = await (await client.post("/ask", json=body)).json()
+        assert r["answer"] == DEGRADED_ANSWER
+        assert r["provider"] == "System Degraded"
+        assert not engine.breaker.is_healthy
+        await asyncio.sleep(0.05)
+        assert engine.cache.cache_count() == 0  # degraded answers not cached
+        # short cooldown -> auto-heal
+        await asyncio.sleep(0.3)
+        assert engine.breaker.is_healthy
+
+    cfg_llm = _FailingLLM(
+        Config(testing=True, llm_retries=1, llm_backoff_min_s=0.0)
+    )
+    with_client(tmp_path, t, llm=cfg_llm, cooldown=0.3)
+
+
+def test_router_behavior():
+    from financial_rag_system_tpu.serving.router import COMPLEX, SIMPLE, route_query
+
+    assert route_query("What was revenue?") == SIMPLE
+    assert route_query("Analyze the margin trajectory") == COMPLEX
+    assert route_query("why did costs rise") == COMPLEX
+    assert route_query("word " * 21) == COMPLEX
+    assert route_query("short factual question") == SIMPLE
+
+
+def test_breaker_file_state(tmp_path):
+    b1 = CircuitBreaker(str(tmp_path / "cb.json"), cooldown_s=60)
+    b2 = CircuitBreaker(str(tmp_path / "cb.json"), cooldown_s=60)
+    assert b1.is_healthy
+    b1.trip()
+    assert not b2.is_healthy  # shared file state across instances
+    b1.reset()
+    assert b2.is_healthy
