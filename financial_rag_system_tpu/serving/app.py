@@ -44,6 +44,12 @@ class FeedbackRequest(BaseModel):
     rating: int
 
 
+class UpsertRequest(BaseModel):
+    ids: list[str]
+    texts: list[str]
+    payloads: list[dict]
+
+
 def _validation_error(exc: ValidationError) -> web.Response:
     return web.json_response({"detail": json.loads(exc.json())}, status=422)
 
@@ -96,6 +102,25 @@ def create_app(engine: RAGEngine) -> web.Application:
         count = await asyncio.to_thread(engine.clear_cache, ticker)
         return web.json_response({"cleared_entries": count})
 
+    async def index_upsert(request: web.Request) -> web.Response:
+        try:
+            req = UpsertRequest.model_validate(await request.json())
+        except ValidationError as exc:
+            return _validation_error(exc)
+        if not (len(req.ids) == len(req.texts) == len(req.payloads)):
+            return web.json_response(
+                {"detail": "ids/texts/payloads length mismatch"}, status=422
+            )
+        new_rows = await engine.ingest_chunks(req.ids, req.texts, req.payloads)
+        return web.json_response(
+            {"new_rows": new_rows, "indexed_chunks": engine.index.n_valid}
+        )
+
+    async def index_save(request: web.Request) -> web.Response:
+        directory = engine.cfg.index_dir
+        await asyncio.to_thread(engine.index.save, directory)
+        return web.json_response({"saved_to": directory})
+
     async def health(request: web.Request) -> web.Response:
         return web.json_response({"status": "ok"})
 
@@ -118,6 +143,8 @@ def create_app(engine: RAGEngine) -> web.Application:
             web.post("/embed", embed),
             web.post("/feedback", feedback),
             web.delete("/cache/clear/{ticker}", clear_cache),
+            web.post("/index/upsert", index_upsert),
+            web.post("/index/save", index_save),
             web.get("/health", health),
             web.get("/ready", ready),
             web.get("/queue_status", queue_status),

@@ -216,6 +216,27 @@ class RAGEngine:
             "provider": provider,
         }
 
+    async def ingest_chunks(
+        self,
+        ids: list[str],
+        texts: list[str],
+        payloads: list[dict[str, Any]],
+    ) -> int:
+        """Embed on device and upsert into the in-process index.
+
+        The backend half of ingestion: the reference's ingestor embeds
+        via POST /embed then upserts to a Qdrant server (ingest.py:52-66,
+        171-175); here both happen in one device pass behind
+        POST /index/upsert.
+        """
+
+        def work() -> int:
+            vecs = self.embedder.encode(texts)
+            return self.index.upsert(ids, vecs, texts, payloads)
+
+        with self.tracer.span("Index_Upsert", kind="TOOL", inputs={"n": len(ids)}):
+            return await asyncio.to_thread(work)
+
     # -- ops surface -----------------------------------------------------------
 
     def feedback(self, query_hash: str, rating: int) -> None:
