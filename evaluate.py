@@ -1,0 +1,108 @@
+"""Retrieval-quality evaluator: Hit@k and MRR over the golden set.
+
+Same methodology as the reference harness (/root/reference/evaluate.py):
+embed each golden query, search the index top-k with the ticker filter,
+mark the first rank whose chunk text contains any expected keyword
+(substring, case-insensitive), report Hit@k %, MRR, and average search
+latency.  Two deliberate fixes over the reference:
+
+- the evaluator uses THE SERVING EMBEDDER (the reference evaluated with
+  all-MiniLM-L6-v2 while serving used BGE-small — evaluate.py:22 vs
+  main.py:84 — an inconsistency SURVEY.md flags);
+- it can also score the full two-stage pipeline (--two-stage) with the
+  reranker in the loop.
+
+With no EDGAR egress the corpus comes from the deterministic synthetic
+generator; point an INDEX_DIR env at a persisted real index to evaluate
+that instead.
+
+Usage: python evaluate.py [--k 5] [--corpus 2048] [--two-stage]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+def build_index(n_chunks: int, embedder, use_pallas: bool):
+    from financial_rag_system_tpu.data.synthetic import make_corpus
+    from financial_rag_system_tpu.index.flat import FlatIndex
+
+    ids, texts, payloads = make_corpus(n_chunks)
+    index = FlatIndex(
+        dim=embedder.dim, capacity=max(n_chunks, 1024),
+        tile=min(1024, max(128, n_chunks // 4 // 128 * 128 or 128)),
+        use_pallas=use_pallas,
+    )
+    bs = 512
+    for s in range(0, len(ids), bs):
+        sl = slice(s, s + bs)
+        index.upsert(ids[sl], embedder.encode(texts[sl]), texts[sl], payloads[sl])
+    return index
+
+
+def run_evaluation(k: int = 5, n_chunks: int = 2048, two_stage: bool = False):
+    from financial_rag_system_tpu.data.synthetic import GOLDEN_SET
+    from financial_rag_system_tpu.models.embedder import get_embedder
+    from financial_rag_system_tpu.models.reranker import get_reranker
+    from financial_rag_system_tpu.index.flat import FlatIndex
+
+    embedder = get_embedder()
+    index_dir = os.environ.get("INDEX_DIR", "")
+    use_pallas = os.environ.get("JAX_PLATFORMS", "") not in ("cpu",)
+    if index_dir and os.path.exists(os.path.join(index_dir, "flat_index.npz")):
+        index = FlatIndex.load(index_dir)
+        print(f"loaded index from {index_dir}: {index.n_valid} chunks")
+    else:
+        index = build_index(n_chunks, embedder, use_pallas)
+        print(f"built synthetic corpus: {index.n_valid} chunks")
+    reranker = get_reranker() if two_stage else None
+
+    hits, rrs, total_latency = 0, [], 0.0
+    fan_k = 15 if two_stage else k
+    for item in GOLDEN_SET:
+        t0 = time.time()
+        vec = embedder.encode([item["query"]])
+        cands = index.search(vec, ticker=item["ticker"], k=fan_k)[0]
+        if two_stage and cands:
+            scores = reranker.score(item["query"], [c["text"] for c in cands])
+            order = np.argsort(scores)[::-1][:k]
+            cands = [cands[int(i)] for i in order]
+        latency = (time.time() - t0) * 1000
+        total_latency += latency
+
+        found_at = 0
+        for rank, hit in enumerate(cands[:k], start=1):
+            text = hit["text"].lower()
+            if any(kw.lower() in text for kw in item["expected_keywords"]):
+                found_at = rank
+                break
+        if found_at:
+            hits += 1
+            rrs.append(1.0 / found_at)
+            print(f"[HIT ] rank {found_at} | {latency:6.1f} ms | {item['query'][:55]}")
+        else:
+            rrs.append(0.0)
+            print(f"[MISS]        | {latency:6.1f} ms | {item['query'][:55]}")
+
+    n = len(GOLDEN_SET)
+    hit_rate = 100.0 * hits / n
+    mrr = sum(rrs) / n
+    avg_ms = total_latency / n
+    print("=" * 60)
+    print(f"Hit@{k}: {hit_rate:.1f}%   MRR: {mrr:.3f}   avg search: {avg_ms:.1f} ms")
+    print("=" * 60)
+    return {"hit_rate": hit_rate, "mrr": mrr, "avg_latency_ms": avg_ms}
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--k", type=int, default=5)
+    ap.add_argument("--corpus", type=int, default=2048)
+    ap.add_argument("--two-stage", action="store_true")
+    args = ap.parse_args()
+    run_evaluation(args.k, args.corpus, args.two_stage)

@@ -65,9 +65,31 @@ class BiEncoder:
         return np.concatenate(out, axis=0)
 
 
-def _hash_table(vocab_size: int, dim: int, seed: int = 7) -> jax.Array:
+# High-frequency terms whose overlap carries little relevance signal;
+# their table rows are scaled down so rare-token overlap dominates cosine.
+_STOPWORDS = (
+    "a an and are as at be been but by did do does for from had has have he "
+    "her his how i if in into is it its of on or our she so such that the "
+    "their them then there these they this to was we were what when which "
+    "who will with you your not no nor than too very can could would should "
+    "percent billion million dollars company report period year quarter "
+    "during other may also prior consistent"
+).split()
+_STOPWORD_SCALE = 0.15
+
+
+def _hash_table(
+    vocab_size: int, dim: int, seed: int = 7, stopword_ids: list[int] | None = None
+) -> jax.Array:
     key = jax.random.PRNGKey(seed)
-    return jax.random.normal(key, (vocab_size, dim), jnp.float32)
+    table = jax.random.normal(key, (vocab_size, dim), jnp.float32)
+    if stopword_ids:
+        import numpy as _np
+
+        t = _np.array(table)
+        t[_np.asarray(stopword_ids)] *= _STOPWORD_SCALE
+        table = jnp.asarray(t)
+    return table
 
 
 def _hash_embed_fn(table, ids, mask):
@@ -91,7 +113,12 @@ class HashEmbedder:
         self.dim = dim
         self.max_len = max_len
         self.tokenizer = Tokenizer()
-        self._table = _hash_table(self.tokenizer.vocab.vocab_size, dim, seed)
+        stop_ids = sorted(
+            {i for w in _STOPWORDS for i in self.tokenizer.tokenize_ids(w)}
+        )
+        self._table = _hash_table(
+            self.tokenizer.vocab.vocab_size, dim, seed, stop_ids
+        )
         self._fn = jax.jit(_hash_embed_fn)
 
     def encode(self, texts: Sequence[str]) -> np.ndarray:

@@ -78,15 +78,17 @@ class HashVocab:
         self.vocab_size = vocab_size
         self.piece_len = piece_len
 
+    def _hash(self, tag: str) -> int:
+        h = int.from_bytes(hashlib.md5(tag.encode()).digest()[:4], "little")
+        return 1000 + h % (self.vocab_size - 1000)
+
     def token_ids(self, word: str) -> list[int]:
-        pieces = [
-            word[i : i + self.piece_len] for i in range(0, len(word), self.piece_len)
-        ] or [word]
-        ids = []
-        for j, p in enumerate(pieces):
-            tag = ("##" if j else "") + p
-            h = int.from_bytes(hashlib.md5(tag.encode()).digest()[:4], "little")
-            ids.append(1000 + h % (self.vocab_size - 1000))
+        # whole-word id first (strong exact-match signal), then fixed-size
+        # piece ids (stemming-ish overlap between inflected forms)
+        ids = [self._hash("w:" + word)]
+        if len(word) > self.piece_len:
+            for i in range(0, len(word), self.piece_len):
+                ids.append(self._hash("##" + word[i : i + self.piece_len]))
         return ids
 
 
