@@ -1,0 +1,260 @@
+"""Headline benchmark: two-stage retrieval pipeline latency on TPU.
+
+Measures the device pipeline that replaced the reference's three library
+boundaries (torch embed -> Qdrant HNSW -> torch rerank):
+
+  tokenize -> BGE-small-architecture query embedding (12-layer JAX BERT)
+           -> fused masked-matmul/top-k over a 131,072-chunk HBM corpus
+           -> MiniLM-architecture cross-encoder rerank of the top 15
+
+per batch of 32 queries (the reference's dynamic-batch size), reporting
+p50 per-query latency.  Corpus vectors are random unit vectors (search
+cost is value-independent); encoder weights are random-init — identical
+FLOPs to trained weights.  Retrieval *quality* is benchmarked separately
+by evaluate.py (Hit@5/MRR).
+
+vs_baseline: the reference's published concurrent serving result is
+~2.7 s for 10 queries => ~270 ms/query end-to-end on its EC2 CPU stack
+(/root/reference/README.md:3,59 — includes its hosted-LLM time; no
+retrieval-only number is published).  vs_baseline = 270 / our_ms.
+
+Prints ONE JSON line to stdout; detail goes to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_MS_PER_QUERY = 270.0
+CORPUS_N = 131072
+BATCH = 32
+RETRIEVE_K = 15
+DIM = 384
+N_WARMUP = 3
+N_ITERS = 30
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from financial_rag_system_tpu.data.synthetic import make_corpus
+    from financial_rag_system_tpu.index.flat import FlatIndex
+    from financial_rag_system_tpu.models import bert
+    from financial_rag_system_tpu.models.embedder import BiEncoder
+    from financial_rag_system_tpu.models.reranker import CrossEncoderReranker
+    from financial_rag_system_tpu.models.tokenizer import Tokenizer
+    from financial_rag_system_tpu.index.store import PAD_CODE
+
+    platform = jax.devices()[0].platform
+    on_tpu = platform == "tpu"
+    log(f"platform: {platform}, devices: {jax.devices()}")
+
+    # --- models (real architectures, random-init weights) ------------------
+    tok = Tokenizer()
+    embedder = BiEncoder(
+        bert.init_params(jax.random.PRNGKey(0), bert.BGE_SMALL),
+        bert.BGE_SMALL, tok, pooling="cls", max_len=64,
+    )
+    reranker = CrossEncoderReranker(
+        bert.init_params(jax.random.PRNGKey(1), bert.MINILM_L6_CROSS),
+        bert.MINILM_L6_CROSS, tok, max_len=128,
+    )
+    reranker_batch = 512  # 32 queries x 15 pairs + padding in one forward
+    import financial_rag_system_tpu.models.reranker as rr_mod
+
+    rr_mod.MAX_DEVICE_BATCH = reranker_batch
+
+    # --- corpus -------------------------------------------------------------
+    log(f"building {CORPUS_N}-chunk corpus ...")
+    t0 = time.time()
+    index = FlatIndex(
+        DIM, capacity=CORPUS_N, tile=1024 if on_tpu else 128, use_pallas=on_tpu
+    )
+    key = jax.random.PRNGKey(42)
+    vecs = jax.random.normal(key, (CORPUS_N, DIM), jnp.float32)
+    vecs = vecs / jnp.linalg.norm(vecs, axis=1, keepdims=True)
+    index._emb = jnp.asarray(vecs, index.dtype)
+    # metadata codes: 8 tickers round-robin, 2 doc types
+    n = CORPUS_N
+    tick = np.arange(n, dtype=np.int32) % 8
+    dt = np.arange(n, dtype=np.int32) % 2
+    index._codes = jnp.asarray(np.stack([tick, dt]))
+    # host-side texts for the rerank stage
+    ids, texts, payloads = make_corpus(CORPUS_N, seed=1)
+    index.store.texts = texts
+    index.store.payloads = payloads
+    index.store.id_to_row = {i: r for r, i in enumerate(ids)}
+    for t in range(8):
+        index.store.tickers.encode(f"T{t}")
+    log(f"corpus ready in {time.time()-t0:.1f}s (n_valid={index.n_valid})")
+
+    queries = [
+        f"what was the {w} impact on segment revenue and margin trends"
+        for w in (
+            "supply chain", "tax rate", "currency", "subscription",
+            "advertising", "cloud", "hardware", "services",
+        )
+    ] * 4
+    assert len(queries) == BATCH
+    qf = np.stack(
+        [np.arange(BATCH, dtype=np.int32) % 8, np.full(BATCH, -1, np.int32)],
+        axis=1,
+    )
+
+    def pipeline() -> tuple[float, float, float]:
+        t0 = time.time()
+        qv = embedder.encode(queries)  # (32, 384)
+        t1 = time.time()
+        scores, rows = index.search_device(
+            jnp.asarray(qv), jnp.asarray(qf), RETRIEVE_K
+        )
+        rows = np.asarray(rows)  # sync
+        t2 = time.time()
+        for b in range(BATCH):
+            cand = [index.store.texts[int(r)] for r in rows[b]]
+            s = reranker.score(queries[b], cand)
+            np.argsort(s)[::-1][:5]
+        t3 = time.time()
+        return (t1 - t0) * 1e3, (t2 - t1) * 1e3, (t3 - t2) * 1e3
+
+    # batched rerank variant: all 480 pairs in one forward
+    def pipeline_batched_rerank() -> tuple[float, float, float]:
+        t0 = time.time()
+        qv = embedder.encode(queries)
+        t1 = time.time()
+        scores, rows = index.search_device(
+            jnp.asarray(qv), jnp.asarray(qf), RETRIEVE_K
+        )
+        rows = np.asarray(rows)
+        t2 = time.time()
+        encs = []
+        for b in range(BATCH):
+            q_ids = tok.tokenize_ids(queries[b])
+            for r in rows[b]:
+                encs.append(
+                    tok.encode_pair_from_ids(
+                        q_ids,
+                        reranker._doc_token_ids(index.store.texts[int(r)]),
+                        reranker.max_len,
+                    )
+                )
+        from financial_rag_system_tpu.models.tokenizer import pad_batch
+
+        idsb, types, mask = pad_batch(encs)
+        logits = bert.cross_score(
+            reranker.params, jnp.asarray(idsb), jnp.asarray(types),
+            jnp.asarray(mask), reranker.cfg,
+        )
+        s = np.asarray(logits[: len(encs)]).reshape(BATCH, RETRIEVE_K)
+        np.argsort(-s, axis=1)
+        t3 = time.time()
+        return (t1 - t0) * 1e3, (t2 - t1) * 1e3, (t3 - t2) * 1e3
+
+    log("warmup/compile staged pipeline ...")
+    for _ in range(N_WARMUP):
+        pipeline_batched_rerank()
+
+    embed_ms, search_ms, rerank_ms, staged_ms = [], [], [], []
+    for _ in range(N_ITERS):
+        e, s, r = pipeline_batched_rerank()
+        embed_ms.append(e)
+        search_ms.append(s)
+        rerank_ms.append(r)
+        staged_ms.append(e + s + r)
+    log(
+        f"staged (3 syncs/batch): "
+        f"embed p50={np.percentile(embed_ms,50):.2f}ms "
+        f"search p50={np.percentile(search_ms,50):.2f}ms "
+        f"rerank p50={np.percentile(rerank_ms,50):.2f}ms | "
+        f"p50={np.percentile(staged_ms,50):.2f}ms/batch"
+    )
+
+    # --- fused single-program pipeline (device token store) ----------------
+    from financial_rag_system_tpu.models.tokenizer import SEP_ID
+    from financial_rag_system_tpu.ops.fused_query import make_fused_query
+
+    DLEN = 96
+    log("building device token store ...")
+    t0 = time.time()
+    dtok = np.zeros((CORPUS_N, DLEN), np.int32)
+    for i, text in enumerate(texts):
+        tids = tok.tokenize_ids(text)[: DLEN - 1] + [SEP_ID]
+        dtok[i, : len(tids)] = tids
+    doc_tokens = jnp.asarray(dtok)
+    log(f"token store ready in {time.time()-t0:.1f}s "
+        f"({doc_tokens.nbytes/2**20:.0f} MiB in HBM)")
+
+    fused = make_fused_query(
+        bert.BGE_SMALL, bert.MINILM_L6_CROSS,
+        k=RETRIEVE_K, tile=1024 if on_tpu else 128, use_pallas=on_tpu,
+    )
+    q_encs = [tok.encode(q, 32) for q in queries]
+    from financial_rag_system_tpu.models.tokenizer import pad_batch
+
+    qi, qt, qm = pad_batch(q_encs)
+    jqi, jqt, jqm = map(jnp.asarray, (qi, qt, qm))
+    jqf = jnp.asarray(qf)
+    nv = jnp.asarray(index.n_valid, jnp.int32)
+
+    def fused_call():
+        return fused(
+            embedder.params, reranker.params, jqi, jqt, jqm, jqf,
+            index._emb, index._codes, doc_tokens, nv,
+        )
+
+    log("warmup/compile fused pipeline ...")
+    rows, bi, ce = fused_call()
+    jax.block_until_ready((rows, bi, ce))
+
+    fused_ms = []
+    for _ in range(N_ITERS):
+        t0 = time.time()
+        out = fused_call()
+        jax.block_until_ready(out)
+        fused_ms.append((time.time() - t0) * 1e3)
+
+    # pipelined throughput: keep a few batches in flight
+    DEPTH = 4
+    reps = 40
+    inflight = [fused_call() for _ in range(DEPTH)]
+    t0 = time.time()
+    for _ in range(reps):
+        inflight.append(fused_call())
+        jax.block_until_ready(inflight.pop(0))
+    jax.block_until_ready(inflight)
+    pipelined_batch_ms = (time.time() - t0) / reps * 1e3
+
+    p50_batch = float(np.percentile(fused_ms, 50))
+    p95_batch = float(np.percentile(fused_ms, 95))
+    per_query = p50_batch / BATCH
+    qps = BATCH * 1000.0 / pipelined_batch_ms
+    log(
+        f"fused (1 sync/batch): p50={p50_batch:.2f}ms p95={p95_batch:.2f}ms"
+        f"/batch | {per_query:.3f} ms/query | "
+        f"pipelined depth-{DEPTH}: {pipelined_batch_ms:.2f}ms/batch "
+        f"=> {qps:.0f} QPS sustained"
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "two_stage_retrieval_p50_latency_per_query",
+                "value": round(per_query, 4),
+                "unit": "ms",
+                "vs_baseline": round(BASELINE_MS_PER_QUERY / per_query, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

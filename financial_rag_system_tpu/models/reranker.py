@@ -32,6 +32,8 @@ MAX_DEVICE_BATCH = 32
 class CrossEncoderReranker:
     """Full MiniLM cross-encoder scoring on device."""
 
+    _DOC_CACHE_MAX = 65536
+
     def __init__(
         self,
         params: dict,
@@ -44,14 +46,30 @@ class CrossEncoderReranker:
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.max_len = max_len
+        # corpus chunks recur across queries; memoize their token ids
+        self._doc_ids: dict[str, list[int]] = {}
+
+    def _doc_token_ids(self, text: str) -> list[int]:
+        ids = self._doc_ids.get(text)
+        if ids is None:
+            ids = self.tokenizer.tokenize_ids(text)
+            if len(self._doc_ids) < self._DOC_CACHE_MAX:
+                self._doc_ids[text] = ids
+        return ids
 
     def score(self, query: str, texts: Sequence[str]) -> np.ndarray:
         if not texts:
             return np.zeros((0,), np.float32)
+        q_ids = self.tokenizer.tokenize_ids(query)
         out: list[np.ndarray] = []
         for start in range(0, len(texts), MAX_DEVICE_BATCH):
             chunk = texts[start : start + MAX_DEVICE_BATCH]
-            encs = [self.tokenizer.encode_pair(query, t, self.max_len) for t in chunk]
+            encs = [
+                self.tokenizer.encode_pair_from_ids(
+                    q_ids, self._doc_token_ids(t), self.max_len
+                )
+                for t in chunk
+            ]
             ids, types, mask = pad_batch(encs)
             logits = bert.cross_score(
                 self.params, jnp.asarray(ids), jnp.asarray(types),

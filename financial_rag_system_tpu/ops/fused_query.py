@@ -1,0 +1,132 @@
+"""Fully fused two-stage query: embed -> top-k -> gather -> rerank, one program.
+
+The reference's pipeline crosses four boundaries per request (torch
+embed, Qdrant HTTP, torch rerank, host orchestration; reference
+main2.py:226-246).  Even after moving each stage onto the TPU, a
+stage-per-call design pays a host<->device synchronization per stage —
+the dominant cost when the chip sits behind a network tunnel and a real
+cost everywhere.  This op removes all of it:
+
+  q_ids --BGE encoder--> qv --fused masked top-k--> rows
+        --HBM gather of pretokenized chunk ids--> pair batch
+        --MiniLM cross-encoder--> logits
+
+compiled as ONE XLA program.  The corpus side contributes two
+HBM-resident arrays: embeddings (N, D) and token ids (N, DLEN) — the
+"device token store" — so candidate texts never travel to the host for
+rerank tokenization.
+
+Approximation note: pair inputs are laid out [CLS] q (padded to LQ)
+[SEP] doc [SEP] with the doc segment at a fixed offset; with trained
+weights this shifts doc position ids by (LQ - len(q)) versus compact
+packing.  Pad positions are attention-masked, so scores are otherwise
+exact.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from financial_rag_system_tpu.models import bert
+from financial_rag_system_tpu.ops.topk import masked_topk_pallas, masked_topk_xla
+
+SEP_ID = 102
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def fused_two_stage(
+    embed_params,
+    rerank_params,
+    q_ids: jax.Array,      # (B, LQ) int32, [CLS]...[SEP] + 0-padding
+    q_types: jax.Array,    # (B, LQ)
+    q_mask: jax.Array,     # (B, LQ)
+    query_filter: jax.Array,  # (B, 2) int32
+    corpus_emb: jax.Array,    # (N, D)
+    corpus_codes: jax.Array,  # (2, N)
+    doc_tokens: jax.Array,    # (N, DLEN) int32, tokenized [..., SEP], 0-pad
+    n_valid: jax.Array,       # scalar int32
+    *,
+    embed_cfg: bert.BertConfig,
+    rerank_cfg: bert.BertConfig,
+    k: int,
+    tile: int,
+    use_pallas: bool,
+):
+    """Returns (rows (B,k) int32, bi_scores (B,k) f32, ce_logits (B,k) f32)."""
+    b, lq = q_ids.shape
+    dlen = doc_tokens.shape[1]
+
+    # Stage 1: bi-encoder embedding (CLS pool + L2 norm)
+    h = bert.encode(embed_params, q_ids, q_types, q_mask, embed_cfg)
+    cls = h[:, 0, :]
+    qv = cls / jnp.linalg.norm(cls, axis=-1, keepdims=True).clip(1e-12)
+
+    # Stage 2: fused masked similarity + top-k over the HBM corpus
+    if use_pallas:
+        bi_scores, rows = masked_topk_pallas(
+            qv.astype(corpus_emb.dtype), corpus_emb, corpus_codes,
+            query_filter, n_valid, k, tile=tile,
+        )
+    else:
+        bi_scores, rows = masked_topk_xla(
+            qv, corpus_emb, corpus_codes, query_filter, n_valid, k
+        )
+
+    # Stage 3: gather candidate token ids straight from HBM
+    dtok = doc_tokens[rows]  # (B, k, DLEN)
+
+    # Stage 4: cross-encoder rerank of all B*k pairs in one forward
+    pair_ids = jnp.concatenate(
+        [jnp.broadcast_to(q_ids[:, None, :], (b, k, lq)), dtok], axis=2
+    ).reshape(b * k, lq + dlen)
+    pair_types = jnp.concatenate(
+        [jnp.zeros((b * k, lq), jnp.int32), jnp.ones((b * k, dlen), jnp.int32)],
+        axis=1,
+    )
+    pair_mask = (pair_ids != 0).astype(jnp.int32)
+    # pad the pair batch to a lane-friendly size
+    total = _round_up(b * k, 128)
+    if total != b * k:
+        pad = total - b * k
+        pair_ids = jnp.pad(pair_ids, ((0, pad), (0, 0)))
+        pair_types = jnp.pad(pair_types, ((0, pad), (0, 0)))
+        pair_mask = jnp.pad(pair_mask, ((0, pad), (0, 0)))
+
+    hh = bert.encode(rerank_params, pair_ids, pair_types, pair_mask, rerank_cfg)
+    pooled = jnp.tanh(
+        bert._matmul(hh[:, 0, :], rerank_params["pooler"]["w"],
+                     rerank_params["pooler"]["b"])
+    )
+    logits = bert._matmul(
+        pooled, rerank_params["classifier"]["w"], rerank_params["classifier"]["b"]
+    )[: b * k, 0].reshape(b, k)
+
+    # hide rerank logits for empty slots (bi score == -inf)
+    logits = jnp.where(jnp.isfinite(bi_scores), logits, -jnp.inf)
+    return rows, bi_scores, logits
+
+
+def make_fused_query(
+    embed_cfg: bert.BertConfig,
+    rerank_cfg: bert.BertConfig,
+    *,
+    k: int,
+    tile: int = 1024,
+    use_pallas: bool = True,
+):
+    """jit-compiled fused query fn with static model configs."""
+    fn = functools.partial(
+        fused_two_stage,
+        embed_cfg=embed_cfg,
+        rerank_cfg=rerank_cfg,
+        k=k,
+        tile=tile,
+        use_pallas=use_pallas,
+    )
+    return jax.jit(fn)
