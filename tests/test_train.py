@@ -1,0 +1,105 @@
+"""Contrastive trainer: loss decreases; mesh step matches single-device."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from financial_rag_system_tpu.models import bert
+from financial_rag_system_tpu.models.tokenizer import Tokenizer
+from financial_rag_system_tpu.parallel.mesh import create_mesh
+from financial_rag_system_tpu.train.contrastive import (
+    make_train_step,
+    tokenize_pairs,
+    train,
+)
+
+TINY = bert.BertConfig(
+    vocab_size=512, hidden=32, layers=2, heads=2, intermediate=64,
+    max_positions=64,
+)
+
+PAIRS = [
+    ("apple revenue quarter", "apple reported quarterly revenue of 90 billion"),
+    ("microsoft cloud growth", "microsoft azure cloud grew 24 percent"),
+    ("tesla vehicle deliveries", "tesla delivered 400 thousand vehicles"),
+    ("nvidia data center", "nvidia data center revenue tripled"),
+    ("google ad sales", "google advertising sales were strong"),
+    ("amazon retail margin", "amazon retail operating margin improved"),
+    ("meta user count", "meta daily active users increased"),
+    ("jpm interest income", "jpmorgan net interest income rose"),
+] * 2
+
+
+def _norm_ids(pairs):
+    # remap hash ids into the tiny vocab for a fast test model
+    tok = Tokenizer()
+    q_b, d_b = tokenize_pairs(tok, pairs, max_len=16)
+    q_b = (q_b[0] % 512, q_b[1], q_b[2])
+    d_b = (d_b[0] % 512, d_b[1], d_b[2])
+    return q_b, d_b
+
+
+def test_loss_decreases_single_device():
+    params = bert.init_params(jax.random.PRNGKey(0), TINY)
+    optimizer = optax.adamw(1e-3)
+    opt_state = optimizer.init(params)
+    step = make_train_step(None, TINY, optimizer)
+    q_b, d_b = _norm_ids(PAIRS)
+    q_b = tuple(jnp.asarray(a) for a in q_b)
+    d_b = tuple(jnp.asarray(a) for a in d_b)
+    losses = []
+    for _ in range(8):
+        params, opt_state, loss = step(params, opt_state, q_b, d_b)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+
+
+def test_mesh_step_matches_single_device():
+    mesh = create_mesh("data:8,corpus:1")
+    params = bert.init_params(jax.random.PRNGKey(0), TINY)
+    optimizer = optax.adamw(1e-3)
+
+    q_b, d_b = _norm_ids(PAIRS)  # batch 16, divisible by 8
+    q_j = tuple(jnp.asarray(a) for a in q_b)
+    d_j = tuple(jnp.asarray(a) for a in d_b)
+
+    s_single = make_train_step(None, TINY, optimizer)
+    s_mesh = make_train_step(mesh, TINY, optimizer)
+
+    p1, o1 = params, optimizer.init(params)
+    p2, o2 = params, optimizer.init(params)
+    for _ in range(3):
+        p1, o1, l1 = s_single(p1, o1, q_j, d_j)
+        p2, o2, l2 = s_mesh(p2, o2, q_j, d_j)
+        # cross-device in-batch negatives reconstruct the same global loss
+        np.testing.assert_allclose(float(l1), float(l2), rtol=2e-3, atol=2e-3)
+    # params track closely; bf16 reduction-order noise through AdamW means
+    # bitwise equality is not expected
+    flat1 = jax.tree.leaves(p1)
+    flat2 = jax.tree.leaves(p2)
+    for a, b in zip(flat1, flat2):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.max(np.abs(a - b)) < 5e-2
+        # direction agreement for leaves with real magnitude (near-zero
+        # bias vectors have meaningless cosine)
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        if na > 0.5 and nb > 0.5:
+            assert (a.ravel() @ b.ravel()) / (na * nb) > 0.995
+
+
+def test_train_helper_runs():
+    params = bert.init_params(jax.random.PRNGKey(0), TINY)
+    # hash ids exceed tiny vocab; use full-size ids with a full vocab model
+    cfg = bert.BertConfig(
+        vocab_size=30522, hidden=32, layers=1, heads=2, intermediate=64,
+        max_positions=64,
+    )
+    params = bert.init_params(jax.random.PRNGKey(0), cfg)
+    trained, losses = train(
+        params, cfg, PAIRS, epochs=2, batch_size=8, lr=1e-3
+    )
+    assert len(losses) == 4
+    assert losses[-1] < losses[0]
