@@ -46,6 +46,8 @@ class FlatIndex(SearchMixin):
         tile: int = DEFAULT_TILE,
         dtype: jnp.dtype = jnp.bfloat16,
         use_pallas: bool = True,
+        token_store_len: int | None = None,
+        tokenizer=None,
     ):
         self.dim = dim
         self.tile = tile
@@ -55,6 +57,15 @@ class FlatIndex(SearchMixin):
         self.store = DocumentStore()
         self._emb = jnp.zeros((self.capacity, dim), dtype=dtype)
         self._codes = jnp.full((2, self.capacity), PAD_CODE, dtype=jnp.int32)
+        # optional device token store: pretokenized chunk ids resident in
+        # HBM so the fused query program reranks without host round trips
+        self.token_store_len = token_store_len
+        self.tokenizer = tokenizer
+        self._doc_tok = (
+            jnp.zeros((self.capacity, token_store_len), jnp.int32)
+            if token_store_len
+            else None
+        )
 
     # ------------------------------------------------------------------
     @property
@@ -70,6 +81,9 @@ class FlatIndex(SearchMixin):
         codes = jnp.full((2, new_cap), PAD_CODE, dtype=jnp.int32)
         self._emb = jax.lax.dynamic_update_slice(emb, self._emb, (0, 0))
         self._codes = jax.lax.dynamic_update_slice(codes, self._codes, (0, 0))
+        if self._doc_tok is not None:
+            dtok = jnp.zeros((new_cap, self.token_store_len), jnp.int32)
+            self._doc_tok = jax.lax.dynamic_update_slice(dtok, self._doc_tok, (0, 0))
         self.capacity = new_cap
 
     def upsert(
@@ -100,22 +114,39 @@ class FlatIndex(SearchMixin):
         if len(self.store) > self.capacity:
             self._grow(len(self.store))
 
+        tok_rows = None
+        if self._doc_tok is not None:
+            from financial_rag_system_tpu.models.tokenizer import SEP_ID
+
+            dlen = self.token_store_len
+            tok_rows = np.zeros((len(texts), dlen), np.int32)
+            for i, text in enumerate(texts):
+                tids = self.tokenizer.tokenize_ids(text)[: dlen - 1] + [SEP_ID]
+                tok_rows[i, : len(tids)] = tids
+
         rows_a = np.asarray(rows, np.int64)
         # scatter rows on device; contiguous appends take the fast slice path
         if np.array_equal(rows_a, np.arange(rows_a[0], rows_a[0] + len(rows_a))):
+            start = int(rows_a[0])
             self._emb = jax.lax.dynamic_update_slice(
-                self._emb, jnp.asarray(vecs, self.dtype), (int(rows_a[0]), 0)
+                self._emb, jnp.asarray(vecs, self.dtype), (start, 0)
             )
             self._codes = jax.lax.dynamic_update_slice(
                 self._codes,
                 jnp.asarray(np.asarray(code_rows, np.int32).T),
-                (0, int(rows_a[0])),
+                (0, start),
             )
+            if tok_rows is not None:
+                self._doc_tok = jax.lax.dynamic_update_slice(
+                    self._doc_tok, jnp.asarray(tok_rows), (start, 0)
+                )
         else:
             self._emb = self._emb.at[rows_a].set(jnp.asarray(vecs, self.dtype))
             self._codes = self._codes.at[:, rows_a].set(
                 jnp.asarray(np.asarray(code_rows, np.int32).T)
             )
+            if tok_rows is not None:
+                self._doc_tok = self._doc_tok.at[rows_a].set(jnp.asarray(tok_rows))
         return new_count
 
     # ------------------------------------------------------------------
@@ -142,20 +173,33 @@ class FlatIndex(SearchMixin):
     # ------------------------------------------------------------------
     def save(self, directory: str) -> None:
         os.makedirs(directory, exist_ok=True)
-        np.savez_compressed(
-            os.path.join(directory, "flat_index.npz"),
-            emb=np.asarray(self._emb, np.float32),
-            codes=np.asarray(self._codes),
-            meta=np.asarray([self.dim, self.tile, self.capacity]),
-        )
+        arrays = {
+            "emb": np.asarray(self._emb, np.float32),
+            "codes": np.asarray(self._codes),
+            "meta": np.asarray(
+                [self.dim, self.tile, self.capacity, self.token_store_len or 0]
+            ),
+        }
+        if self._doc_tok is not None:
+            arrays["doc_tok"] = np.asarray(self._doc_tok)
+        np.savez_compressed(os.path.join(directory, "flat_index.npz"), **arrays)
         self.store.save(os.path.join(directory, "store.json"))
 
     @staticmethod
-    def load(directory: str, *, use_pallas: bool = True) -> "FlatIndex":
+    def load(
+        directory: str, *, use_pallas: bool = True, tokenizer=None
+    ) -> "FlatIndex":
         data = np.load(os.path.join(directory, "flat_index.npz"))
-        dim, tile, capacity = (int(x) for x in data["meta"])
-        idx = FlatIndex(dim, capacity=capacity, tile=tile, use_pallas=use_pallas)
+        meta = [int(x) for x in data["meta"]]
+        dim, tile, capacity = meta[:3]
+        dlen = meta[3] if len(meta) > 3 and meta[3] else None
+        idx = FlatIndex(
+            dim, capacity=capacity, tile=tile, use_pallas=use_pallas,
+            token_store_len=dlen, tokenizer=tokenizer,
+        )
         idx._emb = jnp.asarray(data["emb"], idx.dtype)
         idx._codes = jnp.asarray(data["codes"])
+        if dlen and "doc_tok" in data:
+            idx._doc_tok = jnp.asarray(data["doc_tok"])
         idx.store = DocumentStore.load(os.path.join(directory, "store.json"))
         return idx

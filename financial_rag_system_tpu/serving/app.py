@@ -164,20 +164,29 @@ def build_default_engine(mode: str = "batched") -> RAGEngine:
     from financial_rag_system_tpu.models.reranker import get_reranker
     from financial_rag_system_tpu.utils.config import get_config
 
+    from financial_rag_system_tpu.models.embedder import BiEncoder
+    from financial_rag_system_tpu.models.reranker import CrossEncoderReranker
+
     cfg = get_config()
+    embedder = get_embedder(cfg.embed_dim)
+    reranker = get_reranker(testing=cfg.testing)
+    # full model stack => keep a device token store so the fused
+    # single-program pipeline can rerank without host round trips
+    fused_capable = isinstance(embedder, BiEncoder) and isinstance(
+        reranker, CrossEncoderReranker
+    )
+    tok = embedder.tokenizer if fused_capable else None
+    dlen = cfg.token_store_len if fused_capable else None
     if os.path.exists(os.path.join(cfg.index_dir, "flat_index.npz")):
-        index = FlatIndex.load(cfg.index_dir, use_pallas=cfg.use_pallas)
+        index = FlatIndex.load(
+            cfg.index_dir, use_pallas=cfg.use_pallas, tokenizer=tok
+        )
     else:
         index = FlatIndex(
-            cfg.embed_dim, tile=cfg.corpus_tile, use_pallas=cfg.use_pallas
+            cfg.embed_dim, tile=cfg.corpus_tile, use_pallas=cfg.use_pallas,
+            token_store_len=dlen, tokenizer=tok,
         )
-    return RAGEngine(
-        cfg,
-        index,
-        get_embedder(cfg.embed_dim),
-        get_reranker(testing=cfg.testing),
-        mode=mode,
-    )
+    return RAGEngine(cfg, index, embedder, reranker, mode=mode)
 
 
 def main() -> None:  # pragma: no cover — manual entry point

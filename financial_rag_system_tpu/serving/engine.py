@@ -68,13 +68,42 @@ class RAGEngine:
         self.llm = llm or (MockLLMClient(cfg) if cfg.testing else LLMClient(cfg))
         self.llm_semaphore = asyncio.Semaphore(cfg.max_concurrent_llm)
         self.tracer = get_tracer()
+        self._fused_fn = self._maybe_build_fused()
+        batch_fn = (
+            self._fused_retrieve_batch if self._fused_fn else
+            self._embed_retrieve_batch
+        )
         self.batcher: DynamicBatcher | None = None
         if mode == "batched":
             self.batcher = DynamicBatcher(
-                self._embed_retrieve_batch,
+                batch_fn,
                 window_s=cfg.batch_window_s,
                 max_batch=cfg.max_batch_size,
             )
+
+    def _maybe_build_fused(self):
+        """One-program embed+search+rerank when the full model stack and a
+        device token store are present (ops/fused_query.py)."""
+        from financial_rag_system_tpu.index.flat import FlatIndex
+        from financial_rag_system_tpu.models.embedder import BiEncoder
+        from financial_rag_system_tpu.models.reranker import CrossEncoderReranker
+
+        if not (
+            isinstance(self.embedder, BiEncoder)
+            and isinstance(self.reranker, CrossEncoderReranker)
+            and isinstance(self.index, FlatIndex)
+            and self.index._doc_tok is not None
+        ):
+            return None
+        from financial_rag_system_tpu.ops.fused_query import make_fused_query
+
+        return make_fused_query(
+            self.embedder.cfg,
+            self.reranker.cfg,
+            k=self.cfg.retrieve_k,
+            tile=self.index.tile,
+            use_pallas=self.index.use_pallas,
+        )
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -98,6 +127,52 @@ class RAGEngine:
         vecs = self.embedder.encode(queries)
         hits = self.index.search_batch(vecs, filters, k=self.cfg.retrieve_k)
         return list(zip(vecs, hits))
+
+    def _fused_retrieve_batch(
+        self,
+        queries: list[str],
+        filters: list[tuple[str | None, str | None]],
+    ) -> list[tuple[None, list[dict[str, Any]]]]:
+        """Single-program batch: one device sync for embed+search+rerank.
+
+        Returned hits carry ``rerank_score`` already (cross-encoder logits
+        computed on device), so the per-request rerank stage reduces to a
+        sort + slice.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        from financial_rag_system_tpu.models.tokenizer import pad_batch
+
+        tok = self.embedder.tokenizer
+        encs = [tok.encode(q, 64) for q in queries]
+        ids, types, mask = pad_batch(encs)
+        b = len(queries)
+        bpad = ids.shape[0]
+        codes = [self.index.store.query_codes(t, d) for t, d in filters]
+        codes += [(-3, -3)] * (bpad - b)
+        rows, bi, ce = self._fused_fn(
+            self.embedder.params,
+            self.reranker.params,
+            jnp.asarray(ids), jnp.asarray(types), jnp.asarray(mask),
+            jnp.asarray(codes, jnp.int32),
+            self.index._emb, self.index._codes, self.index._doc_tok,
+            jnp.asarray(self.index.n_valid, jnp.int32),
+        )
+        rows, bi, ce = jax.device_get((rows, bi, ce))
+        out = []
+        for i in range(b):
+            hits = []
+            for r, s, c in zip(rows[i], bi[i], ce[i]):
+                if not np.isfinite(s):
+                    continue
+                payload = self.index.store.get(int(r))
+                payload["score"] = float(s)
+                payload["row"] = int(r)
+                payload["rerank_score"] = float(c)
+                hits.append(payload)
+            out.append((None, hits))
+        return out
 
     # -- public API -----------------------------------------------------------
 
@@ -149,11 +224,14 @@ class RAGEngine:
                             query, ticker, document_type
                         )
                     else:  # sequential baseline path
+                        batch_fn = (
+                            self._fused_retrieve_batch
+                            if self._fused_fn
+                            else self._embed_retrieve_batch
+                        )
                         _vec, hits = (
                             await asyncio.to_thread(
-                                self._embed_retrieve_batch,
-                                [query],
-                                [(ticker, document_type)],
+                                batch_fn, [query], [(ticker, document_type)]
                             )
                         )[0]
                     sp.outputs = [h["text"] for h in hits]
@@ -161,8 +239,14 @@ class RAGEngine:
                 self.tracer.log_metric("retrieved_docs", len(hits))
 
                 t0 = time.time()
-                with self.tracer.span("3_Reranking", kind="TOOL"):
-                    if hits:
+                with self.tracer.span("3_Reranking", kind="TOOL") as sp:
+                    if hits and "rerank_score" in hits[0]:
+                        # fused path scored the pairs on device already
+                        sp.attrs["fused"] = True
+                        scores = np.asarray([h["rerank_score"] for h in hits])
+                        order = np.argsort(scores)[::-1][:top_k]
+                        top = [hits[int(i)] for i in order]
+                    elif hits:
                         scores = await asyncio.to_thread(
                             self.reranker.score, query, [h["text"] for h in hits]
                         )

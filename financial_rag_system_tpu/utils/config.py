@@ -86,6 +86,7 @@ class Config:
     use_pallas: bool = True         # False => pure-XLA fallback paths
     corpus_tile: int = 1024         # corpus rows per Pallas grid step
     max_corpus: int = 1 << 20       # index capacity before growth
+    token_store_len: int = 192      # device token store width (fused rerank)
 
     # --- serving -----------------------------------------------------------
     host: str = "0.0.0.0"
