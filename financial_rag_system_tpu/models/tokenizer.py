@@ -97,6 +97,7 @@ class WordPieceVocab:
     """Real vocab loaded from an HF-format vocab.txt."""
 
     def __init__(self, path: str, max_chars_per_word: int = 100):
+        self.path = path
         self.to_id: dict[str, int] = {}
         with open(path, encoding="utf-8") as f:
             for i, line in enumerate(f):
@@ -146,6 +147,32 @@ class Tokenizer:
     def __init__(self, vocab: WordPieceVocab | HashVocab | None = None):
         self.vocab = vocab or HashVocab()
         self._word_cache: dict[str, list[int]] = {}
+        self._native = None
+        self._native_tried = False
+
+    def _get_native(self):
+        """Lazy-load the C++ tokenizer for this vocab (None if unavailable)."""
+        if not self._native_tried:
+            self._native_tried = True
+            try:
+                from financial_rag_system_tpu.native.loader import (
+                    load_native_tokenizer,
+                )
+
+                if isinstance(self.vocab, HashVocab):
+                    self._native = load_native_tokenizer(
+                        vocab_size=self.vocab.vocab_size,
+                        piece_len=self.vocab.piece_len,
+                    )
+                elif isinstance(self.vocab, WordPieceVocab) and os.path.exists(
+                    self.vocab.path
+                ):
+                    self._native = load_native_tokenizer(
+                        vocab_path=self.vocab.path
+                    )
+            except Exception:
+                self._native = None
+        return self._native
 
     @staticmethod
     def from_dir(model_dir: str | None) -> "Tokenizer":
@@ -157,6 +184,11 @@ class Tokenizer:
         return Tokenizer()
 
     def tokenize_ids(self, text: str) -> list[int]:
+        # C++ fast path for ASCII (exact parity, see native/tokenizer.cpp);
+        # the Python path handles accents/unicode
+        native = self._get_native()
+        if native is not None and text.isascii():
+            return native.tokenize_ids(text)
         ids: list[int] = []
         cache = self._word_cache
         for word in _basic_tokenize(text):

@@ -137,6 +137,11 @@ def create_app(engine: RAGEngine) -> web.Application:
         n = int(request.query.get("n", 20))
         return web.json_response(get_tracer().recent_traces(n))
 
+    async def ui(request: web.Request) -> web.Response:
+        from financial_rag_system_tpu.serving.ui import PAGE
+
+        return web.Response(text=PAGE, content_type="text/html")
+
     app.add_routes(
         [
             web.post("/ask", ask),
@@ -150,6 +155,7 @@ def create_app(engine: RAGEngine) -> web.Application:
             web.get("/queue_status", queue_status),
             web.get("/metrics", metrics),
             web.get("/traces", traces),
+            web.get("/", ui),
         ]
     )
     return app

@@ -230,3 +230,13 @@ def test_breaker_file_state(tmp_path):
     assert not b2.is_healthy  # shared file state across instances
     b1.reset()
     assert b2.is_healthy
+
+
+def test_ui_served(tmp_path):
+    async def t(client, engine):
+        r = await client.get("/")
+        assert r.status == 200
+        body = await r.text()
+        assert "Financial RAG" in body and "/ask" in body
+
+    with_client(tmp_path, t)
