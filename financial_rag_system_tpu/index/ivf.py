@@ -1,0 +1,366 @@
+"""IVF (inverted-file) index tier for million-chunk corpora.
+
+The reference's Qdrant server uses HNSW for sub-linear search; graph
+walks are branchy and hostile to SIMD hardware, so the TPU-native
+sub-linear tier is IVF re-designed around static shapes and DMA
+scheduling:
+
+- **Build**: spherical k-means on device (jitted Lloyd iterations:
+  assignment is one matmul+argmax on the MXU, update is a segment-sum).
+- **Layout**: cluster-major packing with *fixed capacity* per cluster
+  (C_max, a multiple of the kernel tile) so cluster membership maps to
+  tile indices statically.  Rows that overflow their cluster spill to a
+  brute-forced flat *tail* — no recall loss, bounded memory waste.
+- **Query**: one compiled program: score queries against centroids,
+  take each query's top-nprobe clusters, build the batch-union tile
+  list with ``jnp.unique(size=...)`` (static probe budget), then a
+  Pallas kernel with ``PrefetchScalarGridSpec`` whose index_map reads
+  the tile list — only probed tiles are ever DMA'd from HBM.  The
+  union-of-probes design means every query sees at least its own probed
+  clusters (extra tiles only improve recall).
+- Upserts after build append to the tail; ``rebuild()`` folds the tail
+  back in.  Search merges IVF hits with tail hits.
+
+Replaces: Qdrant HNSW build+query (reference ingest.py:171-175,
+main.py:215-239) at the 1M-chunk tier of BASELINE.json config 3.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from financial_rag_system_tpu.index.base import SearchMixin
+from financial_rag_system_tpu.index.store import PAD_CODE
+from financial_rag_system_tpu.ops.topk import NEG_INF, _BIG_I32, masked_topk_xla
+
+# ---------------------------------------------------------------------------
+# k-means build
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("k", "iters"))
+def spherical_kmeans(
+    vecs: jax.Array, k: int, *, iters: int = 10, seed: int = 0
+) -> tuple[jax.Array, jax.Array]:
+    """Cosine k-means. vecs (N, D) L2-normalized. Returns (centroids, assign)."""
+    n, d = vecs.shape
+    key = jax.random.PRNGKey(seed)
+    init_idx = jax.random.choice(key, n, (k,), replace=False)
+    cent = vecs[init_idx]
+
+    def step(cent, _):
+        scores = jnp.dot(vecs, cent.T, preferred_element_type=jnp.float32)
+        assign = jnp.argmax(scores, axis=1)  # (N,)
+        onehot = jax.nn.one_hot(assign, k, dtype=vecs.dtype)  # (N, k)
+        sums = jnp.dot(onehot.T, vecs, preferred_element_type=jnp.float32)
+        norms = jnp.linalg.norm(sums, axis=1, keepdims=True)
+        # keep the old centroid when a cluster went empty
+        new_cent = jnp.where(norms > 1e-6, sums / norms.clip(1e-6), cent)
+        return new_cent.astype(vecs.dtype), None
+
+    cent, _ = jax.lax.scan(step, cent, None, length=iters)
+    assign = jnp.argmax(
+        jnp.dot(vecs, cent.T, preferred_element_type=jnp.float32), axis=1
+    )
+    return cent, assign
+
+
+# ---------------------------------------------------------------------------
+# probed-tiles Pallas kernel
+# ---------------------------------------------------------------------------
+
+
+def _ivf_kernel(
+    tile_ids_ref,  # scalar prefetch (PROBE_BUDGET,) int32, -1 = inactive
+    q_ref,  # (B, D)
+    qf_ref,  # (B, 2)
+    c_ref,  # (T, D) — packed-corpus tile selected by index_map
+    codes_ref,  # (2, T)
+    gids_ref,  # (1, T) int32 original row ids, -1 = padding
+    out_s_ref,  # (B, K)
+    out_i_ref,  # (B, K)
+    *,
+    k: int,
+    tile: int,
+):
+    step = pl.program_id(0)
+    b = q_ref.shape[0]
+
+    @pl.when(step == 0)
+    def _init():
+        out_s_ref[:] = jnp.full_like(out_s_ref, NEG_INF)
+        out_i_ref[:] = jnp.full_like(out_i_ref, -1)
+
+    @pl.when(tile_ids_ref[step] >= 0)
+    def _process():
+        s = jnp.dot(q_ref[:], c_ref[:].T, preferred_element_type=jnp.float32)
+        tick_q = qf_ref[:, 0:1]
+        dt_q = qf_ref[:, 1:2]
+        tick_c = codes_ref[0:1, :]
+        dt_c = codes_ref[1:2, :]
+        match = ((tick_q == -1) | (tick_q == tick_c)) & (
+            (dt_q == -1) | (dt_q == dt_c)
+        )
+        gids = jnp.broadcast_to(gids_ref[0:1, :], (b, tile))
+        match = match & (gids >= 0)
+        s = jnp.where(match, s, NEG_INF)
+
+        tile_max = jnp.max(s, axis=1)
+        kth_best = out_s_ref[:, k - 1]
+
+        @pl.when(jnp.any(tile_max > kth_best))
+        def _merge():
+            cat_s = jnp.concatenate([out_s_ref[:], s], axis=1)
+            cat_i = jnp.concatenate([out_i_ref[:], gids], axis=1)
+            width = k + tile
+            pos = jax.lax.broadcasted_iota(jnp.int32, (b, width), 1)
+            for j in range(k):
+                m = jnp.max(cat_s, axis=1, keepdims=True)
+                first = jnp.min(
+                    jnp.where(cat_s == m, pos, _BIG_I32), axis=1, keepdims=True
+                )
+                sel = pos == first
+                out_s_ref[:, j : j + 1] = m
+                out_i_ref[:, j : j + 1] = jnp.sum(
+                    jnp.where(sel, cat_i, 0), axis=1, keepdims=True
+                )
+                cat_s = jnp.where(sel, NEG_INF, cat_s)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "tile", "probe_budget", "interpret")
+)
+def ivf_probe_pallas(
+    queries: jax.Array,  # (B, D)
+    query_filter: jax.Array,  # (B, 2)
+    packed_emb: jax.Array,  # (K_cl*C_max, D)
+    packed_codes: jax.Array,  # (2, K_cl*C_max)
+    packed_gids: jax.Array,  # (1, K_cl*C_max)
+    tile_ids: jax.Array,  # (probe_budget,) int32, -1 padded
+    k: int,
+    *,
+    tile: int,
+    probe_budget: int,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    b, d = queries.shape
+
+    def tile_map(i, tile_ids):
+        t = jnp.maximum(tile_ids[i], 0)
+        return (t, 0)
+
+    def codes_map(i, tile_ids):
+        t = jnp.maximum(tile_ids[i], 0)
+        return (0, t)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(probe_budget,),
+        in_specs=[
+            pl.BlockSpec((b, d), lambda i, tid: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 2), lambda i, tid: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, d), tile_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, tile), codes_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), codes_map, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((b, k), lambda i, tid: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, k), lambda i, tid: (0, 0), memory_space=pltpu.VMEM),
+        ],
+    )
+    kernel = functools.partial(_ivf_kernel, k=k, tile=tile)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, k), jnp.float32),
+            jax.ShapeDtypeStruct((b, k), jnp.int32),
+        ],
+        interpret=interpret,
+    )(tile_ids, queries, query_filter, packed_emb, packed_codes, packed_gids)
+
+
+def ivf_probe_xla(
+    queries, query_filter, packed_emb, packed_codes, packed_gids, tile_ids, k,
+    *, tile,
+):
+    """Gather-then-score fallback with identical semantics."""
+    t = jnp.maximum(tile_ids, 0)  # (P,)
+    offs = t[:, None] * tile + jnp.arange(tile)[None, :]  # (P, tile)
+    active = (tile_ids >= 0)[:, None]
+    pos = jnp.where(active, offs, 0).reshape(-1)  # (P*tile,)
+    emb = packed_emb[pos]  # (P*tile, D)
+    codes = packed_codes[:, pos]
+    gids = jnp.where(
+        active.reshape(-1, 1).repeat(tile, axis=1).reshape(-1),
+        packed_gids[0, pos],
+        -1,
+    )
+    scores = jnp.dot(
+        queries.astype(emb.dtype), emb.T, preferred_element_type=jnp.float32
+    )
+    tick_q, dt_q = query_filter[:, 0:1], query_filter[:, 1:2]
+    match = ((tick_q == -1) | (tick_q == codes[0:1, :])) & (
+        (dt_q == -1) | (dt_q == codes[1:2, :])
+    )
+    match = match & (gids[None, :] >= 0)
+    scores = jnp.where(match, scores, NEG_INF)
+    top_s, top_pos = jax.lax.top_k(scores, k)
+    top_i = jnp.where(top_s > NEG_INF, gids[top_pos], -1)
+    return top_s, top_i.astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# index
+# ---------------------------------------------------------------------------
+
+
+class IVFIndex(SearchMixin):
+    """Sub-linear tier built from (and sharing the store of) a FlatIndex."""
+
+    def __init__(
+        self,
+        flat,
+        *,
+        n_clusters: int | None = None,
+        c_max: int | None = None,
+        nprobe: int = 8,
+        tile: int = 128,
+        kmeans_iters: int = 10,
+    ):
+        self.flat = flat
+        self.store = flat.store
+        self.dtype = flat.dtype
+        self.tile = tile
+        self.nprobe = nprobe
+        n = flat.n_valid
+        assert n > 0, "build the flat index first"
+        self.n_clusters = n_clusters or max(4, int(np.sqrt(n / 4)))
+        avg = max(1, n // self.n_clusters)
+        want = c_max or 2 * avg
+        self.c_max = ((want + tile - 1) // tile) * tile
+        self.tiles_per_cluster = self.c_max // tile
+        self.kmeans_iters = kmeans_iters
+        self._tail_rows: list[int] = []
+        self._build()
+
+    # -- build ----------------------------------------------------------
+
+    def _build(self) -> None:
+        flat = self.flat
+        n = flat.n_valid
+        vecs = jnp.asarray(flat._emb[:n], jnp.float32)
+        cent, assign = spherical_kmeans(
+            vecs, self.n_clusters, iters=self.kmeans_iters
+        )
+        self.centroids = cent.astype(self.dtype)
+        assign = np.asarray(assign)
+        codes_np = np.asarray(flat._codes[:, :n])
+
+        packed_n = self.n_clusters * self.c_max
+        emb_np = np.zeros((packed_n, vecs.shape[1]), np.float32)
+        pcodes = np.full((2, packed_n), PAD_CODE, np.int32)
+        pgids = np.full((1, packed_n), -1, np.int32)
+        vecs_np = np.asarray(vecs)
+        tail: list[int] = []
+        fill = np.zeros(self.n_clusters, np.int64)
+        for row in range(n):
+            c = int(assign[row])
+            if fill[c] >= self.c_max:
+                tail.append(row)  # overflow spills to the brute-forced tail
+                continue
+            pos = c * self.c_max + fill[c]
+            emb_np[pos] = vecs_np[row]
+            pcodes[:, pos] = codes_np[:, row]
+            pgids[0, pos] = row
+            fill[c] += 1
+        self._tail_rows = tail
+        self.packed_emb = jnp.asarray(emb_np, self.dtype)
+        self.packed_codes = jnp.asarray(pcodes)
+        self.packed_gids = jnp.asarray(pgids)
+        self.num_tiles = packed_n // self.tile
+
+    def rebuild(self) -> None:
+        """Fold tail/new rows back into the clustered layout."""
+        self._build()
+
+    @property
+    def n_valid(self) -> int:
+        return self.flat.n_valid
+
+    @property
+    def probe_budget(self) -> int:
+        # batch-union worst case, clamped at the whole packed corpus
+        return self.num_tiles
+
+    # -- query ------------------------------------------------------------
+
+    def _tile_list(self, queries: jax.Array, budget: int) -> jax.Array:
+        """Batch-union probed tile ids, -1 padded to ``budget``."""
+        scores = jnp.dot(
+            queries.astype(jnp.float32),
+            self.centroids.T.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        _, clusters = jax.lax.top_k(scores, self.nprobe)  # (B, nprobe)
+        tpc = self.tiles_per_cluster
+        tiles = (
+            clusters[..., None] * tpc + jnp.arange(tpc)[None, None, :]
+        ).reshape(-1)
+        return jnp.unique(tiles, size=budget, fill_value=-1).astype(jnp.int32)
+
+    def search_device(
+        self, query_vecs: jax.Array, query_filter: jax.Array, k: int
+    ) -> tuple[jax.Array, jax.Array]:
+        b = query_vecs.shape[0]
+        budget = min(
+            self.num_tiles, b * self.nprobe * self.tiles_per_cluster
+        )
+        q = query_vecs.astype(self.dtype)
+        tile_ids = self._tile_list(q, budget)
+        on_tpu = jax.devices()[0].platform == "tpu"
+        if self.flat.use_pallas and on_tpu:
+            s, i = ivf_probe_pallas(
+                q, query_filter, self.packed_emb, self.packed_codes,
+                self.packed_gids, tile_ids, k,
+                tile=self.tile, probe_budget=budget,
+            )
+        else:
+            s, i = ivf_probe_xla(
+                q, query_filter, self.packed_emb, self.packed_codes,
+                self.packed_gids, tile_ids, k, tile=self.tile,
+            )
+        if self._tail_rows:
+            s_t, i_t = self._search_tail(q, query_filter, k)
+            s = jnp.concatenate([s, s_t], axis=1)
+            i = jnp.concatenate([i, i_t], axis=1)
+            top_s, pos = jax.lax.top_k(s, k)
+            i = jnp.take_along_axis(i, pos, axis=1)
+            return top_s, i
+        return s, i
+
+    def _search_tail(self, q, qf, k):
+        rows = np.asarray(self._tail_rows)
+        emb = self.flat._emb[jnp.asarray(rows)]
+        codes = self.flat._codes[:, jnp.asarray(rows)]
+        s, local = masked_topk_xla(q, emb, codes, qf, len(rows), min(k, len(rows)))
+        gids = jnp.where(
+            s > NEG_INF, jnp.asarray(rows, jnp.int32)[local], -1
+        )
+        return s, gids
+
+    # -- upserts go to the flat tail until rebuild -------------------------
+
+    def upsert(self, ids, vectors, texts, payloads) -> int:
+        start = self.flat.n_valid
+        added = self.flat.upsert(ids, vectors, texts, payloads)
+        self._tail_rows.extend(range(start, self.flat.n_valid))
+        return added

@@ -43,6 +43,7 @@ class DynamicBatcher:
         *,
         window_s: float = 0.05,
         max_batch: int = 32,
+        max_inflight: int = 8,
     ):
         self.batch_fn = batch_fn
         self.window_s = window_s
@@ -50,6 +51,10 @@ class DynamicBatcher:
         self.queue: asyncio.Queue[_Item] = asyncio.Queue()
         self._task: asyncio.Task | None = None
         self._closed = False
+        # successive batches overlap: the device pipelines their programs
+        # and their host fetches overlap across worker threads
+        self._inflight = asyncio.Semaphore(max_inflight)
+        self._pending: set[asyncio.Task] = set()
 
     # -- lifecycle -------------------------------------------------------
 
@@ -66,6 +71,10 @@ class DynamicBatcher:
             except asyncio.CancelledError:
                 pass
             self._task = None
+        for t in list(self._pending):
+            t.cancel()
+        if self._pending:
+            await asyncio.gather(*self._pending, return_exceptions=True)
 
     @property
     def queue_size(self) -> int:
@@ -87,7 +96,6 @@ class DynamicBatcher:
     # -- batcher loop --------------------------------------------------------
 
     async def _run(self) -> None:
-        tracer = get_tracer()
         while not self._closed:
             first = await self.queue.get()
             await asyncio.sleep(self.window_s)  # batching window (main2.py:286)
@@ -97,22 +105,31 @@ class DynamicBatcher:
                     batch.append(self.queue.get_nowait())
                 except asyncio.QueueEmpty:
                     break
-            queries = [it.query for it in batch]
-            filters = [(it.ticker, it.document_type) for it in batch]
-            t0 = time.time()
-            try:
-                with tracer.span(
-                    "Batch_Embedding", kind="TOOL",
-                    inputs={"batch_size": len(batch)},
-                ):
-                    results = await asyncio.to_thread(self.batch_fn, queries, filters)
-            except Exception as exc:  # resolve everyone with the failure
-                for it in batch:
-                    if not it.future.done():
-                        it.future.set_exception(exc)
-                continue
-            tracer.log_metric("batch_size", len(batch))
-            tracer.log_metric("batch_compute_ms", (time.time() - t0) * 1000)
-            for it, res in zip(batch, results):
+            await self._inflight.acquire()
+            task = asyncio.get_running_loop().create_task(self._process(batch))
+            self._pending.add(task)
+            task.add_done_callback(self._pending.discard)
+
+    async def _process(self, batch: list[_Item]) -> None:
+        tracer = get_tracer()
+        queries = [it.query for it in batch]
+        filters = [(it.ticker, it.document_type) for it in batch]
+        t0 = time.time()
+        try:
+            with tracer.span(
+                "Batch_Embedding", kind="TOOL",
+                inputs={"batch_size": len(batch)},
+            ):
+                results = await asyncio.to_thread(self.batch_fn, queries, filters)
+        except Exception as exc:  # resolve everyone with the failure
+            for it in batch:
                 if not it.future.done():
-                    it.future.set_result(res)
+                    it.future.set_exception(exc)
+            return
+        finally:
+            self._inflight.release()
+        tracer.log_metric("batch_size", len(batch))
+        tracer.log_metric("batch_compute_ms", (time.time() - t0) * 1000)
+        for it, res in zip(batch, results):
+            if not it.future.done():
+                it.future.set_result(res)

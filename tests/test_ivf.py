@@ -1,0 +1,126 @@
+"""IVF tier: k-means, packing invariants, recall vs flat, tail merge."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from financial_rag_system_tpu.index.flat import FlatIndex
+from financial_rag_system_tpu.index.ivf import (
+    IVFIndex,
+    ivf_probe_pallas,
+    ivf_probe_xla,
+    spherical_kmeans,
+)
+
+
+def _clustered_corpus(rng, n=2000, d=64, n_centers=16):
+    centers = rng.standard_normal((n_centers, d)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    idx = rng.integers(0, n_centers, n)
+    v = centers[idx] + 0.15 * rng.standard_normal((n, d)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    return v
+
+
+def _flat(rng, vecs):
+    n, d = vecs.shape
+    idx = FlatIndex(dim=d, capacity=n, tile=128, use_pallas=False)
+    idx.upsert(
+        [f"p{i}" for i in range(n)],
+        vecs,
+        [f"text {i}" for i in range(n)],
+        [
+            {"ticker": ["AAPL", "MSFT"][i % 2], "document_type": "10-K"}
+            for i in range(n)
+        ],
+    )
+    return idx
+
+
+def test_kmeans_clusters(rng):
+    vecs = _clustered_corpus(rng, n=800, d=32, n_centers=8)
+    cent, assign = spherical_kmeans(jnp.asarray(vecs), 8, iters=15)
+    cent, assign = np.asarray(cent), np.asarray(assign)
+    np.testing.assert_allclose(np.linalg.norm(cent, axis=1), 1.0, rtol=1e-3)
+    # points should align with their assigned centroid far better than
+    # with a random one (noise norm here is ~0.57 of signal)
+    own = np.sum(vecs * cent[assign], axis=1)
+    rand = np.sum(vecs * cent[(assign + 3) % 8], axis=1)
+    assert own.mean() > 0.7
+    assert own.mean() > rand.mean() + 0.3
+
+
+def test_ivf_recall_vs_flat(rng):
+    vecs = _clustered_corpus(rng)
+    flat = _flat(rng, vecs)
+    ivf = IVFIndex(flat, n_clusters=16, nprobe=6, tile=128)
+    assert not ivf._tail_rows or len(ivf._tail_rows) < 100
+
+    q = vecs[:16] + 0.05 * rng.standard_normal((16, vecs.shape[1])).astype(
+        np.float32
+    )
+    k = 10
+    recalls = []
+    for ticker in ["AAPL", None]:
+        h_flat = flat.search(q, ticker=ticker, k=k)
+        h_ivf = ivf.search(q, ticker=ticker, k=k)
+        for hf, hi in zip(h_flat, h_ivf):
+            truth = {x["row"] for x in hf}
+            got = {x["row"] for x in hi}
+            recalls.append(len(truth & got) / max(1, len(truth)))
+    assert np.mean(recalls) > 0.9, np.mean(recalls)
+    # top-1 should essentially always survive probing
+    top1 = [
+        hf[0]["row"] == hi[0]["row"]
+        for hf, hi in zip(flat.search(q, k=k), ivf.search(q, k=k))
+    ]
+    assert np.mean(top1) >= 0.9
+
+
+def test_ivf_pallas_interpret_matches_xla(rng):
+    vecs = _clustered_corpus(rng, n=512, d=128, n_centers=4)
+    flat = _flat(rng, vecs)
+    ivf = IVFIndex(flat, n_clusters=4, nprobe=2, tile=128)
+    q = jnp.asarray(vecs[:8])
+    qf = jnp.asarray([[-1, -1]] * 8, jnp.int32)
+    budget = ivf.num_tiles
+    tile_ids = ivf._tile_list(q.astype(ivf.dtype), budget)
+    args = (
+        q.astype(ivf.dtype), qf, ivf.packed_emb, ivf.packed_codes,
+        ivf.packed_gids, tile_ids, 5,
+    )
+    s_x, i_x = ivf_probe_xla(*args, tile=128)
+    s_p, i_p = ivf_probe_pallas(
+        *args, tile=128, probe_budget=budget, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_p), np.asarray(s_x), rtol=2e-2, atol=2e-2
+    )
+    gap_ok = np.all(np.diff(np.asarray(s_x), axis=1) < -5e-3, axis=1)
+    np.testing.assert_array_equal(
+        np.asarray(i_p)[gap_ok], np.asarray(i_x)[gap_ok]
+    )
+
+
+def test_ivf_tail_upsert_and_rebuild(rng):
+    vecs = _clustered_corpus(rng, n=500, d=32, n_centers=4)
+    flat = _flat(rng, vecs)
+    ivf = IVFIndex(flat, n_clusters=4, nprobe=4, tile=128)
+    tail0 = len(ivf._tail_rows)
+
+    new = rng.standard_normal((3, 32)).astype(np.float32)
+    new /= np.linalg.norm(new, axis=1, keepdims=True)
+    ivf.upsert(
+        ["n0", "n1", "n2"], new, ["t0", "t1", "t2"],
+        [{"ticker": "NVDA", "document_type": "10-K"}] * 3,
+    )
+    assert len(ivf._tail_rows) == tail0 + 3
+    hits = ivf.search(new[0], ticker="NVDA", k=3)[0]
+    assert hits and hits[0]["text"] == "t0"  # tail rows are searchable
+
+    ivf.rebuild()
+    assert len(ivf._tail_rows) < tail0 + 3 or not ivf._tail_rows
+    hits = ivf.search(new[0], ticker="NVDA", k=3)[0]
+    assert hits and hits[0]["text"] == "t0"
