@@ -112,6 +112,48 @@ def fused_two_stage(
     return rows, bi_scores, logits
 
 
+def fused_hash_query(
+    table: jax.Array,       # (V, D) hash embedding table
+    q_ids: jax.Array,       # (B, L) int32
+    q_mask: jax.Array,      # (B, L)
+    query_filter: jax.Array,  # (B, 2)
+    corpus_emb: jax.Array,
+    corpus_codes: jax.Array,
+    n_valid: jax.Array,
+    *,
+    k: int,
+    tile: int,
+    use_pallas: bool,
+):
+    """Single-program embed+search for the hermetic hash-model stack.
+
+    The hash reranker IS the hash embedder (same table/seed), so its pair
+    score equals the bi-encoder cosine — rerank ordering is the retrieval
+    ordering and needs no second forward.  Returns (qv, scores, rows).
+    """
+    m = q_mask[:, :, None].astype(jnp.float32)
+    vecs = table[q_ids] * m
+    mean = jnp.sum(vecs, axis=1) / jnp.sum(m, axis=1).clip(1.0)
+    qv = mean / jnp.linalg.norm(mean, axis=-1, keepdims=True).clip(1e-12)
+    if use_pallas:
+        scores, rows = masked_topk_pallas(
+            qv.astype(corpus_emb.dtype), corpus_emb, corpus_codes,
+            query_filter, n_valid, k, tile=tile,
+        )
+    else:
+        from financial_rag_system_tpu.ops.topk import masked_topk_xla as _xla
+
+        scores, rows = _xla(qv, corpus_emb, corpus_codes, query_filter, n_valid, k)
+    return qv, scores, rows
+
+
+def make_fused_hash_query(*, k: int, tile: int = 1024, use_pallas: bool = True):
+    fn = functools.partial(
+        fused_hash_query, k=k, tile=tile, use_pallas=use_pallas
+    )
+    return jax.jit(fn)
+
+
 def make_fused_query(
     embed_cfg: bert.BertConfig,
     rerank_cfg: bert.BertConfig,

@@ -68,6 +68,7 @@ class RAGEngine:
         self.llm = llm or (MockLLMClient(cfg) if cfg.testing else LLMClient(cfg))
         self.llm_semaphore = asyncio.Semaphore(cfg.max_concurrent_llm)
         self.tracer = get_tracer()
+        self._fused_kind: str | None = None
         self._fused_fn = self._maybe_build_fused()
         batch_fn = (
             self._fused_retrieve_batch if self._fused_fn else
@@ -82,28 +83,51 @@ class RAGEngine:
             )
 
     def _maybe_build_fused(self):
-        """One-program embed+search+rerank when the full model stack and a
-        device token store are present (ops/fused_query.py)."""
-        from financial_rag_system_tpu.index.flat import FlatIndex
-        from financial_rag_system_tpu.models.embedder import BiEncoder
-        from financial_rag_system_tpu.models.reranker import CrossEncoderReranker
+        """One-program batch pipelines (ops/fused_query.py):
 
-        if not (
+        - full model stack + device token store => embed+search+rerank
+          fused ("full" kind);
+        - hermetic hash stack => embed+search fused, rerank scores equal
+          the bi-encoder cosines by construction ("hash" kind).
+        """
+        from financial_rag_system_tpu.index.flat import FlatIndex
+        from financial_rag_system_tpu.models.embedder import BiEncoder, HashEmbedder
+        from financial_rag_system_tpu.models.reranker import (
+            CrossEncoderReranker,
+            HashReranker,
+        )
+
+        if not isinstance(self.index, FlatIndex):
+            return None
+        if (
             isinstance(self.embedder, BiEncoder)
             and isinstance(self.reranker, CrossEncoderReranker)
-            and isinstance(self.index, FlatIndex)
             and self.index._doc_tok is not None
         ):
-            return None
-        from financial_rag_system_tpu.ops.fused_query import make_fused_query
+            from financial_rag_system_tpu.ops.fused_query import make_fused_query
 
-        return make_fused_query(
-            self.embedder.cfg,
-            self.reranker.cfg,
-            k=self.cfg.retrieve_k,
-            tile=self.index.tile,
-            use_pallas=self.index.use_pallas,
-        )
+            self._fused_kind = "full"
+            return make_fused_query(
+                self.embedder.cfg,
+                self.reranker.cfg,
+                k=self.cfg.retrieve_k,
+                tile=self.index.tile,
+                use_pallas=self.index.use_pallas,
+            )
+        if isinstance(self.embedder, HashEmbedder) and isinstance(
+            self.reranker, HashReranker
+        ):
+            from financial_rag_system_tpu.ops.fused_query import (
+                make_fused_hash_query,
+            )
+
+            self._fused_kind = "hash"
+            return make_fused_hash_query(
+                k=self.cfg.retrieve_k,
+                tile=self.index.tile,
+                use_pallas=self.index.use_pallas,
+            )
+        return None
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -151,14 +175,24 @@ class RAGEngine:
         bpad = ids.shape[0]
         codes = [self.index.store.query_codes(t, d) for t, d in filters]
         codes += [(-3, -3)] * (bpad - b)
-        rows, bi, ce = self._fused_fn(
-            self.embedder.params,
-            self.reranker.params,
-            jnp.asarray(ids), jnp.asarray(types), jnp.asarray(mask),
-            jnp.asarray(codes, jnp.int32),
-            self.index._emb, self.index._codes, self.index._doc_tok,
-            jnp.asarray(self.index.n_valid, jnp.int32),
-        )
+        qf = jnp.asarray(codes, jnp.int32)
+        nv = jnp.asarray(self.index.n_valid, jnp.int32)
+        if self._fused_kind == "full":
+            rows, bi, ce = self._fused_fn(
+                self.embedder.params,
+                self.reranker.params,
+                jnp.asarray(ids), jnp.asarray(types), jnp.asarray(mask), qf,
+                self.index._emb, self.index._codes, self.index._doc_tok, nv,
+            )
+            vecs = [None] * b
+        else:  # hash: rerank score == bi-encoder cosine by construction
+            qv, bi, rows = self._fused_fn(
+                self.embedder._table,
+                jnp.asarray(ids), jnp.asarray(mask), qf,
+                self.index._emb, self.index._codes, nv,
+            )
+            ce = bi
+            vecs = list(np.asarray(qv)[:b])
         rows, bi, ce = jax.device_get((rows, bi, ce))
         out = []
         for i in range(b):
@@ -171,7 +205,7 @@ class RAGEngine:
                 payload["row"] = int(r)
                 payload["rerank_score"] = float(c)
                 hits.append(payload)
-            out.append((None, hits))
+            out.append((vecs[i], hits))
         return out
 
     # -- public API -----------------------------------------------------------

@@ -148,12 +148,38 @@ def train(
     lr: float = 2e-5,
     temperature: float = 0.05,
     seed: int = 0,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 100,
 ) -> tuple[dict, list[float]]:
-    """Simple epoch loop. Returns (trained params, per-step losses)."""
+    """Simple epoch loop with optional orbax checkpoint/resume.
+
+    Returns (trained params, per-step losses).  With ``checkpoint_dir``,
+    training resumes from the latest saved step and saves every
+    ``checkpoint_every`` steps plus once at the end.
+    """
     tok = tokenizer or Tokenizer()
     optimizer = optax.adamw(lr)
     opt_state = optimizer.init(params)
+    step_count = 0
+    if checkpoint_dir:
+        from financial_rag_system_tpu.train.checkpoint import restore_state
+
+        restored = restore_state(
+            checkpoint_dir, target={"params": params, "opt_state": opt_state}
+        )
+        if restored is not None:
+            step_count, state = restored
+            params, opt_state = state["params"], state["opt_state"]
     step_fn = make_train_step(mesh, cfg, optimizer, temperature=temperature)
+
+    def maybe_save(force: bool = False) -> None:
+        if checkpoint_dir and (force or step_count % checkpoint_every == 0):
+            from financial_rag_system_tpu.train.checkpoint import save_state
+
+            save_state(
+                checkpoint_dir, step_count,
+                {"params": params, "opt_state": opt_state},
+            )
 
     n_dev = mesh.shape[AXIS_DATA] if mesh is not None else 1
     bs = max(batch_size, n_dev) // n_dev * n_dev  # divisible micro-batching
@@ -173,4 +199,7 @@ def train(
                 d_batch = tuple(jnp.asarray(a) for a in d_batch)
             params, opt_state, loss = step_fn(params, opt_state, q_batch, d_batch)
             losses.append(float(loss))
+            step_count += 1
+            maybe_save()
+    maybe_save(force=True)
     return params, losses

@@ -136,3 +136,35 @@ def test_fused_ask_end_to_end(tmp_path, stack):
             await eng.shutdown()
 
     asyncio.run(t())
+
+
+def test_hash_fused_matches_staged(tmp_path):
+    from financial_rag_system_tpu.models.embedder import HashEmbedder
+    from financial_rag_system_tpu.models.reranker import HashReranker
+
+    emb = HashEmbedder(dim=64)
+    index = FlatIndex(64, capacity=128, tile=128, use_pallas=False)
+    texts = [d for d, _ in DOCS]
+    index.upsert(
+        [f"d{i}" for i in range(len(DOCS))], emb.encode(texts), texts,
+        [
+            {"ticker": t, "document_type": "10-Q", "source_file": f"f{i}"}
+            for i, (_, t) in enumerate(DOCS)
+        ],
+    )
+    cfg = Config(testing=True, database_url=":memory:", embed_dim=64,
+                 breaker_state_path=str(tmp_path / "cb.json"))
+    eng = RAGEngine(cfg, index, emb, HashReranker(), mode="sequential")
+    assert eng._fused_kind == "hash"
+
+    queries = ["apple services margin", "microsoft cloud growth"]
+    filters = [("AAPL", None), ("MSFT", None)]
+    fused = eng._fused_retrieve_batch(queries, filters)
+    staged = eng._embed_retrieve_batch(queries, filters)
+    for (f_vec, f_hits), (s_vec, s_hits) in zip(fused, staged):
+        assert [h["row"] for h in f_hits] == [h["row"] for h in s_hits]
+        np.testing.assert_allclose(
+            [h["score"] for h in f_hits], [h["score"] for h in s_hits],
+            rtol=2e-3, atol=2e-3,
+        )
+        np.testing.assert_allclose(f_vec, s_vec, rtol=1e-4, atol=1e-4)

@@ -103,3 +103,26 @@ def test_train_helper_runs():
     )
     assert len(losses) == 4
     assert losses[-1] < losses[0]
+
+
+def test_checkpoint_resume(tmp_path):
+    from financial_rag_system_tpu.train.checkpoint import latest_step
+
+    cfg = bert.BertConfig(
+        vocab_size=30522, hidden=32, layers=1, heads=2, intermediate=64,
+        max_positions=64,
+    )
+    params = bert.init_params(jax.random.PRNGKey(0), cfg)
+    ck = str(tmp_path / "ckpt")
+    p1, losses1 = train(
+        params, cfg, PAIRS, epochs=1, batch_size=8, lr=1e-3,
+        checkpoint_dir=ck, checkpoint_every=1,
+    )
+    assert latest_step(ck) == len(losses1)
+    # resume: picks up the latest step's params (loss continues dropping)
+    p2, losses2 = train(
+        params, cfg, PAIRS, epochs=1, batch_size=8, lr=1e-3,
+        checkpoint_dir=ck, checkpoint_every=1000,
+    )
+    assert losses2[0] < losses1[0] + 0.1  # resumed from trained state
+    assert latest_step(ck) >= len(losses1)
