@@ -243,7 +243,8 @@ class IVFIndex(SearchMixin):
         self.nprobe = nprobe
         n = flat.n_valid
         assert n > 0, "build the flat index first"
-        self.n_clusters = n_clusters or max(4, int(np.sqrt(n / 4)))
+        self.n_clusters = min(n, n_clusters or max(4, int(np.sqrt(n / 4))))
+        self.nprobe = min(nprobe, self.n_clusters)
         avg = max(1, n // self.n_clusters)
         want = c_max or 2 * avg
         self.c_max = ((want + tile - 1) // tile) * tile

@@ -184,3 +184,44 @@ class ShardedFlatIndex(SearchMixin):
         )
 
     # search()/search_batch() come from SearchMixin.
+
+    # ------------------------------------------------------------------
+    def save(self, directory: str) -> None:
+        """Checkpoint is mesh-shape independent: arrays land as plain
+        host npz and re-place onto whatever mesh loads them."""
+        import os
+
+        os.makedirs(directory, exist_ok=True)
+        np.savez_compressed(
+            os.path.join(directory, "sharded_index.npz"),
+            emb=np.asarray(self._emb, np.float32),
+            codes=np.asarray(self._codes),
+            meta=np.asarray([self.dim, self.tile, self.capacity]),
+        )
+        self.store.save(os.path.join(directory, "store.json"))
+
+    @staticmethod
+    def load(
+        directory: str,
+        mesh: Mesh,
+        *,
+        use_pallas: bool = False,
+    ) -> "ShardedFlatIndex":
+        import os
+
+        data = np.load(os.path.join(directory, "sharded_index.npz"))
+        dim, tile, capacity = (int(x) for x in data["meta"])
+        idx = ShardedFlatIndex(
+            mesh, dim, capacity=capacity, tile=tile, use_pallas=use_pallas
+        )
+        if idx.capacity != capacity:  # mesh shape changed; re-pad per shard
+            emb = np.zeros((idx.capacity, dim), np.float32)
+            codes = np.full((2, idx.capacity), PAD_CODE, np.int32)
+            emb[:capacity] = data["emb"]
+            codes[:, :capacity] = data["codes"]
+        else:
+            emb, codes = data["emb"], data["codes"]
+        idx._emb = jax.device_put(jnp.asarray(emb, idx.dtype), idx._emb_sharding)
+        idx._codes = jax.device_put(jnp.asarray(codes), idx._codes_sharding)
+        idx.store = DocumentStore.load(os.path.join(directory, "store.json"))
+        return idx

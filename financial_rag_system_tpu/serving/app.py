@@ -118,8 +118,12 @@ def create_app(engine: RAGEngine) -> web.Application:
 
     async def index_save(request: web.Request) -> web.Response:
         directory = engine.cfg.index_dir
-        await asyncio.to_thread(engine.index.save, directory)
+        target = getattr(engine.index, "flat", engine.index)  # IVF wraps flat
+        await asyncio.to_thread(target.save, directory)
         return web.json_response({"saved_to": directory})
+
+    async def index_rebuild(request: web.Request) -> web.Response:
+        return web.json_response(await asyncio.to_thread(engine.rebuild_index))
 
     async def health(request: web.Request) -> web.Response:
         return web.json_response({"status": "ok"})
@@ -150,6 +154,7 @@ def create_app(engine: RAGEngine) -> web.Application:
             web.delete("/cache/clear/{ticker}", clear_cache),
             web.post("/index/upsert", index_upsert),
             web.post("/index/save", index_save),
+            web.post("/index/rebuild", index_rebuild),
             web.get("/health", health),
             web.get("/ready", ready),
             web.get("/queue_status", queue_status),

@@ -70,17 +70,19 @@ class RAGEngine:
         self.tracer = get_tracer()
         self._fused_kind: str | None = None
         self._fused_fn = self._maybe_build_fused()
-        batch_fn = (
-            self._fused_retrieve_batch if self._fused_fn else
-            self._embed_retrieve_batch
-        )
         self.batcher: DynamicBatcher | None = None
         if mode == "batched":
             self.batcher = DynamicBatcher(
-                batch_fn,
+                self._dispatch_batch,
                 window_s=cfg.batch_window_s,
                 max_batch=cfg.max_batch_size,
             )
+
+    def _dispatch_batch(self, queries, filters):
+        """Late-bound batch fn so index/fusion swaps take effect live."""
+        if self._fused_fn is not None:
+            return self._fused_retrieve_batch(queries, filters)
+        return self._embed_retrieve_batch(queries, filters)
 
     def _maybe_build_fused(self):
         """One-program batch pipelines (ops/fused_query.py):
@@ -258,14 +260,11 @@ class RAGEngine:
                             query, ticker, document_type
                         )
                     else:  # sequential baseline path
-                        batch_fn = (
-                            self._fused_retrieve_batch
-                            if self._fused_fn
-                            else self._embed_retrieve_batch
-                        )
                         _vec, hits = (
                             await asyncio.to_thread(
-                                batch_fn, [query], [(ticker, document_type)]
+                                self._dispatch_batch,
+                                [query],
+                                [(ticker, document_type)],
                             )
                         )[0]
                     sp.outputs = [h["text"] for h in hits]
@@ -354,6 +353,26 @@ class RAGEngine:
 
         with self.tracer.span("Index_Upsert", kind="TOOL", inputs={"n": len(ids)}):
             return await asyncio.to_thread(work)
+
+    def rebuild_index(self) -> dict[str, Any]:
+        """Promote the flat index to the IVF tier (or re-cluster an IVF
+        index after tail growth).  Fusion re-evaluates afterwards."""
+        from financial_rag_system_tpu.index.flat import FlatIndex
+        from financial_rag_system_tpu.index.ivf import IVFIndex
+
+        if isinstance(self.index, IVFIndex):
+            self.index.rebuild()
+        elif isinstance(self.index, FlatIndex) and self.index.n_valid > 0:
+            self.index = IVFIndex(self.index, tile=min(self.index.tile, 128))
+        else:
+            return {"status": "noop", "reason": "index empty"}
+        self._fused_fn = self._maybe_build_fused()
+        return {
+            "status": "ok",
+            "tier": type(self.index).__name__,
+            "clusters": getattr(self.index, "n_clusters", None),
+            "tail_rows": len(getattr(self.index, "_tail_rows", [])),
+        }
 
     # -- ops surface -----------------------------------------------------------
 

@@ -240,3 +240,51 @@ def test_ui_served(tmp_path):
         assert "Financial RAG" in body and "/ask" in body
 
     with_client(tmp_path, t)
+
+
+def test_index_rebuild_promotes_to_ivf(tmp_path):
+    async def t(client, engine):
+        # enough rows that clustering is meaningful at tiny scale
+        import numpy as np
+        from financial_rag_system_tpu.models.embedder import HashEmbedder
+
+        emb = HashEmbedder(dim=384)
+        texts = [f"note {i} about filing item {i%7}" for i in range(40)]
+        engine.index.upsert(
+            [f"x{i}" for i in range(40)], emb.encode(texts), texts,
+            [{"ticker": "AAPL", "document_type": "10-K"}] * 40,
+        )
+        r = await (await client.post("/index/rebuild")).json()
+        assert r["status"] == "ok"
+        assert r["tier"] == "IVFIndex"
+        # serving still answers through the IVF tier
+        body = {"query": "note about filing item", "ticker": "AAPL"}
+        ans = await (await client.post("/ask", json=body)).json()
+        assert ans["sources"]
+        # a second rebuild re-clusters (tail folds in)
+        r2 = await (await client.post("/index/rebuild")).json()
+        assert r2["status"] == "ok" and r2["tail_rows"] == 0
+
+    with_client(tmp_path, t)
+
+
+def test_sharded_index_persistence(tmp_path, rng):
+    import numpy as np
+    from financial_rag_system_tpu.index.sharded import ShardedFlatIndex
+    from financial_rag_system_tpu.parallel.mesh import create_mesh
+
+    mesh = create_mesh()
+    d = 32
+    v = rng.standard_normal((50, d)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    idx = ShardedFlatIndex(mesh, dim=d, capacity=1024, tile=128)
+    idx.upsert(
+        [f"p{i}" for i in range(50)], v, [f"t{i}" for i in range(50)],
+        [{"ticker": "AAPL", "document_type": "10-K"}] * 50,
+    )
+    idx.save(str(tmp_path / "ix"))
+    idx2 = ShardedFlatIndex.load(str(tmp_path / "ix"), mesh)
+    assert idx2.n_valid == 50
+    h1 = idx.search(v[7], ticker="AAPL", k=3)[0]
+    h2 = idx2.search(v[7], ticker="AAPL", k=3)[0]
+    assert [x["row"] for x in h1] == [x["row"] for x in h2]
