@@ -172,3 +172,67 @@ def make_fused_query(
         use_pallas=use_pallas,
     )
     return jax.jit(fn)
+
+
+def make_sharded_fused_query(
+    mesh,
+    embed_cfg: bert.BertConfig,
+    rerank_cfg: bert.BertConfig,
+    *,
+    k: int,
+    tile: int = 1024,
+    use_pallas: bool = False,
+):
+    """The fused two-stage pipeline over a corpus-sharded mesh.
+
+    Each device runs the FULL fused program (embed -> local masked top-k
+    -> local HBM token gather -> cross-encoder) on its corpus shard —
+    rerank compute per device equals the single-chip case and the
+    candidate token ids never cross devices.  Partial (rows, bi, ce)
+    triplets all-gather over ICI and every device selects the same
+    global bi-score top-k (exactly the reference's retrieve-15 set;
+    cross-shard candidates outside it are discarded even if their
+    cross-encoder score is higher, preserving two-stage semantics).
+
+    Inputs: queries replicated; corpus emb (N,D) / doc_tokens (N,L)
+    sharded on rows; codes (2,N) sharded on columns.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from financial_rag_system_tpu.parallel.mesh import AXIS_CORPUS
+
+    def local_fn(
+        embed_params, rerank_params, q_ids, q_types, q_mask, qf,
+        emb_shard, codes_shard, dtok_shard, n_valid,
+    ):
+        shard_rows = emb_shard.shape[0]
+        sid = jax.lax.axis_index(AXIS_CORPUS)
+        base = sid * shard_rows
+        local_valid = jnp.clip(n_valid - base, 0, shard_rows)
+        rows_l, bi_l, ce_l = fused_two_stage(
+            embed_params, rerank_params, q_ids, q_types, q_mask, qf,
+            emb_shard, codes_shard, dtok_shard, local_valid,
+            embed_cfg=embed_cfg, rerank_cfg=rerank_cfg,
+            k=k, tile=tile, use_pallas=use_pallas,
+        )
+        rows_g = rows_l + base
+        all_rows = jax.lax.all_gather(rows_g, AXIS_CORPUS, axis=1, tiled=True)
+        all_bi = jax.lax.all_gather(bi_l, AXIS_CORPUS, axis=1, tiled=True)
+        all_ce = jax.lax.all_gather(ce_l, AXIS_CORPUS, axis=1, tiled=True)
+        top_bi, pos = jax.lax.top_k(all_bi, k)
+        rows = jnp.take_along_axis(all_rows, pos, axis=1)
+        ce = jnp.take_along_axis(all_ce, pos, axis=1)
+        return rows, top_bi, ce
+
+    fn = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(
+            P(), P(), P(), P(), P(), P(),
+            P(AXIS_CORPUS, None), P(None, AXIS_CORPUS),
+            P(AXIS_CORPUS, None), P(),
+        ),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
