@@ -49,10 +49,15 @@ class FlatIndex(SearchMixin):
         token_store_len: int | None = None,
         tokenizer=None,
     ):
+        from financial_rag_system_tpu.ops.topk import pallas_available
+
         self.dim = dim
         self.tile = tile
         self.dtype = dtype
-        self.use_pallas = use_pallas
+        # normalize at construction so every consumer (flat search, the
+        # engine's fused single-program path) sees a flag that is safe to
+        # dispatch on — Pallas cannot lower compiled kernels on CPU
+        self.use_pallas = use_pallas and pallas_available()
         self.capacity = _round_up(max(capacity, tile), tile)
         self.store = DocumentStore()
         self._emb = jnp.zeros((self.capacity, dim), dtype=dtype)

@@ -84,11 +84,10 @@ def _hash_table(
     key = jax.random.PRNGKey(seed)
     table = jax.random.normal(key, (vocab_size, dim), jnp.float32)
     if stopword_ids:
-        import numpy as _np
-
-        t = _np.array(table)
-        t[_np.asarray(stopword_ids)] *= _STOPWORD_SCALE
-        table = jnp.asarray(t)
+        # scale in-place on device: a host round-trip here costs ~2 min
+        # of server startup when the chip sits behind a network tunnel
+        ids = jnp.asarray(stopword_ids, jnp.int32)
+        table = table.at[ids].multiply(_STOPWORD_SCALE)
     return table
 
 

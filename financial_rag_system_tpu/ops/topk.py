@@ -143,6 +143,17 @@ def _topk_kernel(
             cat_s = jnp.where(sel, NEG_INF, cat_s)
 
 
+def pallas_available() -> bool:
+    """True when the default backend can run compiled Pallas kernels.
+
+    Pallas-call lowering on the CPU backend supports interpret mode only,
+    so every ``use_pallas`` flag must be ANDed with this at construction
+    time — otherwise a CPU run (tests, multi-host CPU dry-runs) traces a
+    kernel it cannot lower.
+    """
+    return jax.devices()[0].platform == "tpu"
+
+
 @functools.partial(
     jax.jit, static_argnames=("k", "tile", "interpret")
 )

@@ -201,10 +201,23 @@ def build_default_engine(mode: str = "batched") -> RAGEngine:
 
 
 def main() -> None:  # pragma: no cover — manual entry point
+    from financial_rag_system_tpu.parallel.distributed import (
+        initialize_distributed,
+        is_coordinator,
+    )
     from financial_rag_system_tpu.utils.config import get_config
 
+    multi = initialize_distributed()
     cfg = get_config()
     engine = build_default_engine()
+    if multi and not is_coordinator():
+        # non-coordinator hosts participate in sharded device programs
+        # only; park this process without binding the HTTP port
+        import time
+
+        print("worker process: serving handled by the coordinator")
+        while True:
+            time.sleep(60)
     web.run_app(create_app(engine), host=cfg.host, port=cfg.port)
 
 

@@ -125,6 +125,25 @@ def get_config() -> Config:
     return Config.from_env()
 
 
+def resolve_host(service: str, default: str = "localhost") -> str:
+    """Docker-service DNS probe with localhost fallback.
+
+    Mirrors the reference's discovery helper (main2.py:24-39): inside a
+    compose network the service name resolves; outside it falls back.
+    """
+    import socket
+
+    try:
+        socket.gethostbyname(service)
+        return service
+    except socket.gaierror:
+        return default
+
+
+def get_service_url(service: str, port: int, default_host: str = "localhost") -> str:
+    return f"http://{resolve_host(service, default_host)}:{port}"
+
+
 def reset_config() -> None:
     """Re-read env on next get_config() — used by tests."""
     get_config.cache_clear()
