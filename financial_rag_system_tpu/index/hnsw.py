@@ -1,0 +1,361 @@
+"""HNSW index tier: native host-side build, batched device-side walk.
+
+The reference's sub-linear search lives in Qdrant's server-side HNSW
+(reached via query_points, reference main.py:215-239).  A literal HNSW
+walk is branchy, pointer-chasing code — hostile to a systolic/SIMD
+machine — so this tier splits the algorithm at the hardware boundary:
+
+- **Build** (host, native/hnsw.cpp): classic hierarchical insertion with
+  efConstruction beam + heuristic neighbor selection.  The graph is then
+  *flattened for the device*: a fixed-degree level-0 adjacency matrix
+  (N, 2M) in HBM and a short list of upper-level entry nodes.  A pure
+  NumPy exact-kNN fallback covers environments without g++.
+
+- **Query** (device, this file): batched best-first beam search with a
+  fixed step count — compiler-friendly control flow (`lax.scan`), static
+  shapes throughout.  Each step expands the best ``frontier`` unexpanded
+  beam nodes *per query*, gathers their neighbors' vectors from HBM, and
+  merges with `top_k`.  Visited state is a dense (B, N+1) bool — a
+  scatter/gather, not a hash table.  All B queries of a dynamic batch
+  walk the graph in one XLA program; there is no host round-trip inside
+  the walk.
+
+- **Filters** (ticker/document_type, reference main.py:222-231) are
+  *result-side*: traversal ranks by raw similarity so graph connectivity
+  is unaffected, while a separate result accumulator masks non-matching
+  candidates — the same semantics as Qdrant's filtered search at
+  moderate selectivity.
+
+Upserts after build land in a brute-forced tail (merged at query time),
+and ``rebuild()`` folds them into a fresh graph — mirroring the IVF
+tier's contract (index/ivf.py).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Any
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from financial_rag_system_tpu.index.base import SearchMixin
+from financial_rag_system_tpu.index.store import PAD_CODE
+from financial_rag_system_tpu.ops.topk import NEG_INF, masked_topk_xla
+
+
+# ---------------------------------------------------------------------------
+# fallback host build (exact kNN graph) — used when native code is off
+# ---------------------------------------------------------------------------
+
+
+def build_knn_graph(
+    vecs: np.ndarray, *, m: int = 16, entries_cap: int = 64, seed: int = 0
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact 2M-NN graph + random entry sample.
+
+    O(N^2) — fine for the corpus sizes that run without the native
+    builder (tests, small demos).  Adjacency shape matches the native
+    export: (N, 2M) int32, -1 padded.
+    """
+    n = vecs.shape[0]
+    w = min(2 * m, max(1, n - 1))
+    sims = vecs @ vecs.T
+    np.fill_diagonal(sims, -np.inf)
+    nbrs = np.argpartition(-sims, kth=w - 1, axis=1)[:, :w]
+    row_s = np.take_along_axis(sims, nbrs, axis=1)
+    order = np.argsort(-row_s, axis=1)
+    adj = np.take_along_axis(nbrs, order, axis=1).astype(np.int32)
+    if w < 2 * m:
+        adj = np.pad(adj, ((0, 0), (0, 2 * m - w)), constant_values=-1)
+    rng = np.random.default_rng(seed)
+    ent = rng.choice(n, size=min(entries_cap, n), replace=False)
+    return adj, ent.astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# device walk
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "ef", "steps", "frontier")
+)
+def hnsw_walk(
+    queries: jax.Array,       # (B, D) float32
+    query_filter: jax.Array,  # (B, 2) int32
+    emb_pad: jax.Array,       # (N+1, D) — row N is a zero pad row
+    codes_pad: jax.Array,     # (2, N+1) — col N is PAD_CODE
+    adj_pad: jax.Array,       # (N+1, M0) int32 — pad neighbor == N
+    entries: jax.Array,       # (E,) int32
+    k: int,
+    *,
+    ef: int,
+    steps: int,
+    frontier: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Batched fixed-step beam search. Returns (scores, rows) (B, k)."""
+    b, d = queries.shape
+    npad = emb_pad.shape[0]
+    n = npad - 1
+    e = entries.shape[0]
+    m0 = adj_pad.shape[1]
+    q = queries.astype(jnp.float32)
+
+    def score(ids):  # (B, C) -> (B, C) raw similarity, pad = -inf
+        vecs = emb_pad[ids]  # (B, C, D)
+        s = jnp.einsum(
+            "bcd,bd->bc", vecs.astype(jnp.float32), q,
+            preferred_element_type=jnp.float32,
+        )
+        return jnp.where(ids == n, NEG_INF, s)
+
+    def filtered(ids, s):  # mask by per-query metadata filter
+        tick_q, dt_q = query_filter[:, 0:1], query_filter[:, 1:2]
+        tick_c = codes_pad[0][ids]  # (B, C)
+        dt_c = codes_pad[1][ids]
+        ok = ((tick_q == -1) | (tick_q == tick_c)) & (
+            (dt_q == -1) | (dt_q == dt_c)
+        )
+        return jnp.where(ok, s, NEG_INF)
+
+    # --- init: beam/results seeded from the entry nodes -------------------
+    assert ef >= e, f"ef={ef} must cover the {e} entry nodes"
+    ent = jnp.broadcast_to(entries[None, :], (b, e))
+    pad_ids = jnp.full((b, ef - e), n, jnp.int32)
+    beam_ids = jnp.concatenate([ent, pad_ids], axis=1)  # (B, EF)
+    beam_s = score(beam_ids)
+    expanded = beam_ids == n  # pad slots never expand
+
+    visited = jnp.zeros((b, npad), jnp.bool_).at[:, n].set(True)
+    visited = visited.at[jnp.arange(b)[:, None], ent].set(True)
+
+    res_s = jnp.full((b, k), NEG_INF)
+    res_i = jnp.full((b, k), -1, jnp.int32)
+    ent_f = filtered(beam_ids, beam_s)
+    cat_s = jnp.concatenate([res_s, ent_f], axis=1)
+    cat_i = jnp.concatenate(
+        [res_i, jnp.where(ent_f > NEG_INF, beam_ids, -1)], axis=1
+    )
+    res_s, pos = jax.lax.top_k(cat_s, k)
+    res_i = jnp.take_along_axis(cat_i, pos, axis=1)
+
+    bidx = jnp.arange(b)[:, None]
+
+    def step(carry, _):
+        beam_ids, beam_s, expanded, visited, res_s, res_i = carry
+
+        # pick the best `frontier` unexpanded beam nodes per query
+        sel = jnp.where(expanded, NEG_INF, beam_s)
+        top_s, slot = jax.lax.top_k(sel, frontier)  # (B, F)
+        src = jnp.take_along_axis(beam_ids, slot, axis=1)
+        src = jnp.where(top_s > NEG_INF, src, n)
+        hit = slot[:, :, None] == jnp.arange(ef)[None, None, :]  # (B, F, EF)
+        expanded = expanded | jnp.any(hit, axis=1)
+
+        # expand: neighbor gather, visited dedup, score
+        cand = adj_pad[src].reshape(b, frontier * m0)
+        seen = jnp.take_along_axis(visited, cand, axis=1)
+        cand = jnp.where(seen, n, cand)
+        # within-step dedup (two frontier nodes sharing a neighbor):
+        # scatter-min each slot's position, keep only the first occurrence
+        c = cand.shape[1]
+        posi = jnp.broadcast_to(jnp.arange(c)[None, :], (b, c))
+        first = jnp.full((b, npad), c, jnp.int32).at[bidx, cand].min(posi)
+        keep = jnp.take_along_axis(first, cand, axis=1) == posi
+        cand = jnp.where(keep, cand, n)
+        visited = visited.at[bidx, cand].set(True)
+        cs = score(cand)
+
+        # result accumulation under the metadata filter
+        fs = filtered(cand, cs)
+        r_cat_s = jnp.concatenate([res_s, fs], axis=1)
+        r_cat_i = jnp.concatenate(
+            [res_i, jnp.where(fs > NEG_INF, cand, -1)], axis=1
+        )
+        res_s, pos = jax.lax.top_k(r_cat_s, k)
+        res_i = jnp.take_along_axis(r_cat_i, pos, axis=1)
+
+        # beam merge on raw similarity
+        b_cat_s = jnp.concatenate([beam_s, cs], axis=1)
+        b_cat_i = jnp.concatenate([beam_ids, cand], axis=1)
+        b_cat_e = jnp.concatenate(
+            [expanded, cand == n], axis=1
+        )  # fresh candidates are unexpanded; pads stay expanded
+        beam_s, pos = jax.lax.top_k(b_cat_s, ef)
+        beam_ids = jnp.take_along_axis(b_cat_i, pos, axis=1)
+        expanded = jnp.take_along_axis(b_cat_e, pos, axis=1)
+
+        return (beam_ids, beam_s, expanded, visited, res_s, res_i), None
+
+    carry = (beam_ids, beam_s, expanded, visited, res_s, res_i)
+    (beam_ids, beam_s, expanded, visited, res_s, res_i), _ = jax.lax.scan(
+        step, carry, None, length=steps
+    )
+    return res_s, res_i
+
+
+# ---------------------------------------------------------------------------
+# index tier
+# ---------------------------------------------------------------------------
+
+
+class HNSWIndex(SearchMixin):
+    """Graph tier built from (and sharing the store of) a FlatIndex."""
+
+    def __init__(
+        self,
+        flat,
+        *,
+        m: int = 16,
+        ef_construction: int = 100,
+        ef: int = 64,
+        frontier: int = 4,
+        steps: int | None = None,
+        entries_cap: int = 32,
+        seed: int = 0,
+        graph: tuple[np.ndarray, np.ndarray] | None = None,
+    ):
+        self.flat = flat
+        self.store = flat.store
+        self.m = m
+        self.ef_construction = ef_construction
+        self.ef = ef
+        self.frontier = frontier
+        self.steps = steps if steps is not None else max(4, ef // frontier)
+        self.entries_cap = entries_cap
+        self.seed = seed
+        self._tail_rows: list[int] = []
+        assert flat.n_valid > 0, "build the flat index first"
+        self._build(graph)
+
+    # -- build ----------------------------------------------------------
+
+    def _build(self, graph=None) -> None:
+        flat = self.flat
+        if graph is None:
+            n = flat.n_valid
+            vecs = np.asarray(flat._emb[:n], np.float32)
+            from financial_rag_system_tpu.native.hnsw_loader import (
+                build_hnsw_graph,
+            )
+
+            graph = build_hnsw_graph(
+                vecs, m=self.m, ef_construction=self.ef_construction,
+                seed=self.seed, entries_cap=self.entries_cap,
+            )
+            self.native_built = graph is not None
+            if graph is None:
+                graph = build_knn_graph(
+                    vecs, m=self.m, entries_cap=self.entries_cap,
+                    seed=self.seed,
+                )
+        else:
+            # loaded graph: it covers the first adj.shape[0] rows; any
+            # rows upserted after the save become the brute-forced tail
+            self.native_built = None
+            n = graph[0].shape[0]
+            vecs = np.asarray(flat._emb[:n], np.float32)
+        adj, entries = graph
+        self.n_graph = n
+        # device layout: one pad row (index n) absorbs -1 adjacency slots
+        self.emb_pad = jnp.asarray(
+            np.concatenate([vecs, np.zeros((1, vecs.shape[1]), np.float32)]),
+            flat.dtype,  # bf16 in production — halves the HBM copy
+        )
+        codes = np.asarray(flat._codes[:, :n])
+        self.codes_pad = jnp.asarray(
+            np.concatenate(
+                [codes, np.full((2, 1), PAD_CODE, np.int32)], axis=1
+            )
+        )
+        adj_pad = np.where(adj < 0, n, adj).astype(np.int32)
+        self.adj_pad = jnp.asarray(
+            np.concatenate(
+                [adj_pad, np.full((1, adj_pad.shape[1]), n, np.int32)]
+            )
+        )
+        self.entries = jnp.asarray(entries, jnp.int32)
+        self._host_graph = (np.asarray(adj, np.int32), np.asarray(entries))
+        self.ef = max(self.ef, int(entries.shape[0]))
+
+    def rebuild(self) -> None:
+        """Fold tail/new rows into a fresh graph."""
+        self._tail_rows = []
+        self._build()
+
+    @property
+    def n_valid(self) -> int:
+        return self.flat.n_valid
+
+    # -- query ----------------------------------------------------------
+
+    def search_device(
+        self, query_vecs: jax.Array, query_filter: jax.Array, k: int
+    ) -> tuple[jax.Array, jax.Array]:
+        s, i = hnsw_walk(
+            query_vecs.astype(jnp.float32),
+            query_filter,
+            self.emb_pad,
+            self.codes_pad,
+            self.adj_pad,
+            self.entries,
+            k,
+            ef=self.ef,
+            steps=self.steps,
+            frontier=self.frontier,
+        )
+        if self._tail_rows:
+            s_t, i_t = self._search_tail(query_vecs, query_filter, k)
+            s = jnp.concatenate([s, s_t], axis=1)
+            i = jnp.concatenate([i, i_t], axis=1)
+            s, pos = jax.lax.top_k(s, k)
+            i = jnp.take_along_axis(i, pos, axis=1)
+        return s, i
+
+    def _search_tail(self, q, qf, k):
+        rows = np.asarray(self._tail_rows)
+        emb = self.flat._emb[jnp.asarray(rows)]
+        codes = self.flat._codes[:, jnp.asarray(rows)]
+        s, local = masked_topk_xla(
+            q.astype(self.flat.dtype), emb, codes, qf, len(rows),
+            min(k, len(rows)),
+        )
+        gids = jnp.where(s > NEG_INF, jnp.asarray(rows, jnp.int32)[local], -1)
+        return s, gids
+
+    # -- upserts go to the flat tail until rebuild -----------------------
+
+    def upsert(self, ids, vectors, texts, payloads) -> int:
+        start = self.flat.n_valid
+        added = self.flat.upsert(ids, vectors, texts, payloads)
+        self._tail_rows.extend(range(start, self.flat.n_valid))
+        return added
+
+    # -- persistence -----------------------------------------------------
+
+    GRAPH_FILE = "hnsw_graph.npz"
+
+    def save(self, directory: str) -> None:
+        self.flat.save(directory)
+        adj, entries = self._host_graph
+        np.savez(
+            os.path.join(directory, self.GRAPH_FILE),
+            adj=adj, entries=entries, m=self.m, n_graph=self.n_graph,
+            tail_rows=np.asarray(self._tail_rows, np.int64),
+        )
+
+    @classmethod
+    def load(cls, directory: str, flat, **kwargs) -> "HNSWIndex":
+        data = np.load(os.path.join(directory, cls.GRAPH_FILE))
+        idx = cls(
+            flat, m=int(data["m"]),
+            graph=(data["adj"], data["entries"]), **kwargs,
+        )
+        # every row past the graph build point is tail, including rows
+        # upserted into the flat index after this graph was saved
+        idx._tail_rows = list(range(idx.n_graph, flat.n_valid))
+        return idx

@@ -26,15 +26,16 @@ _lib: ctypes.CDLL | None = None
 _build_failed = False
 
 
-def _build() -> bool:
-    fd, tmp = tempfile.mkstemp(suffix=".so", dir=_SRC_DIR)
+def build_shared_library(src: str, lib: str) -> bool:
+    """g++ -O3 src -> lib with an atomic rename; False on any failure."""
+    fd, tmp = tempfile.mkstemp(suffix=".so", dir=os.path.dirname(lib))
     os.close(fd)
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-o", tmp, _SRC],
+            ["g++", "-O3", "-shared", "-fPIC", "-o", tmp, src],
             check=True, capture_output=True, timeout=120,
         )
-        os.replace(tmp, _LIB)
+        os.replace(tmp, lib)
         return True
     except (subprocess.SubprocessError, OSError):
         try:
@@ -42,6 +43,14 @@ def _build() -> bool:
         except OSError:
             pass
         return False
+
+
+def native_enabled() -> bool:
+    return os.environ.get("RAG_TPU_NATIVE", "1") not in ("0", "false")
+
+
+def _build() -> bool:
+    return build_shared_library(_SRC, _LIB)
 
 
 def _get_lib() -> ctypes.CDLL | None:

@@ -118,12 +118,22 @@ def create_app(engine: RAGEngine) -> web.Application:
 
     async def index_save(request: web.Request) -> web.Response:
         directory = engine.cfg.index_dir
-        target = getattr(engine.index, "flat", engine.index)  # IVF wraps flat
+        idx = engine.index
+        # HNSW persists graph+flat; IVF persists via its wrapped flat
+        target = idx if hasattr(idx, "save") else idx.flat
         await asyncio.to_thread(target.save, directory)
         return web.json_response({"saved_to": directory})
 
     async def index_rebuild(request: web.Request) -> web.Response:
-        return web.json_response(await asyncio.to_thread(engine.rebuild_index))
+        tier = None
+        if request.can_read_body:
+            try:
+                tier = (await request.json()).get("tier")
+            except Exception:
+                tier = None
+        return web.json_response(
+            await asyncio.to_thread(engine.rebuild_index, tier)
+        )
 
     async def health(request: web.Request) -> web.Response:
         return web.json_response({"status": "ok"})
@@ -192,6 +202,10 @@ def build_default_engine(mode: str = "batched") -> RAGEngine:
         index = FlatIndex.load(
             cfg.index_dir, use_pallas=cfg.use_pallas, tokenizer=tok
         )
+        from financial_rag_system_tpu.index.hnsw import HNSWIndex
+
+        if os.path.exists(os.path.join(cfg.index_dir, HNSWIndex.GRAPH_FILE)):
+            index = HNSWIndex.load(cfg.index_dir, index)
     else:
         index = FlatIndex(
             cfg.embed_dim, tile=cfg.corpus_tile, use_pallas=cfg.use_pallas,

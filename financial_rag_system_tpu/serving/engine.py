@@ -99,6 +99,7 @@ class RAGEngine:
             HashReranker,
         )
 
+        self._fused_kind = None
         if not isinstance(self.index, FlatIndex):
             return None
         if (
@@ -354,18 +355,36 @@ class RAGEngine:
         with self.tracer.span("Index_Upsert", kind="TOOL", inputs={"n": len(ids)}):
             return await asyncio.to_thread(work)
 
-    def rebuild_index(self) -> dict[str, Any]:
-        """Promote the flat index to the IVF tier (or re-cluster an IVF
-        index after tail growth).  Fusion re-evaluates afterwards."""
+    def rebuild_index(self, tier: str | None = None) -> dict[str, Any]:
+        """Promote the flat index to a sub-linear tier, or rebuild the
+        current tier after tail growth.  Fusion re-evaluates afterwards.
+
+        tier: "ivf" | "hnsw" | None (None keeps the current tier, or
+        defaults a flat index to IVF — the better fit for this hardware).
+        """
         from financial_rag_system_tpu.index.flat import FlatIndex
+        from financial_rag_system_tpu.index.hnsw import HNSWIndex
         from financial_rag_system_tpu.index.ivf import IVFIndex
 
-        if isinstance(self.index, IVFIndex):
-            self.index.rebuild()
-        elif isinstance(self.index, FlatIndex) and self.index.n_valid > 0:
-            self.index = IVFIndex(self.index, tile=min(self.index.tile, 128))
-        else:
+        current = type(self.index).__name__
+        if self.index.n_valid == 0:
             return {"status": "noop", "reason": "index empty"}
+        flat = getattr(self.index, "flat", self.index)
+        want = tier or {"IVFIndex": "ivf", "HNSWIndex": "hnsw"}.get(
+            current, "ivf"
+        )
+        if want == "ivf":
+            if isinstance(self.index, IVFIndex):
+                self.index.rebuild()
+            else:
+                self.index = IVFIndex(flat, tile=min(flat.tile, 128))
+        elif want == "hnsw":
+            if isinstance(self.index, HNSWIndex):
+                self.index.rebuild()
+            else:
+                self.index = HNSWIndex(flat)
+        else:
+            return {"status": "error", "reason": f"unknown tier {want!r}"}
         self._fused_fn = self._maybe_build_fused()
         return {
             "status": "ok",

@@ -1,0 +1,177 @@
+"""HNSW tier: native/fallback build, walk recall, filters, tail, persistence."""
+
+import numpy as np
+import pytest
+
+from financial_rag_system_tpu.index.flat import FlatIndex
+from financial_rag_system_tpu.index.hnsw import (
+    HNSWIndex,
+    build_knn_graph,
+    hnsw_walk,
+)
+
+
+def _corpus(rng, n=2000, d=64):
+    v = rng.standard_normal((n, d)).astype(np.float32)
+    return v / np.linalg.norm(v, axis=1, keepdims=True)
+
+
+def _flat(vecs):
+    n, d = vecs.shape
+    idx = FlatIndex(dim=d, capacity=n, tile=128, use_pallas=False)
+    idx.upsert(
+        [f"p{i}" for i in range(n)],
+        vecs,
+        [f"text {i}" for i in range(n)],
+        [
+            {"ticker": ["AAPL", "MSFT"][i % 2], "document_type": "10-K"}
+            for i in range(n)
+        ],
+    )
+    return idx
+
+
+def _queries(rng, b=8, d=64):
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    return q / np.linalg.norm(q, axis=1, keepdims=True)
+
+
+def _recall(hits_a, hits_b, k):
+    per = [
+        len({h["row"] for h in ha} & {h["row"] for h in hb}) / k
+        for ha, hb in zip(hits_a, hits_b)
+    ]
+    return float(np.mean(per))
+
+
+def test_knn_fallback_graph_shape():
+    rng = np.random.default_rng(0)
+    v = _corpus(rng, n=300)
+    adj, ent = build_knn_graph(v, m=8, entries_cap=16)
+    assert adj.shape == (300, 16)
+    assert adj.dtype == np.int32
+    # no self-loops, valid ids
+    assert all(adj[i, 0] != i for i in range(300))
+    assert adj.max() < 300 and ent.shape[0] == 16
+
+
+def test_recall_vs_flat_unfiltered():
+    rng = np.random.default_rng(1)
+    v = _corpus(rng)
+    flat = _flat(v)
+    hx = HNSWIndex(flat, m=16, ef=128, frontier=8)
+    q = _queries(rng)
+    fh = flat.search_batch(q, [(None, None)] * 8, k=10)
+    hh = hx.search_batch(q, [(None, None)] * 8, k=10)
+    assert _recall(hh, fh, 10) >= 0.9
+
+
+def test_filtered_search_respects_filter_and_recalls():
+    rng = np.random.default_rng(2)
+    v = _corpus(rng)
+    flat = _flat(v)
+    hx = HNSWIndex(flat, m=16, ef=128, frontier=8)
+    q = _queries(rng)
+    fh = flat.search_batch(q, [("AAPL", None)] * 8, k=10)
+    hh = hx.search_batch(q, [("AAPL", None)] * 8, k=10)
+    assert all(h["ticker"] == "AAPL" for hits in hh for h in hits)
+    assert _recall(hh, fh, 10) >= 0.8
+
+
+def test_mixed_filter_batch():
+    rng = np.random.default_rng(3)
+    v = _corpus(rng, n=1000)
+    flat = _flat(v)
+    hx = HNSWIndex(flat, m=16, ef=96, frontier=8)
+    q = _queries(rng, b=4)
+    filters = [("AAPL", None), ("MSFT", None), (None, None), ("AAPL", "10-K")]
+    hh = hx.search_batch(q, filters, k=5)
+    assert all(h["ticker"] == "AAPL" for h in hh[0])
+    assert all(h["ticker"] == "MSFT" for h in hh[1])
+    assert all(h["ticker"] == "AAPL" for h in hh[3])
+
+
+def test_no_duplicate_rows_in_results():
+    rng = np.random.default_rng(4)
+    v = _corpus(rng, n=1000)
+    flat = _flat(v)
+    hx = HNSWIndex(flat, m=16, ef=128, frontier=8)
+    q = _queries(rng, b=8)
+    hh = hx.search_batch(q, [(None, None)] * 8, k=10)
+    for hits in hh:
+        rows = [h["row"] for h in hits]
+        assert len(rows) == len(set(rows))
+
+
+def test_tail_upsert_and_rebuild():
+    rng = np.random.default_rng(5)
+    v = _corpus(rng, n=512)
+    flat = _flat(v)
+    hx = HNSWIndex(flat, m=8, ef=64, frontier=4)
+    # upsert a distinctive new vector; must surface via the tail
+    nv = _queries(rng, b=1)
+    hx.upsert(["new0"], nv, ["new text"], [{"ticker": "NVDA"}])
+    assert len(hx._tail_rows) == 1
+    hits = hx.search_batch(nv, [("NVDA", None)], k=3)[0]
+    assert hits and hits[0]["ticker"] == "NVDA"
+    assert hits[0]["score"] == pytest.approx(1.0, abs=5e-2)
+    # rebuild folds the tail into the graph
+    hx.rebuild()
+    assert not hx._tail_rows and hx.n_graph == 513
+    hits = hx.search_batch(nv, [("NVDA", None)], k=3)[0]
+    assert hits and hits[0]["ticker"] == "NVDA"
+
+
+def test_save_load_round_trip(tmp_path):
+    rng = np.random.default_rng(6)
+    v = _corpus(rng, n=512)
+    flat = _flat(v)
+    hx = HNSWIndex(flat, m=8, ef=64, frontier=4)
+    q = _queries(rng, b=4)
+    before = hx.search_batch(q, [(None, None)] * 4, k=5)
+    hx.save(str(tmp_path))
+    flat2 = FlatIndex.load(str(tmp_path), use_pallas=False)
+    hx2 = HNSWIndex.load(str(tmp_path), flat2)
+    after = hx2.search_batch(q, [(None, None)] * 4, k=5)
+    assert [[h["row"] for h in hits] for hits in before] == [
+        [h["row"] for h in hits] for hits in after
+    ]
+
+
+def test_walk_static_shapes_and_empty_filter():
+    """A filter matching nothing returns zero hits, not garbage."""
+    rng = np.random.default_rng(7)
+    v = _corpus(rng, n=256)
+    flat = _flat(v)
+    hx = HNSWIndex(flat, m=8, ef=64, frontier=4)
+    q = _queries(rng, b=2)
+    hits = hx.search_batch(q, [("NOPE", None)] * 2, k=5)
+    assert hits == [[], []]
+
+
+def test_engine_promote_to_hnsw():
+    from financial_rag_system_tpu.serving.engine import RAGEngine
+    from financial_rag_system_tpu.utils.config import get_config
+
+    rng = np.random.default_rng(8)
+    cfg = get_config()
+    flat = FlatIndex(dim=cfg.embed_dim, capacity=512, tile=128,
+                     use_pallas=False)
+    from financial_rag_system_tpu.models.embedder import get_embedder
+    from financial_rag_system_tpu.models.reranker import get_reranker
+
+    emb = get_embedder(cfg.embed_dim)
+    v = emb.encode([f"chunk about revenue {i}" for i in range(64)])
+    flat.upsert(
+        [f"p{i}" for i in range(64)],
+        v,
+        [f"chunk about revenue {i}" for i in range(64)],
+        [{"ticker": "AAPL", "document_type": "10-K"}] * 64,
+    )
+    eng = RAGEngine(cfg, flat, emb, get_reranker(testing=True),
+                    mode="sequential")
+    out = eng.rebuild_index("hnsw")
+    assert out["status"] == "ok" and out["tier"] == "HNSWIndex"
+    # and back through the generic path: rebuild keeps the tier
+    out = eng.rebuild_index()
+    assert out["tier"] == "HNSWIndex"
