@@ -160,9 +160,9 @@ def run_ingestion(
     download: bool = True,
 ) -> int:
     """Reference-compatible entry (ingest.py:109): download + ingest + invalidate."""
-    backend_url = backend_url or os.environ.get(
-        "BACKEND_URL", "http://localhost:8001"
-    )
+    from financial_rag_system_tpu.utils.config import default_backend_url
+
+    backend_url = backend_url or default_backend_url()
     if not wait_for_backend(backend_url):
         raise RuntimeError(f"backend at {backend_url} never became ready")
 

@@ -99,7 +99,9 @@ def start_scheduler() -> IngestionScheduler:  # pragma: no cover — manual entr
 
     from financial_rag_system_tpu.data.ingest import run_ingestion, wait_for_backend
 
-    backend = os.environ.get("BACKEND_URL", "http://localhost:8001")
+    from financial_rag_system_tpu.utils.config import default_backend_url
+
+    backend = default_backend_url()
     if not wait_for_backend(backend, attempts=60, delay_s=2.0):
         raise RuntimeError("backend never became ready")
     tickers = os.environ.get("SCHEDULER_TICKERS", "AAPL").split(",")

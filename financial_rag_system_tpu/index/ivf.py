@@ -255,38 +255,76 @@ class IVFIndex(SearchMixin):
 
     # -- build ----------------------------------------------------------
 
+    # Lloyd iterations run on at most this many sampled rows; the full
+    # corpus then gets one assignment pass.  Statistically equivalent at
+    # these cluster counts and keeps the k-means program size bounded.
+    KMEANS_SAMPLE = 131072
+
     def _build(self) -> None:
         flat = self.flat
         n = flat.n_valid
-        vecs = jnp.asarray(flat._emb[:n], jnp.float32)
-        cent, assign = spherical_kmeans(
-            vecs, self.n_clusters, iters=self.kmeans_iters
-        )
+        vecs = flat._emb[:n].astype(jnp.float32)
+        if n > self.KMEANS_SAMPLE:
+            sample_rows = jnp.asarray(
+                np.random.default_rng(0).choice(
+                    n, self.KMEANS_SAMPLE, replace=False
+                )
+            )
+            cent, _ = spherical_kmeans(
+                vecs[sample_rows], self.n_clusters, iters=self.kmeans_iters
+            )
+            # chunked assignment: the full (N, K) score matrix is tens of
+            # GB at the 1M tier; each chunk peaks at ~2 GB transient
+            parts = []
+            for s in range(0, n, self.KMEANS_SAMPLE):
+                parts.append(
+                    jnp.argmax(
+                        jnp.dot(
+                            vecs[s : s + self.KMEANS_SAMPLE], cent.T,
+                            preferred_element_type=jnp.float32,
+                        ),
+                        axis=1,
+                    )
+                )
+            assign = jnp.concatenate(parts)
+        else:
+            cent, assign = spherical_kmeans(
+                vecs, self.n_clusters, iters=self.kmeans_iters
+            )
         self.centroids = cent.astype(self.dtype)
+        # only the (N,) assignment crosses to the host; the corpus
+        # embeddings are packed in HBM by a device scatter — at the 1M
+        # tier a host round trip here is ~1.5 GB each way
         assign = np.asarray(assign)
-        codes_np = np.asarray(flat._codes[:, :n])
 
         packed_n = self.n_clusters * self.c_max
-        emb_np = np.zeros((packed_n, vecs.shape[1]), np.float32)
-        pcodes = np.full((2, packed_n), PAD_CODE, np.int32)
-        pgids = np.full((1, packed_n), -1, np.int32)
-        vecs_np = np.asarray(vecs)
-        tail: list[int] = []
-        fill = np.zeros(self.n_clusters, np.int64)
-        for row in range(n):
-            c = int(assign[row])
-            if fill[c] >= self.c_max:
-                tail.append(row)  # overflow spills to the brute-forced tail
-                continue
-            pos = c * self.c_max + fill[c]
-            emb_np[pos] = vecs_np[row]
-            pcodes[:, pos] = codes_np[:, row]
-            pgids[0, pos] = row
-            fill[c] += 1
-        self._tail_rows = tail
-        self.packed_emb = jnp.asarray(emb_np, self.dtype)
-        self.packed_codes = jnp.asarray(pcodes)
-        self.packed_gids = jnp.asarray(pgids)
+        # cluster-major packing: stable-sort rows by cluster, compute each
+        # row's within-cluster rank, spill ranks >= c_max to the tail
+        order = np.argsort(assign, kind="stable")
+        sorted_assign = assign[order]
+        counts = np.bincount(assign, minlength=self.n_clusters)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        within = np.arange(n, dtype=np.int64) - starts[sorted_assign]
+        keep = within < self.c_max
+        rows_kept = jnp.asarray(order[keep])
+        pos = jnp.asarray(sorted_assign[keep] * self.c_max + within[keep])
+        self._tail_rows = [int(r) for r in order[~keep]]
+
+        self.packed_emb = (
+            jnp.zeros((packed_n, vecs.shape[1]), self.dtype)
+            .at[pos]
+            .set(flat._emb[rows_kept].astype(self.dtype))
+        )
+        self.packed_codes = (
+            jnp.full((2, packed_n), PAD_CODE, jnp.int32)
+            .at[:, pos]
+            .set(flat._codes[:, rows_kept])
+        )
+        self.packed_gids = (
+            jnp.full((1, packed_n), -1, jnp.int32)
+            .at[0, pos]
+            .set(rows_kept.astype(jnp.int32))
+        )
         self.num_tiles = packed_n // self.tile
 
     def rebuild(self) -> None:

@@ -9,6 +9,11 @@
 // search per layer, and heuristic neighbor selection, specialized to
 // inner-product similarity over L2-normalized vectors (cosine).
 //
+// Build parallelism: insertions run on a thread pool with striped
+// per-node mutexes guarding neighbor lists (reads copy under the lock)
+// and atomics for the entry point — the standard concurrent-HNSW
+// scheme.  Million-row builds are minutes, not hours.
+//
 // The device consumes two flat exports: the level-0 fixed-degree
 // adjacency (n, 2M) int32 (pad = -1) and the >=1-level entry nodes
 // (descending by level) that seed the batched beam walk.
@@ -18,25 +23,33 @@
 // Build: g++ -O3 -shared -fPIC -o libfrs_hnsw.so hnsw.cpp
 
 #include <algorithm>
+#include <atomic>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <mutex>
 #include <queue>
 #include <random>
+#include <thread>
 #include <utility>
 #include <vector>
 
 namespace {
 
+constexpr int kLockStripes = 4096;  // power of two
+
 struct Hnsw {
   int n = 0, d = 0, m = 0, efc = 0;
-  int max_level = -1;
-  int entry = -1;
-  const float* vecs = nullptr;           // borrowed, valid during build only
-  std::vector<float> owned;              // copy so handle outlives caller buf
-  std::vector<int> levels;               // node -> top level
+  std::atomic<int> max_level{-1};
+  std::atomic<int> entry{-1};
+  std::vector<float> owned;
+  std::vector<int> levels;  // node -> top level (written once per node)
   // adjacency[level][node] -> neighbor list (level 0 cap 2M, else M)
   std::vector<std::vector<std::vector<int>>> adj;
+  std::vector<std::mutex> locks{kLockStripes};
+  std::mutex global;
+
+  std::mutex& lock_for(int node) { return locks[node & (kLockStripes - 1)]; }
 
   float sim(int a, int b) const {
     const float* x = owned.data() + (size_t)a * d;
@@ -47,19 +60,24 @@ struct Hnsw {
   }
 
   int cap(int level) const { return level == 0 ? 2 * m : m; }
+
+  std::vector<int> neighbors(int level, int node) {
+    std::lock_guard<std::mutex> g(lock_for(node));
+    return adj[level][node];
+  }
 };
 
 // max-heap on similarity = best-first expansion queue
 using SimNode = std::pair<float, int>;
 
 // Greedy single-path descent on one layer (ef = 1).
-int greedy_step(const Hnsw& h, int start, int q, int level) {
+int greedy_step(Hnsw& h, int start, int q, int level) {
   int cur = start;
   float cur_s = h.sim(cur, q);
   bool improved = true;
   while (improved) {
     improved = false;
-    for (int nb : h.adj[level][cur]) {
+    for (int nb : h.neighbors(level, cur)) {
       float s = h.sim(nb, q);
       if (s > cur_s) {
         cur_s = s;
@@ -74,7 +92,7 @@ int greedy_step(const Hnsw& h, int start, int q, int level) {
 // Beam search on one layer; returns up to ef (sim, node) results,
 // unsorted.
 std::vector<SimNode> search_layer(
-    const Hnsw& h, int q, int start, int ef, int level,
+    Hnsw& h, int q, int start, int ef, int level,
     std::vector<int>& visit_mark, int stamp) {
   std::priority_queue<SimNode> cand;                 // best first
   std::priority_queue<SimNode, std::vector<SimNode>,
@@ -87,7 +105,7 @@ std::vector<SimNode> search_layer(
     auto [cs, c] = cand.top();
     cand.pop();
     if (cs < best.top().first && (int)best.size() >= ef) break;
-    for (int nb : h.adj[level][c]) {
+    for (int nb : h.neighbors(level, c)) {
       if (visit_mark[nb] == stamp) continue;
       visit_mark[nb] = stamp;
       float s = h.sim(nb, q);
@@ -135,43 +153,46 @@ std::vector<int> select_heuristic(const Hnsw& h, std::vector<SimNode> cand,
   return kept;
 }
 
-void shrink_if_overfull(Hnsw& h, int node, int level) {
-  auto& nbrs = h.adj[level][node];
+void connect(Hnsw& h, int node, int nb, int level) {
+  std::lock_guard<std::mutex> g(h.lock_for(nb));
+  auto& nbrs = h.adj[level][nb];
+  nbrs.push_back(node);
   int c = h.cap(level);
   if ((int)nbrs.size() <= c) return;
   std::vector<SimNode> cand;
   cand.reserve(nbrs.size());
-  for (int nb : nbrs) cand.push_back({h.sim(node, nb), nb});
+  for (int x : nbrs) cand.push_back({h.sim(nb, x), x});
   nbrs = select_heuristic(h, std::move(cand), c);
 }
 
 void insert(Hnsw& h, int q, std::vector<int>& visit_mark, int& stamp,
-            std::mt19937& rng) {
-  std::uniform_real_distribution<double> unif(0.0, 1.0);
-  double ml = 1.0 / std::log(std::max(2, h.m));
-  int level = (int)(-std::log(std::max(1e-12, unif(rng))) * ml);
-  level = std::min(level, (int)h.adj.size() - 1);
-  h.levels[q] = level;
+            int level) {
   for (int l = 0; l <= level; l++) h.adj[l][q] = {};
 
-  if (h.entry < 0) {
-    h.entry = q;
-    h.max_level = level;
-    return;
+  int ep = h.entry.load(std::memory_order_acquire);
+  if (ep < 0) {
+    std::lock_guard<std::mutex> g(h.global);
+    if (h.entry.load() < 0) {
+      h.max_level.store(level);
+      h.entry.store(q, std::memory_order_release);
+      return;
+    }
+    ep = h.entry.load();
   }
 
-  int cur = h.entry;
-  for (int l = h.max_level; l > level; l--) cur = greedy_step(h, cur, q, l);
+  int ml = h.max_level.load(std::memory_order_acquire);
+  int cur = ep;
+  for (int l = ml; l > level; l--) cur = greedy_step(h, cur, q, l);
 
-  for (int l = std::min(level, h.max_level); l >= 0; l--) {
+  for (int l = std::min(level, ml); l >= 0; l--) {
     ++stamp;
     auto found = search_layer(h, q, cur, h.efc, l, visit_mark, stamp);
     auto nbrs = select_heuristic(h, found, h.m);
-    h.adj[l][q] = nbrs;
-    for (int nb : nbrs) {
-      h.adj[l][nb].push_back(q);
-      shrink_if_overfull(h, nb, l);
+    {
+      std::lock_guard<std::mutex> g(h.lock_for(q));
+      h.adj[l][q] = nbrs;
     }
+    for (int nb : nbrs) connect(h, q, nb, l);
     // best found seeds the next (lower) layer
     float bs = -1e30f;
     for (const auto& [s, node] : found)
@@ -181,9 +202,12 @@ void insert(Hnsw& h, int q, std::vector<int>& visit_mark, int& stamp,
       }
   }
 
-  if (level > h.max_level) {
-    h.max_level = level;
-    h.entry = q;
+  if (level > h.max_level.load()) {
+    std::lock_guard<std::mutex> g(h.global);
+    if (level > h.max_level.load()) {
+      h.max_level.store(level);
+      h.entry.store(q, std::memory_order_release);
+    }
   }
 }
 
@@ -192,7 +216,7 @@ void insert(Hnsw& h, int q, std::vector<int>& visit_mark, int& stamp,
 extern "C" {
 
 void* frs_hnsw_build(const float* vecs, int n, int d, int m,
-                     int ef_construction, unsigned seed) {
+                     int ef_construction, unsigned seed, int n_threads) {
   if (n <= 0 || d <= 0 || m < 2) return nullptr;
   auto* h = new Hnsw();
   h->n = n;
@@ -204,14 +228,46 @@ void* frs_hnsw_build(const float* vecs, int n, int d, int m,
   // generous level bound; vectors beyond max observed level stay empty
   int lmax = (int)(std::log((double)n) / std::log(std::max(2, m))) + 2;
   h->adj.assign(lmax + 1, std::vector<std::vector<int>>(n));
+
+  // pre-sample levels (deterministic given seed, independent of thread
+  // interleaving)
   std::mt19937 rng(seed);
-  std::vector<int> visit_mark(n, -1);
-  int stamp = 0;
-  for (int q = 0; q < n; q++) insert(*h, q, visit_mark, stamp, rng);
+  std::uniform_real_distribution<double> unif(0.0, 1.0);
+  double ml = 1.0 / std::log(std::max(2, m));
+  std::vector<int> node_level(n);
+  for (int q = 0; q < n; q++) {
+    int level = (int)(-std::log(std::max(1e-12, unif(rng))) * ml);
+    node_level[q] = std::min(level, lmax);
+  }
+
+  if (n_threads <= 0)
+    n_threads = std::max(1u, std::thread::hardware_concurrency());
+  n_threads = std::min(n_threads, std::max(1, n / 1024));
+
+  if (n_threads <= 1) {
+    std::vector<int> visit_mark(n, -1);
+    int stamp = 0;
+    for (int q = 0; q < n; q++) insert(*h, q, visit_mark, stamp, node_level[q]);
+  } else {
+    std::atomic<int> next{0};
+    auto worker = [&]() {
+      std::vector<int> visit_mark(n, -1);
+      int stamp = 0;
+      for (;;) {
+        int q = next.fetch_add(1, std::memory_order_relaxed);
+        if (q >= n) break;
+        insert(*h, q, visit_mark, stamp, node_level[q]);
+      }
+    };
+    std::vector<std::thread> pool;
+    for (int t = 0; t < n_threads; t++) pool.emplace_back(worker);
+    for (auto& t : pool) t.join();
+  }
+  for (int q = 0; q < n; q++) h->levels[q] = node_level[q];
   return h;
 }
 
-int frs_hnsw_max_level(void* hp) { return ((Hnsw*)hp)->max_level; }
+int frs_hnsw_max_level(void* hp) { return ((Hnsw*)hp)->max_level.load(); }
 
 // out: (n, 2m) int32, row-major, -1 padded. Returns 2m.
 int frs_hnsw_adjacency0(void* hp, int32_t* out) {
@@ -240,7 +296,10 @@ int frs_hnsw_entries(void* hp, int32_t* out, int cap) {
     if (cnt >= cap) break;
     out[cnt++] = node;
   }
-  if (cnt == 0 && h->n > 0 && cap > 0) out[cnt++] = h->entry >= 0 ? h->entry : 0;
+  if (cnt == 0 && h->n > 0 && cap > 0) {
+    int e = h->entry.load();
+    out[cnt++] = e >= 0 ? e : 0;
+  }
   return cnt;
 }
 

@@ -55,7 +55,7 @@ def _get_lib() -> ctypes.CDLL | None:
         lib.frs_hnsw_build.restype = ctypes.c_void_p
         lib.frs_hnsw_build.argtypes = [
             f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.c_uint,
+            ctypes.c_uint, ctypes.c_int,
         ]
         lib.frs_hnsw_max_level.restype = ctypes.c_int
         lib.frs_hnsw_max_level.argtypes = [ctypes.c_void_p]
@@ -75,11 +75,13 @@ def build_hnsw_graph(
     ef_construction: int = 100,
     seed: int = 0,
     entries_cap: int = 64,
+    n_threads: int = 0,
 ) -> tuple[np.ndarray, np.ndarray] | None:
     """Native HNSW build. vecs (N, D) float32 L2-normalized.
 
-    Returns (adjacency0 (N, 2M) int32 with -1 padding, entries (E,) int32)
-    or None when the native library is unavailable.
+    n_threads=0 uses all hardware threads (striped-lock concurrent
+    insertion).  Returns (adjacency0 (N, 2M) int32 with -1 padding,
+    entries (E,) int32) or None when the native library is unavailable.
     """
     lib = _get_lib()
     if lib is None:
@@ -88,7 +90,7 @@ def build_hnsw_graph(
     n, d = v.shape
     handle = lib.frs_hnsw_build(
         v.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        n, d, m, ef_construction, seed,
+        n, d, m, ef_construction, seed, n_threads,
     )
     if not handle:
         return None

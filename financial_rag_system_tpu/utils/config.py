@@ -144,6 +144,15 @@ def get_service_url(service: str, port: int, default_host: str = "localhost") ->
     return f"http://{resolve_host(service, default_host)}:{port}"
 
 
+def default_backend_url() -> str:
+    """BACKEND_URL env, else Docker-DNS probe for the backend service.
+
+    The discovery order every client (frontend, load tester, ingestor,
+    scheduler) shares — reference main2.py:24-39 / ingest.py:16.
+    """
+    return os.environ.get("BACKEND_URL") or get_service_url("backend", 8001)
+
+
 def reset_config() -> None:
     """Re-read env on next get_config() — used by tests."""
     get_config.cache_clear()

@@ -17,6 +17,8 @@ import math
 
 import requests
 
+from financial_rag_system_tpu.utils.config import default_backend_url
+
 
 def sigmoid(x: float) -> float:
     return 1.0 / (1.0 + math.exp(-x))
@@ -29,7 +31,7 @@ def bar(p: float, width: int = 24) -> str:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--backend", default="http://localhost:8001")
+    ap.add_argument("--backend", default=default_backend_url())
     ap.add_argument("--ticker", default="AAPL")
     ap.add_argument("--top-k", type=int, default=5)
     args = ap.parse_args()

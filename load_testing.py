@@ -22,6 +22,8 @@ import time
 
 import httpx
 
+from financial_rag_system_tpu.utils.config import default_backend_url
+
 TICKER = "AAPL"
 
 _SECTIONS: dict[str, list[str]] = {
@@ -250,7 +252,7 @@ async def run_local() -> dict:
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--local", action="store_true")
-    ap.add_argument("--backend", default="http://localhost:8001")
+    ap.add_argument("--backend", default=default_backend_url())
     ap.add_argument("--concurrency", type=int, default=10)
     args = ap.parse_args()
     if args.local:
