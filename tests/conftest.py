@@ -32,3 +32,7 @@ def rng():
     import numpy as np
 
     return np.random.default_rng(0)
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running integration test")
