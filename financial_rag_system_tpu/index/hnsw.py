@@ -43,7 +43,6 @@ import jax
 import jax.numpy as jnp
 
 from financial_rag_system_tpu.index.base import SearchMixin
-from financial_rag_system_tpu.index.store import PAD_CODE
 from financial_rag_system_tpu.ops.topk import NEG_INF, masked_topk_xla
 
 
@@ -82,31 +81,41 @@ def build_knn_graph(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "ef", "steps", "frontier")
+    jax.jit, static_argnames=("k", "ef", "steps", "frontier", "pad_id")
 )
 def hnsw_walk(
     queries: jax.Array,       # (B, D) float32
     query_filter: jax.Array,  # (B, 2) int32
-    emb_pad: jax.Array,       # (N+1, D) — row N is a zero pad row
-    codes_pad: jax.Array,     # (2, N+1) — col N is PAD_CODE
-    adj_pad: jax.Array,       # (N+1, M0) int32 — pad neighbor == N
+    emb: jax.Array,           # (>= pad_id, D) corpus embeddings (shared
+                              #  with the flat index — rows past the graph
+                              #  are never referenced by adjacency)
+    codes: jax.Array,         # (2, >= pad_id) filter codes
+    adj_pad: jax.Array,       # (pad_id+1, M0) int32 — pad neighbor == pad_id
     entries: jax.Array,       # (E,) int32
     k: int,
     *,
     ef: int,
     steps: int,
     frontier: int,
+    pad_id: int,
 ) -> tuple[jax.Array, jax.Array]:
-    """Batched fixed-step beam search. Returns (scores, rows) (B, k)."""
+    """Batched fixed-step beam search. Returns (scores, rows) (B, k).
+
+    ``pad_id`` is the sentinel candidate id (== graph row count).  The
+    row it indexes may hold arbitrary data (e.g. a live tail row of the
+    shared flat arrays): every score at the sentinel is masked to -inf
+    before it can reach the beam or the results, so no pad row copy of
+    the corpus is ever materialized.
+    """
     b, d = queries.shape
-    npad = emb_pad.shape[0]
-    n = npad - 1
+    npad = emb.shape[0]
+    n = pad_id
     e = entries.shape[0]
     m0 = adj_pad.shape[1]
     q = queries.astype(jnp.float32)
 
     def score(ids):  # (B, C) -> (B, C) raw similarity, pad = -inf
-        vecs = emb_pad[ids]  # (B, C, D)
+        vecs = emb[ids]  # (B, C, D)
         s = jnp.einsum(
             "bcd,bd->bc", vecs.astype(jnp.float32), q,
             preferred_element_type=jnp.float32,
@@ -115,8 +124,8 @@ def hnsw_walk(
 
     def filtered(ids, s):  # mask by per-query metadata filter
         tick_q, dt_q = query_filter[:, 0:1], query_filter[:, 1:2]
-        tick_c = codes_pad[0][ids]  # (B, C)
-        dt_c = codes_pad[1][ids]
+        tick_c = codes[0][ids]  # (B, C)
+        dt_c = codes[1][ids]
         ok = ((tick_q == -1) | (tick_q == tick_c)) & (
             (dt_q == -1) | (dt_q == dt_c)
         )
@@ -258,20 +267,10 @@ class HNSWIndex(SearchMixin):
             # rows upserted after the save become the brute-forced tail
             self.native_built = None
             n = graph[0].shape[0]
-            vecs = np.asarray(flat._emb[:n], np.float32)
         adj, entries = graph
         self.n_graph = n
-        # device layout: one pad row (index n) absorbs -1 adjacency slots
-        self.emb_pad = jnp.asarray(
-            np.concatenate([vecs, np.zeros((1, vecs.shape[1]), np.float32)]),
-            flat.dtype,  # bf16 in production — halves the HBM copy
-        )
-        codes = np.asarray(flat._codes[:, :n])
-        self.codes_pad = jnp.asarray(
-            np.concatenate(
-                [codes, np.full((2, 1), PAD_CODE, np.int32)], axis=1
-            )
-        )
+        # the walk reads the flat index's HBM arrays directly — sentinel
+        # id n is score-masked, so no padded corpus copy is materialized
         adj_pad = np.where(adj < 0, n, adj).astype(np.int32)
         self.adj_pad = jnp.asarray(
             np.concatenate(
@@ -299,14 +298,15 @@ class HNSWIndex(SearchMixin):
         s, i = hnsw_walk(
             query_vecs.astype(jnp.float32),
             query_filter,
-            self.emb_pad,
-            self.codes_pad,
+            self.flat._emb,   # live arrays: upserted tail rows are
+            self.flat._codes,  # unreachable from the frozen adjacency
             self.adj_pad,
             self.entries,
             k,
             ef=self.ef,
             steps=self.steps,
             frontier=self.frontier,
+            pad_id=self.n_graph,
         )
         if self._tail_rows:
             s_t, i_t = self._search_tail(query_vecs, query_filter, k)
