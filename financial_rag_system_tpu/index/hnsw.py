@@ -239,9 +239,13 @@ class HNSWIndex(SearchMixin):
         self.seed = seed
         self._tail_rows: list[int] = []
         assert flat.n_valid > 0, "build the flat index first"
-        self._build(graph)
+        self._graph_state = self._build(graph)
 
     # -- build ----------------------------------------------------------
+
+    # the exact-kNN fallback is O(N^2) memory; refuse rather than OOM the
+    # serving process when the native builder is unavailable at scale
+    MAX_FALLBACK_ROWS = 200_000
 
     def _build(self, graph=None) -> None:
         flat = self.flat
@@ -258,6 +262,13 @@ class HNSWIndex(SearchMixin):
             )
             self.native_built = graph is not None
             if graph is None:
+                if n > self.MAX_FALLBACK_ROWS:
+                    raise RuntimeError(
+                        f"native HNSW builder unavailable and the exact-kNN "
+                        f"fallback is O(N^2) — refusing at {n} rows "
+                        f"(> {self.MAX_FALLBACK_ROWS}); install g++ or use "
+                        f"the IVF tier"
+                    )
                 graph = build_knn_graph(
                     vecs, m=self.m, entries_cap=self.entries_cap,
                     seed=self.seed,
@@ -268,23 +279,42 @@ class HNSWIndex(SearchMixin):
             self.native_built = None
             n = graph[0].shape[0]
         adj, entries = graph
-        self.n_graph = n
         # the walk reads the flat index's HBM arrays directly — sentinel
         # id n is score-masked, so no padded corpus copy is materialized
-        adj_pad = np.where(adj < 0, n, adj).astype(np.int32)
-        self.adj_pad = jnp.asarray(
-            np.concatenate(
-                [adj_pad, np.full((1, adj_pad.shape[1]), n, np.int32)]
-            )
+        adj_np = np.where(adj < 0, n, adj).astype(np.int32)
+        adj_pad = jnp.asarray(
+            np.concatenate([adj_np, np.full((1, adj_np.shape[1]), n, np.int32)])
         )
-        self.entries = jnp.asarray(entries, jnp.int32)
+        ef = max(self.ef, int(entries.shape[0]))
         self._host_graph = (np.asarray(adj, np.int32), np.asarray(entries))
-        self.ef = max(self.ef, int(entries.shape[0]))
+        # one-tuple snapshot: concurrent searches read a consistent
+        # (adjacency, entries, sentinel, ef) state under the GIL
+        return (adj_pad, jnp.asarray(entries, jnp.int32), n, ef)
+
+    # attribute views over the atomic snapshot
+    @property
+    def adj_pad(self):
+        return self._graph_state[0]
+
+    @property
+    def entries(self):
+        return self._graph_state[1]
+
+    @property
+    def n_graph(self) -> int:
+        return self._graph_state[2]
 
     def rebuild(self) -> None:
-        """Fold tail/new rows into a fresh graph."""
-        self._tail_rows = []
-        self._build()
+        """Fold tail/new rows into a fresh graph.
+
+        The old graph + tail keep serving while the build runs (it can
+        take minutes at scale, off the GIL in the native library); the
+        swap is a single snapshot assignment, and rows upserted *during*
+        the build land in the fresh tail.
+        """
+        state = self._build()
+        new_tail = list(range(state[2], self.flat.n_valid))
+        self._graph_state, self._tail_rows = state, new_tail
 
     @property
     def n_valid(self) -> int:
@@ -295,18 +325,19 @@ class HNSWIndex(SearchMixin):
     def search_device(
         self, query_vecs: jax.Array, query_filter: jax.Array, k: int
     ) -> tuple[jax.Array, jax.Array]:
+        adj_pad, entries, pad_id, ef = self._graph_state  # one atomic read
         s, i = hnsw_walk(
             query_vecs.astype(jnp.float32),
             query_filter,
             self.flat._emb,   # live arrays: upserted tail rows are
             self.flat._codes,  # unreachable from the frozen adjacency
-            self.adj_pad,
-            self.entries,
+            adj_pad,
+            entries,
             k,
-            ef=self.ef,
+            ef=ef,
             steps=self.steps,
             frontier=self.frontier,
-            pad_id=self.n_graph,
+            pad_id=pad_id,
         )
         if self._tail_rows:
             s_t, i_t = self._search_tail(query_vecs, query_filter, k)
@@ -345,12 +376,20 @@ class HNSWIndex(SearchMixin):
         np.savez(
             os.path.join(directory, self.GRAPH_FILE),
             adj=adj, entries=entries, m=self.m, n_graph=self.n_graph,
-            tail_rows=np.asarray(self._tail_rows, np.int64),
         )
 
     @classmethod
     def load(cls, directory: str, flat, **kwargs) -> "HNSWIndex":
         data = np.load(os.path.join(directory, cls.GRAPH_FILE))
+        n_graph = int(data["adj"].shape[0])
+        if n_graph > flat.n_valid:
+            # the graph file is stale relative to the flat index it sits
+            # next to (saved under a different corpus): serving it would
+            # walk rows that no longer exist
+            raise ValueError(
+                f"{cls.GRAPH_FILE} covers {n_graph} rows but the flat "
+                f"index holds only {flat.n_valid} — stale graph"
+            )
         idx = cls(
             flat, m=int(data["m"]),
             graph=(data["adj"], data["entries"]), **kwargs,

@@ -57,7 +57,7 @@ def _get_lib() -> ctypes.CDLL | None:
     global _lib, _build_failed
     if _lib is not None or _build_failed:
         return _lib
-    if os.environ.get("RAG_TPU_NATIVE", "1") in ("0", "false"):
+    if not native_enabled():
         _build_failed = True
         return None
     with _lock:

@@ -122,15 +122,34 @@ def create_app(engine: RAGEngine) -> web.Application:
         # HNSW persists graph+flat; IVF persists via its wrapped flat
         target = idx if hasattr(idx, "save") else idx.flat
         await asyncio.to_thread(target.save, directory)
+        # a graph file from a previous HNSW save must not outlive a save
+        # under a different tier — on restart it would be paired with a
+        # flat index it doesn't describe
+        from financial_rag_system_tpu.index.hnsw import HNSWIndex
+
+        if not isinstance(idx, HNSWIndex):
+            import os
+
+            graph_path = os.path.join(directory, HNSWIndex.GRAPH_FILE)
+            if os.path.exists(graph_path):
+                os.unlink(graph_path)
         return web.json_response({"saved_to": directory})
 
     async def index_rebuild(request: web.Request) -> web.Response:
         tier = None
-        if request.can_read_body:
+        if request.can_read_body and await request.read():
             try:
-                tier = (await request.json()).get("tier")
-            except Exception:
-                tier = None
+                body = await request.json()
+                tier = body.get("tier")
+            except (json.JSONDecodeError, AttributeError):
+                return web.json_response(
+                    {"detail": "body must be a JSON object"}, status=400
+                )
+        if tier is not None and tier not in ("ivf", "hnsw"):
+            return web.json_response(
+                {"detail": f"unknown tier {tier!r}; expected ivf|hnsw"},
+                status=400,
+            )
         return web.json_response(
             await asyncio.to_thread(engine.rebuild_index, tier)
         )
@@ -205,7 +224,10 @@ def build_default_engine(mode: str = "batched") -> RAGEngine:
         from financial_rag_system_tpu.index.hnsw import HNSWIndex
 
         if os.path.exists(os.path.join(cfg.index_dir, HNSWIndex.GRAPH_FILE)):
-            index = HNSWIndex.load(cfg.index_dir, index)
+            try:
+                index = HNSWIndex.load(cfg.index_dir, index)
+            except ValueError as exc:  # stale graph: serve flat instead
+                print(f"ignoring persisted HNSW graph: {exc}")
     else:
         index = FlatIndex(
             cfg.embed_dim, tile=cfg.corpus_tile, use_pallas=cfg.use_pallas,

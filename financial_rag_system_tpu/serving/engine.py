@@ -370,6 +370,10 @@ class RAGEngine:
         if self.index.n_valid == 0:
             return {"status": "noop", "reason": "index empty"}
         flat = getattr(self.index, "flat", self.index)
+        if not isinstance(flat, FlatIndex):
+            # e.g. a mesh-sharded index: promoting it would collapse the
+            # sharded corpus onto one device — refuse, don't surprise
+            return {"status": "noop", "reason": f"{current} has no tiers"}
         want = tier or {"IVFIndex": "ivf", "HNSWIndex": "hnsw"}.get(
             current, "ivf"
         )

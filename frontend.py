@@ -31,10 +31,13 @@ def bar(p: float, width: int = 24) -> str:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--backend", default=default_backend_url())
+    ap.add_argument("--backend", default=None,
+                help="backend URL (default: BACKEND_URL env or DNS probe)")
     ap.add_argument("--ticker", default="AAPL")
     ap.add_argument("--top-k", type=int, default=5)
     args = ap.parse_args()
+    if args.backend is None:
+        args.backend = default_backend_url()
 
     try:
         r = requests.get(f"{args.backend}/ready", timeout=5).json()

@@ -252,10 +252,15 @@ async def run_local() -> dict:
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--local", action="store_true")
-    ap.add_argument("--backend", default=default_backend_url())
+    ap.add_argument("--backend", default=None,
+                help="backend URL (default: BACKEND_URL env or DNS probe)")
     ap.add_argument("--concurrency", type=int, default=10)
     args = ap.parse_args()
     if args.local:
         asyncio.run(run_local())
     else:
-        asyncio.run(run_load_test(args.backend, args.concurrency))
+        asyncio.run(
+            run_load_test(
+                args.backend or default_backend_url(), args.concurrency
+            )
+        )

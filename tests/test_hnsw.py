@@ -175,3 +175,39 @@ def test_engine_promote_to_hnsw():
     # and back through the generic path: rebuild keeps the tier
     out = eng.rebuild_index()
     assert out["tier"] == "HNSWIndex"
+
+
+def test_stale_graph_file_rejected(tmp_path):
+    """A graph saved over a larger corpus must not load over a smaller one."""
+    rng = np.random.default_rng(9)
+    v = _corpus(rng, n=512)
+    flat = _flat(v)
+    hx = HNSWIndex(flat, m=8, ef=64, frontier=4)
+    hx.save(str(tmp_path))
+    # simulate a later save under a smaller corpus: shrink the flat index
+    small = _flat(v[:128])
+    small.save(str(tmp_path))
+    flat2 = FlatIndex.load(str(tmp_path), use_pallas=False)
+    with pytest.raises(ValueError, match="stale graph"):
+        HNSWIndex.load(str(tmp_path), flat2)
+
+
+def test_rebuild_keeps_tail_visible_until_swap():
+    rng = np.random.default_rng(10)
+    v = _corpus(rng, n=256)
+    flat = _flat(v)
+    hx = HNSWIndex(flat, m=8, ef=64, frontier=4)
+    nv = _queries(rng, b=1)
+    hx.upsert(["new0"], nv, ["new text"], [{"ticker": "NVDA"}])
+
+    # during _build the old tail must still serve; emulate by querying
+    # between _build() and the snapshot swap via the rebuild internals
+    state = hx._build()
+    hits = hx.search_batch(nv, [("NVDA", None)], k=3)[0]
+    assert hits and hits[0]["ticker"] == "NVDA"  # old tail still live
+    hx._graph_state, hx._tail_rows = state, list(
+        range(state[2], hx.flat.n_valid)
+    )
+    assert not hx._tail_rows
+    hits = hx.search_batch(nv, [("NVDA", None)], k=3)[0]
+    assert hits and hits[0]["ticker"] == "NVDA"  # now in the graph
