@@ -24,10 +24,13 @@ RUN pip install --no-cache-dir -r requirements.txt
 COPY financial_rag_system_tpu/ financial_rag_system_tpu/
 COPY bench.py evaluate.py load_testing.py frontend.py ./
 
-# build the native tokenizer ahead of time so first-request latency is flat
+# build the native libraries ahead of time so first-request latency is flat
 RUN g++ -O3 -shared -fPIC \
       -o financial_rag_system_tpu/native/libfrs_tokenizer.so \
-      financial_rag_system_tpu/native/tokenizer.cpp
+      financial_rag_system_tpu/native/tokenizer.cpp \
+ && g++ -O3 -shared -fPIC \
+      -o financial_rag_system_tpu/native/libfrs_hnsw.so \
+      financial_rag_system_tpu/native/hnsw.cpp
 
 ENV RAG_TPU_PORT=8001
 EXPOSE 8001

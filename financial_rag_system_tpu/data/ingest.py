@@ -184,3 +184,22 @@ def run_ingestion(
 
     requests.delete(f"{backend_url}/cache/clear/{ticker}", timeout=10)
     return total
+
+
+if __name__ == "__main__":  # pragma: no cover — manual entry (reference ingest.py:199)
+    import argparse
+
+    ap = argparse.ArgumentParser(description="EDGAR -> chunk -> embed -> index")
+    ap.add_argument("--ticker", default="AAPL")
+    ap.add_argument("--filing-types", default="10-K,10-Q")
+    ap.add_argument("--limit", type=int, default=1)
+    ap.add_argument("--no-download", action="store_true",
+                    help="ingest already-downloaded files only (zero-egress)")
+    args = ap.parse_args()
+    n = run_ingestion(
+        args.ticker,
+        tuple(t.strip() for t in args.filing_types.split(",")),
+        args.limit,
+        download=not args.no_download,
+    )
+    print(f"ingested {n} chunks for {args.ticker}")
