@@ -70,6 +70,9 @@ class RAGEngine:
         self.tracer = get_tracer()
         self._fused_kind: str | None = None
         self._fused_fn = self._maybe_build_fused()
+        # strong refs to fire-and-forget tasks (an unreferenced asyncio
+        # task can be garbage-collected before it runs)
+        self._bg_tasks: set[asyncio.Task] = set()
         self.batcher: DynamicBatcher | None = None
         if mode == "batched":
             self.batcher = DynamicBatcher(
@@ -312,11 +315,13 @@ class RAGEngine:
 
         if provider != "System Degraded":
             # write-behind (reference main.py:412-415)
-            asyncio.get_running_loop().create_task(
+            task = asyncio.get_running_loop().create_task(
                 asyncio.to_thread(
                     self.cache.save, q_hash, ticker, query, answer, provider
                 )
             )
+            self._bg_tasks.add(task)
+            task.add_done_callback(self._bg_tasks.discard)
 
         return {
             "query_hash": q_hash,
