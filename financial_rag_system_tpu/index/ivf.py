@@ -295,8 +295,14 @@ class IVFIndex(SearchMixin):
         # only the (N,) assignment crosses to the host; the corpus
         # embeddings are packed in HBM by a device scatter — at the 1M
         # tier a host round trip here is ~1.5 GB each way
-        assign = np.asarray(assign)
+        self._pack(np.asarray(assign))
 
+    def _pack(self, assign: np.ndarray) -> None:
+        """Cluster-major packing of rows [0, len(assign)) from an
+        assignment vector — shared by fresh builds and persisted loads."""
+        flat = self.flat
+        n = assign.shape[0]
+        self._assign = assign.astype(np.int32)
         packed_n = self.n_clusters * self.c_max
         # cluster-major packing: stable-sort rows by cluster, compute each
         # row's within-cluster rank, spill ranks >= c_max to the tail
@@ -308,10 +314,14 @@ class IVFIndex(SearchMixin):
         keep = within < self.c_max
         rows_kept = jnp.asarray(order[keep])
         pos = jnp.asarray(sorted_assign[keep] * self.c_max + within[keep])
-        self._tail_rows = [int(r) for r in order[~keep]]
+        # cluster-overflow spills plus any rows past the packed range
+        # (rows upserted after a persisted build) — all brute-forced
+        self._tail_rows = [int(r) for r in order[~keep]] + list(
+            range(n, flat.n_valid)
+        )
 
         self.packed_emb = (
-            jnp.zeros((packed_n, vecs.shape[1]), self.dtype)
+            jnp.zeros((packed_n, flat._emb.shape[1]), self.dtype)
             .at[pos]
             .set(flat._emb[rows_kept].astype(self.dtype))
         )
@@ -403,3 +413,48 @@ class IVFIndex(SearchMixin):
         added = self.flat.upsert(ids, vectors, texts, payloads)
         self._tail_rows.extend(range(start, self.flat.n_valid))
         return added
+
+    # -- persistence --------------------------------------------------------
+
+    IVF_FILE = "ivf_index.npz"
+
+    def save(self, directory: str) -> None:
+        """Persist centroids + the row assignment; packing is recomputed
+        on load by the same device scatter (cheap), skipping k-means."""
+        import os
+
+        self.flat.save(directory)
+        np.savez(
+            os.path.join(directory, self.IVF_FILE),
+            centroids=np.asarray(self.centroids, np.float32),
+            assign=self._assign,
+            c_max=self.c_max,
+            tile=self.tile,
+            nprobe=self.nprobe,
+            n_clusters=self.n_clusters,
+        )
+
+    @classmethod
+    def load(cls, directory: str, flat) -> "IVFIndex":
+        import os
+
+        data = np.load(os.path.join(directory, cls.IVF_FILE))
+        assign = np.asarray(data["assign"], np.int32)
+        if assign.shape[0] > flat.n_valid:
+            raise ValueError(
+                f"{cls.IVF_FILE} covers {assign.shape[0]} rows but the "
+                f"flat index holds only {flat.n_valid} — stale ivf"
+            )
+        idx = cls.__new__(cls)
+        idx.flat = flat
+        idx.store = flat.store
+        idx.dtype = flat.dtype
+        idx.tile = int(data["tile"])
+        idx.nprobe = int(data["nprobe"])
+        idx.n_clusters = int(data["n_clusters"])
+        idx.c_max = int(data["c_max"])
+        idx.tiles_per_cluster = idx.c_max // idx.tile
+        idx.kmeans_iters = 10
+        idx.centroids = jnp.asarray(data["centroids"]).astype(flat.dtype)
+        idx._pack(assign)
+        return idx

@@ -122,17 +122,22 @@ def create_app(engine: RAGEngine) -> web.Application:
         # HNSW persists graph+flat; IVF persists via its wrapped flat
         target = idx if hasattr(idx, "save") else idx.flat
         await asyncio.to_thread(target.save, directory)
-        # a graph file from a previous HNSW save must not outlive a save
-        # under a different tier — on restart it would be paired with a
-        # flat index it doesn't describe
+        # tier files from a previous save must not outlive a save under a
+        # different tier — on restart they would be paired with a flat
+        # index they don't describe
+        import os
+
         from financial_rag_system_tpu.index.hnsw import HNSWIndex
+        from financial_rag_system_tpu.index.ivf import IVFIndex
 
-        if not isinstance(idx, HNSWIndex):
-            import os
-
-            graph_path = os.path.join(directory, HNSWIndex.GRAPH_FILE)
-            if os.path.exists(graph_path):
-                os.unlink(graph_path)
+        for klass, fname in (
+            (HNSWIndex, HNSWIndex.GRAPH_FILE),
+            (IVFIndex, IVFIndex.IVF_FILE),
+        ):
+            if not isinstance(idx, klass):
+                stale = os.path.join(directory, fname)
+                if os.path.exists(stale):
+                    os.unlink(stale)
         return web.json_response({"saved_to": directory})
 
     async def index_rebuild(request: web.Request) -> web.Response:
@@ -222,12 +227,19 @@ def build_default_engine(mode: str = "batched") -> RAGEngine:
             cfg.index_dir, use_pallas=cfg.use_pallas, tokenizer=tok
         )
         from financial_rag_system_tpu.index.hnsw import HNSWIndex
+        from financial_rag_system_tpu.index.ivf import IVFIndex
 
-        if os.path.exists(os.path.join(cfg.index_dir, HNSWIndex.GRAPH_FILE)):
-            try:
-                index = HNSWIndex.load(cfg.index_dir, index)
-            except ValueError as exc:  # stale graph: serve flat instead
-                print(f"ignoring persisted HNSW graph: {exc}")
+        # at most one tier file survives a save; restore whichever exists
+        for klass, fname in (
+            (HNSWIndex, HNSWIndex.GRAPH_FILE),
+            (IVFIndex, IVFIndex.IVF_FILE),
+        ):
+            if os.path.exists(os.path.join(cfg.index_dir, fname)):
+                try:
+                    index = klass.load(cfg.index_dir, index)
+                except ValueError as exc:  # stale file: serve flat instead
+                    print(f"ignoring persisted {klass.__name__}: {exc}")
+                break
     else:
         index = FlatIndex(
             cfg.embed_dim, tile=cfg.corpus_tile, use_pallas=cfg.use_pallas,

@@ -124,3 +124,60 @@ def test_ivf_tail_upsert_and_rebuild(rng):
     assert len(ivf._tail_rows) < tail0 + 3 or not ivf._tail_rows
     hits = ivf.search(new[0], ticker="NVDA", k=3)[0]
     assert hits and hits[0]["text"] == "t0"
+
+
+def test_save_load_round_trip(tmp_path):
+    rng = np.random.default_rng(11)
+    v = _clustered_corpus(rng, n=1000)
+    flat = _flat(rng, v)
+    ivf = IVFIndex(flat, nprobe=8, tile=128)
+    q = v[:4] + 0.01
+    before = ivf.search_batch(q, [(None, None)] * 4, k=5)
+    ivf.save(str(tmp_path))
+
+    from financial_rag_system_tpu.index.flat import FlatIndex
+
+    flat2 = FlatIndex.load(str(tmp_path), use_pallas=False)
+    ivf2 = IVFIndex.load(str(tmp_path), flat2)
+    after = ivf2.search_batch(q, [(None, None)] * 4, k=5)
+    assert [[h["row"] for h in hl] for hl in before] == [
+        [h["row"] for h in hl] for hl in after
+    ]
+    assert ivf2.n_clusters == ivf.n_clusters and ivf2.c_max == ivf.c_max
+
+
+def test_load_rejects_stale_file(tmp_path):
+    rng = np.random.default_rng(12)
+    v = _clustered_corpus(rng, n=600)
+    flat = _flat(rng, v)
+    IVFIndex(flat, tile=128).save(str(tmp_path))
+    small = _flat(rng, v[:100])
+    small.save(str(tmp_path))
+
+    from financial_rag_system_tpu.index.flat import FlatIndex
+
+    flat2 = FlatIndex.load(str(tmp_path), use_pallas=False)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="stale ivf"):
+        IVFIndex.load(str(tmp_path), flat2)
+
+
+def test_load_puts_newer_rows_in_tail(tmp_path):
+    rng = np.random.default_rng(13)
+    v = _clustered_corpus(rng, n=512)
+    flat = _flat(rng, v)
+    IVFIndex(flat, tile=128).save(str(tmp_path))
+    # upsert after save, then save only the flat part
+    nv = rng.standard_normal((1, v.shape[1])).astype(np.float32)
+    nv /= np.linalg.norm(nv)
+    flat.upsert(["extra"], nv, ["extra text"], [{"ticker": "NVDA"}])
+    flat.save(str(tmp_path))
+
+    from financial_rag_system_tpu.index.flat import FlatIndex
+
+    flat2 = FlatIndex.load(str(tmp_path), use_pallas=False)
+    ivf2 = IVFIndex.load(str(tmp_path), flat2)
+    assert ivf2._tail_rows == [512]
+    hits = ivf2.search_batch(nv, [("NVDA", None)], k=3)[0]
+    assert hits and hits[0]["ticker"] == "NVDA"
