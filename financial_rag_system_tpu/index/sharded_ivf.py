@@ -1,0 +1,274 @@
+"""Mesh-sharded IVF: sub-linear probing per shard + all-gather merge.
+
+Composition of the two scale mechanisms (BASELINE.json config 5): corpus
+rows shard over the ``corpus`` mesh axis (index/sharded.py) AND each
+shard probes only its top-nprobe clusters (index/ivf.py) instead of
+streaming its whole shard.  Together: 10M+ chunks across a pod slice
+with per-query work proportional to nprobe, not corpus size.
+
+Design (TPU-first):
+
+- **One global codebook.** Centroids come from spherical k-means over a
+  corpus-wide sample and are replicated — so every shard probes the
+  *same* cluster ids for a query and the probe list is computed once per
+  query, not per shard.
+- **Shard-local packing.** Each shard packs ITS rows cluster-major with
+  a fixed per-cluster capacity; the packed array is laid out
+  block-sharded (shard s owns packed rows [s*P, (s+1)*P)), so the
+  packing scatter moves no data across devices, and at query time a
+  cluster's tile index is the same on every shard.
+- **Query** (`shard_map`): score replicated queries against replicated
+  centroids, take the batch-union probe list, gather+score only probed
+  tiles of the local packed shard, local top-k, then ``all_gather`` of
+  (scores, global ids) over ICI and an identical replicated merge —
+  exactly the flat sharded merge (index/sharded.py).
+- Overflow rows (cluster fuller than c_max on a shard) and post-build
+  upserts live in a brute-forced tail, merged on the host side of the
+  same device pass.  ``rebuild()`` folds them in.
+
+Replaces: Qdrant's single-server HNSW at corpus sizes one chip cannot
+hold (reference main.py:215-239 has no scale-out story at all).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from financial_rag_system_tpu.index.base import SearchMixin
+from financial_rag_system_tpu.index.ivf import ivf_probe_xla, spherical_kmeans
+from financial_rag_system_tpu.index.store import PAD_CODE
+from financial_rag_system_tpu.ops.topk import NEG_INF, masked_topk_xla
+from financial_rag_system_tpu.parallel.mesh import AXIS_CORPUS
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def make_sharded_ivf_probe(
+    mesh: Mesh, *, k: int, tile: int, probe_budget: int
+):
+    """Jitted shard_map probe: replicated queries, sharded packed corpus.
+
+    fn(queries (B,D), qf (B,2), centroids (Kc,D) repl, packed (S*P, D)
+    sharded, codes (2, S*P) sharded, gids (1, S*P) sharded,
+    tile_ids (probe_budget,) repl) -> (B,k) scores / global ids, repl.
+    """
+
+    def local_fn(queries, qf, packed, codes, gids, tile_ids):
+        s, i = ivf_probe_xla(
+            queries, qf, packed, codes, gids, tile_ids, k, tile=tile
+        )
+        all_s = jax.lax.all_gather(s, AXIS_CORPUS, axis=1, tiled=True)
+        all_i = jax.lax.all_gather(i, AXIS_CORPUS, axis=1, tiled=True)
+        ms, mpos = jax.lax.top_k(all_s, k)
+        mi = jnp.take_along_axis(all_i, mpos, axis=1)
+        return ms, mi.astype(jnp.int32)
+
+    fn = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(
+            P(), P(), P(AXIS_CORPUS, None), P(None, AXIS_CORPUS),
+            P(None, AXIS_CORPUS), P(),
+        ),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+class ShardedIVFIndex(SearchMixin):
+    """IVF tier over a ShardedFlatIndex (shares its store and mesh)."""
+
+    KMEANS_SAMPLE = 131072
+
+    def __init__(
+        self,
+        sharded_flat,
+        *,
+        n_clusters: int | None = None,
+        nprobe: int = 8,
+        tile: int = 128,
+        kmeans_iters: int = 10,
+    ):
+        self.flat = sharded_flat
+        self.mesh: Mesh = sharded_flat.mesh
+        self.store = sharded_flat.store
+        self.dtype = sharded_flat.dtype
+        self.tile = tile
+        self.n_shards = sharded_flat.n_shards
+        n = sharded_flat.n_valid
+        assert n > 0, "populate the sharded flat index first"
+        self.n_clusters = min(n, n_clusters or max(4, int(np.sqrt(n / 4))))
+        self.nprobe = min(nprobe, self.n_clusters)
+        self.kmeans_iters = kmeans_iters
+        self._tail_rows: list[int] = []
+        self._probe_cache: dict[tuple[int, int], Any] = {}
+        self._build()
+
+    # -- build ------------------------------------------------------------
+
+    def _build(self) -> None:
+        flat = self.flat
+        n = flat.n_valid
+        rows_per_shard = flat.capacity // self.n_shards
+
+        # 1. global codebook from a corpus-wide sample
+        rng = np.random.default_rng(0)
+        sample = rng.choice(n, min(n, self.KMEANS_SAMPLE), replace=False)
+        sample_vecs = flat._emb[jnp.asarray(np.sort(sample))].astype(
+            jnp.float32
+        )
+        cent, _ = spherical_kmeans(
+            sample_vecs, self.n_clusters, iters=self.kmeans_iters
+        )
+        self.centroids = jax.device_put(
+            cent.astype(self.dtype), NamedSharding(self.mesh, P())
+        )
+
+        # 2. assignment of every valid row (chunked matmul, device)
+        parts = []
+        for s in range(0, n, self.KMEANS_SAMPLE):
+            v = flat._emb[s : min(s + self.KMEANS_SAMPLE, n)].astype(
+                jnp.float32
+            )
+            parts.append(
+                jnp.argmax(
+                    jnp.dot(v, cent.T, preferred_element_type=jnp.float32),
+                    axis=1,
+                )
+            )
+        assign = np.asarray(jnp.concatenate(parts))
+
+        # 3. per-shard cluster-major packing positions (host arithmetic;
+        # the data scatter below stays shard-local by construction)
+        shard_of = np.arange(n) // rows_per_shard
+        counts = np.zeros((self.n_shards, self.n_clusters), np.int64)
+        for s in range(self.n_shards):
+            mask = shard_of == s
+            counts[s] = np.bincount(assign[mask], minlength=self.n_clusters)
+        avg = max(1, int(counts.mean() * 2))
+        self.c_max = _round_up(avg, self.tile)
+        self.tiles_per_cluster = self.c_max // self.tile
+        packed_local = self.n_clusters * self.c_max  # rows per shard
+        self.packed_local = packed_local
+
+        pos = np.full(n, -1, np.int64)
+        tail: list[int] = []
+        for s in range(self.n_shards):
+            rows = np.where(shard_of == s)[0]
+            a = assign[rows]
+            order = np.argsort(a, kind="stable")
+            sorted_a = a[order]
+            starts = np.concatenate(
+                [[0], np.cumsum(counts[s])[:-1]]
+            )
+            within = np.arange(rows.shape[0]) - starts[sorted_a]
+            keep = within < self.c_max
+            pos[rows[order[keep]]] = (
+                s * packed_local + sorted_a[keep] * self.c_max + within[keep]
+            )
+            tail.extend(int(r) for r in rows[order[~keep]])
+        self._tail_rows = tail
+
+        kept = np.where(pos >= 0)[0]
+        packed_n = packed_local * self.n_shards
+        emb_shard = NamedSharding(self.mesh, P(AXIS_CORPUS, None))
+        col_shard = NamedSharding(self.mesh, P(None, AXIS_CORPUS))
+        jpos = jnp.asarray(pos[kept])
+        jrows = jnp.asarray(kept)
+        self.packed_emb = jax.device_put(
+            jnp.zeros((packed_n, flat.dim), self.dtype)
+            .at[jpos]
+            .set(flat._emb[jrows].astype(self.dtype)),
+            emb_shard,
+        )
+        self.packed_codes = jax.device_put(
+            jnp.full((2, packed_n), PAD_CODE, jnp.int32)
+            .at[:, jpos]
+            .set(flat._codes[:, jrows]),
+            col_shard,
+        )
+        self.packed_gids = jax.device_put(
+            jnp.full((1, packed_n), -1, jnp.int32)
+            .at[0, jpos]
+            .set(jrows.astype(jnp.int32)),
+            col_shard,
+        )
+        self.num_tiles_local = packed_local // self.tile
+
+    def rebuild(self) -> None:
+        self._build()
+
+    @property
+    def n_valid(self) -> int:
+        return self.flat.n_valid
+
+    # -- query ------------------------------------------------------------
+
+    def _tile_list(self, queries: jax.Array, budget: int) -> jax.Array:
+        """Batch-union probed LOCAL tile ids (identical on every shard)."""
+        scores = jnp.dot(
+            queries.astype(jnp.float32),
+            self.centroids.T.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        _, clusters = jax.lax.top_k(scores, self.nprobe)
+        tpc = self.tiles_per_cluster
+        tiles = (
+            clusters[..., None] * tpc + jnp.arange(tpc)[None, None, :]
+        ).reshape(-1)
+        return jnp.unique(tiles, size=budget, fill_value=-1).astype(jnp.int32)
+
+    def search_device(
+        self, query_vecs: jax.Array, query_filter: jax.Array, k: int
+    ) -> tuple[jax.Array, jax.Array]:
+        b = query_vecs.shape[0]
+        budget = min(
+            self.num_tiles_local, b * self.nprobe * self.tiles_per_cluster
+        )
+        q = query_vecs.astype(self.dtype)
+        tile_ids = self._tile_list(q, budget)
+        key = (k, budget)
+        fn = self._probe_cache.get(key)
+        if fn is None:
+            fn = make_sharded_ivf_probe(
+                self.mesh, k=k, tile=self.tile, probe_budget=budget
+            )
+            self._probe_cache[key] = fn
+        s, i = fn(
+            q, query_filter, self.packed_emb, self.packed_codes,
+            self.packed_gids, tile_ids,
+        )
+        if self._tail_rows:
+            s_t, i_t = self._search_tail(q, query_filter, k)
+            s = jnp.concatenate([s, s_t], axis=1)
+            i = jnp.concatenate([i, i_t], axis=1)
+            s, posn = jax.lax.top_k(s, k)
+            i = jnp.take_along_axis(i, posn, axis=1)
+        return s, i
+
+    def _search_tail(self, q, qf, k):
+        rows = np.asarray(self._tail_rows)
+        emb = self.flat._emb[jnp.asarray(rows)]
+        codes = self.flat._codes[:, jnp.asarray(rows)]
+        s, local = masked_topk_xla(
+            q, emb, codes, qf, len(rows), min(k, len(rows))
+        )
+        gids = jnp.where(s > NEG_INF, jnp.asarray(rows, jnp.int32)[local], -1)
+        return s, gids
+
+    # -- upserts go to the tail until rebuild ------------------------------
+
+    def upsert(self, ids, vectors, texts, payloads) -> int:
+        start = self.flat.n_valid
+        added = self.flat.upsert(ids, vectors, texts, payloads)
+        self._tail_rows.extend(range(start, self.flat.n_valid))
+        return added
