@@ -96,11 +96,15 @@ class ShardedFlatIndex(SearchMixin):
         dtype: jnp.dtype = jnp.bfloat16,
         use_pallas: bool = False,
     ):
+        from financial_rag_system_tpu.ops.topk import pallas_available
+
         self.mesh = mesh
         self.dim = dim
         self.tile = tile
         self.dtype = dtype
-        self.use_pallas = use_pallas
+        # construction-time gate: compiled Pallas kernels cannot lower on
+        # the CPU backend (same normalization as FlatIndex)
+        self.use_pallas = use_pallas and pallas_available()
         self.n_shards = mesh.shape[AXIS_CORPUS]
         per_shard = _round_up(
             max(capacity // self.n_shards, tile), tile

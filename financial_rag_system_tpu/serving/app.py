@@ -215,6 +215,32 @@ def build_default_engine(mode: str = "batched") -> RAGEngine:
     cfg = get_config()
     embedder = get_embedder(cfg.embed_dim)
     reranker = get_reranker(testing=cfg.testing)
+
+    import jax
+
+    if len(jax.devices()) > 1 and jax.process_count() == 1:
+        # single-process multi-device serving: shard the corpus over the
+        # mesh (the fused single-program path is per-chip — the sharded
+        # engine uses the staged shard_map pipeline instead).  Multi-
+        # PROCESS serving keeps per-host flat indexes for now: workers
+        # park (see main()) and do not participate in device_puts, so a
+        # global-mesh index cannot be materialized from the coordinator
+        # alone — cross-host sharded serving needs an op-broadcast
+        # control plane (future work).
+        from financial_rag_system_tpu.index.sharded import ShardedFlatIndex
+        from financial_rag_system_tpu.parallel.mesh import create_mesh
+
+        mesh = create_mesh(cfg.mesh_shape)
+        if os.path.exists(os.path.join(cfg.index_dir, "sharded_index.npz")):
+            index = ShardedFlatIndex.load(
+                cfg.index_dir, mesh, use_pallas=cfg.use_pallas
+            )
+        else:
+            index = ShardedFlatIndex(
+                mesh, cfg.embed_dim, tile=cfg.corpus_tile,
+                use_pallas=cfg.use_pallas,
+            )
+        return RAGEngine(cfg, index, embedder, reranker, mode=mode)
     # full model stack => keep a device token store so the fused
     # single-program pipeline can rerank without host round trips
     fused_capable = isinstance(embedder, BiEncoder) and isinstance(

@@ -371,13 +371,33 @@ class RAGEngine:
         from financial_rag_system_tpu.index.hnsw import HNSWIndex
         from financial_rag_system_tpu.index.ivf import IVFIndex
 
+        from financial_rag_system_tpu.index.sharded import ShardedFlatIndex
+        from financial_rag_system_tpu.index.sharded_ivf import ShardedIVFIndex
+
         current = type(self.index).__name__
         if self.index.n_valid == 0:
             return {"status": "noop", "reason": "index empty"}
         flat = getattr(self.index, "flat", self.index)
+        if isinstance(flat, ShardedFlatIndex):
+            # mesh-sharded corpus: the sub-linear tier is sharded IVF
+            # (HNSW's graph walk is per-chip; no sharded variant yet)
+            if tier == "hnsw":
+                return {
+                    "status": "error",
+                    "reason": "sharded indexes support the ivf tier only",
+                }
+            if isinstance(self.index, ShardedIVFIndex):
+                self.index.rebuild()
+            else:
+                self.index = ShardedIVFIndex(flat, tile=min(flat.tile, 128))
+            self._fused_fn = self._maybe_build_fused()
+            return {
+                "status": "ok",
+                "tier": type(self.index).__name__,
+                "clusters": self.index.n_clusters,
+                "tail_rows": len(self.index._tail_rows),
+            }
         if not isinstance(flat, FlatIndex):
-            # e.g. a mesh-sharded index: promoting it would collapse the
-            # sharded corpus onto one device — refuse, don't surprise
             return {"status": "noop", "reason": f"{current} has no tiers"}
         want = tier or {"IVFIndex": "ivf", "HNSWIndex": "hnsw"}.get(
             current, "ivf"

@@ -288,3 +288,39 @@ def test_sharded_index_persistence(tmp_path, rng):
     h1 = idx.search(v[7], ticker="AAPL", k=3)[0]
     h2 = idx2.search(v[7], ticker="AAPL", k=3)[0]
     assert [x["row"] for x in h1] == [x["row"] for x in h2]
+
+
+def test_build_default_engine_shards_on_multidevice(tmp_path, monkeypatch):
+    """Under the 8-virtual-device conftest mesh, the default engine
+    shards the corpus; the ivf tier promotes to the sharded variant."""
+    import asyncio
+
+    import numpy as np
+
+    from financial_rag_system_tpu.index.sharded import ShardedFlatIndex
+    from financial_rag_system_tpu.index.sharded_ivf import ShardedIVFIndex
+    from financial_rag_system_tpu.serving.app import build_default_engine
+    from financial_rag_system_tpu.utils.config import reset_config
+
+    monkeypatch.setenv("INDEX_DIR", str(tmp_path / "index"))
+    monkeypatch.setenv("DATABASE_URL", str(tmp_path / "cache.db"))
+    reset_config()
+    try:
+        eng = build_default_engine(mode="sequential")
+        assert isinstance(eng.index, ShardedFlatIndex)
+        rng = np.random.default_rng(0)
+        texts = [f"sharded default chunk {i}" for i in range(300)]
+        vecs = eng.embedder.encode(texts)
+        eng.index.upsert(
+            [f"p{i}" for i in range(300)], vecs, texts,
+            [{"ticker": "AAPL", "document_type": "10-K"}] * 300,
+        )
+        out = eng.rebuild_index("ivf")
+        assert out["status"] == "ok" and out["tier"] == "ShardedIVFIndex"
+        assert isinstance(eng.index, ShardedIVFIndex)
+        out = eng.rebuild_index("hnsw")
+        assert out["status"] == "error"
+        resp = asyncio.run(eng.ask("sharded default chunk 7", "AAPL"))
+        assert resp["sources"]
+    finally:
+        reset_config()
