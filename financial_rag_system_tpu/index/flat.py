@@ -53,11 +53,19 @@ class FlatIndex(SearchMixin):
 
         self.dim = dim
         self.tile = tile
-        self.dtype = dtype
+        self.dtype = jnp.dtype(dtype)
+        # int8 mode: rows are L2-normalized then symmetrically quantized
+        # (round(v*127)); queries take the same treatment, so scores are
+        # cosine * 127^2 — a constant scale that leaves ranking intact
+        # while halving HBM again vs bf16 (~20M chunks/chip)
+        self.quantized = self.dtype == jnp.int8
         # normalize at construction so every consumer (flat search, the
         # engine's fused single-program path) sees a flag that is safe to
-        # dispatch on — Pallas cannot lower compiled kernels on CPU
-        self.use_pallas = use_pallas and pallas_available()
+        # dispatch on — Pallas cannot lower compiled kernels on CPU.
+        # int8 through the Pallas kernel is pending TPU validation.
+        self.use_pallas = (
+            use_pallas and pallas_available() and not self.quantized
+        )
         self.capacity = _round_up(max(capacity, tile), tile)
         self.store = DocumentStore()
         self._emb = jnp.zeros((self.capacity, dim), dtype=dtype)
@@ -109,6 +117,8 @@ class FlatIndex(SearchMixin):
         vecs = np.asarray(vectors, np.float32)
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         vecs = vecs / np.maximum(norms, 1e-12)
+        if self.quantized:
+            vecs = np.clip(np.rint(vecs * 127.0), -127, 127)
 
         rows, code_rows, new_count = [], [], 0
         for pid, text, payload in zip(ids, texts, payloads):
@@ -163,7 +173,7 @@ class FlatIndex(SearchMixin):
     ) -> tuple[jax.Array, jax.Array]:
         """Device-level search: (B, D) x (B, 2) codes -> (B, k) scores/rows."""
         return masked_topk(
-            query_vecs.astype(self.dtype),
+            self.prep_queries(query_vecs),
             self._emb,
             self._codes,
             query_filter,
@@ -172,6 +182,14 @@ class FlatIndex(SearchMixin):
             tile=self.tile,
             use_pallas=self.use_pallas,
         )
+
+    def prep_queries(self, query_vecs):
+        """Match queries to the corpus representation (cast, or the same
+        symmetric int8 quantization as the rows)."""
+        if self.quantized:
+            q = query_vecs.astype(jnp.float32) * 127.0
+            return jnp.clip(jnp.round(q), -127, 127).astype(jnp.int8)
+        return query_vecs.astype(self.dtype)
 
     # search()/search_batch() come from SearchMixin.
 
@@ -182,7 +200,10 @@ class FlatIndex(SearchMixin):
             "emb": np.asarray(self._emb, np.float32),
             "codes": np.asarray(self._codes),
             "meta": np.asarray(
-                [self.dim, self.tile, self.capacity, self.token_store_len or 0]
+                [
+                    self.dim, self.tile, self.capacity,
+                    self.token_store_len or 0, int(self.quantized),
+                ]
             ),
         }
         if self._doc_tok is not None:
@@ -198,9 +219,11 @@ class FlatIndex(SearchMixin):
         meta = [int(x) for x in data["meta"]]
         dim, tile, capacity = meta[:3]
         dlen = meta[3] if len(meta) > 3 and meta[3] else None
+        quantized = bool(meta[4]) if len(meta) > 4 else False
         idx = FlatIndex(
             dim, capacity=capacity, tile=tile, use_pallas=use_pallas,
             token_store_len=dlen, tokenizer=tokenizer,
+            dtype=jnp.int8 if quantized else jnp.bfloat16,
         )
         idx._emb = jnp.asarray(data["emb"], idx.dtype)
         idx._codes = jnp.asarray(data["codes"])

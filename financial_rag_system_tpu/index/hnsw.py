@@ -326,8 +326,15 @@ class HNSWIndex(SearchMixin):
         self, query_vecs: jax.Array, query_filter: jax.Array, k: int
     ) -> tuple[jax.Array, jax.Array]:
         adj_pad, entries, pad_id, ef = self._graph_state  # one atomic read
+        # quantized corpora need quantized queries so walk scores and the
+        # tail's scores share one scale (cos * 127^2) and merge correctly
+        qp = (
+            self.flat.prep_queries(query_vecs)
+            if getattr(self.flat, "quantized", False)
+            else query_vecs.astype(jnp.float32)
+        )
         s, i = hnsw_walk(
-            query_vecs.astype(jnp.float32),
+            qp,
             query_filter,
             self.flat._emb,   # live arrays: upserted tail rows are
             self.flat._codes,  # unreachable from the frozen adjacency
@@ -340,7 +347,7 @@ class HNSWIndex(SearchMixin):
             pad_id=pad_id,
         )
         if self._tail_rows:
-            s_t, i_t = self._search_tail(query_vecs, query_filter, k)
+            s_t, i_t = self._search_tail(qp, query_filter, k)
             s = jnp.concatenate([s, s_t], axis=1)
             i = jnp.concatenate([i, i_t], axis=1)
             s, pos = jax.lax.top_k(s, k)

@@ -291,7 +291,12 @@ class IVFIndex(SearchMixin):
             cent, assign = spherical_kmeans(
                 vecs, self.n_clusters, iters=self.kmeans_iters
             )
-        self.centroids = cent.astype(self.dtype)
+        # centroid values are unit-norm floats: an int8 cast would
+        # truncate them to 0/±1, so quantized indexes keep bf16 centroids
+        cent_dtype = jnp.bfloat16 if getattr(
+            self.flat, "quantized", False
+        ) else self.dtype
+        self.centroids = cent.astype(cent_dtype)
         # only the (N,) assignment crosses to the host; the corpus
         # embeddings are packed in HBM by a device scatter — at the 1M
         # tier a host round trip here is ~1.5 GB each way
@@ -373,7 +378,7 @@ class IVFIndex(SearchMixin):
         budget = min(
             self.num_tiles, b * self.nprobe * self.tiles_per_cluster
         )
-        q = query_vecs.astype(self.dtype)
+        q = self.flat.prep_queries(query_vecs)
         tile_ids = self._tile_list(q, budget)
         on_tpu = jax.devices()[0].platform == "tpu"
         if self.flat.use_pallas and on_tpu:

@@ -98,6 +98,9 @@ class ShardedFlatIndex(SearchMixin):
     ):
         from financial_rag_system_tpu.ops.topk import pallas_available
 
+        assert jnp.dtype(dtype) != jnp.int8, (
+            "int8 quantization is not wired into the sharded tier yet"
+        )
         self.mesh = mesh
         self.dim = dim
         self.tile = tile

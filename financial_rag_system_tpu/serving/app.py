@@ -267,9 +267,12 @@ def build_default_engine(mode: str = "batched") -> RAGEngine:
                     print(f"ignoring persisted {klass.__name__}: {exc}")
                 break
     else:
+        import jax.numpy as jnp
+
         index = FlatIndex(
             cfg.embed_dim, tile=cfg.corpus_tile, use_pallas=cfg.use_pallas,
             token_store_len=dlen, tokenizer=tok,
+            dtype=jnp.dtype(cfg.index_dtype),
         )
     return RAGEngine(cfg, index, embedder, reranker, mode=mode)
 

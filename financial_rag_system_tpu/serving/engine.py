@@ -105,6 +105,10 @@ class RAGEngine:
         self._fused_kind = None
         if not isinstance(self.index, FlatIndex):
             return None
+        if getattr(self.index, "quantized", False):
+            # the fused programs cast query vectors with the corpus dtype;
+            # int8 fusion is pending — staged path handles quantized indexes
+            return None
         if (
             isinstance(self.embedder, BiEncoder)
             and isinstance(self.reranker, CrossEncoderReranker)

@@ -84,6 +84,7 @@ class Config:
     mesh_shape: str = ""            # e.g. "data:2,corpus:4"; "" = all devices on corpus
     compute_dtype: str = "bfloat16"
     use_pallas: bool = True         # False => pure-XLA fallback paths
+    index_dtype: str = "bfloat16"   # corpus storage: bfloat16 | int8
     corpus_tile: int = 1024         # corpus rows per Pallas grid step
     max_corpus: int = 1 << 20       # index capacity before growth
     token_store_len: int = 192      # device token store width (fused rerank)
@@ -110,6 +111,7 @@ class Config:
             scheduler_time=os.environ.get("SCHEDULER_TIME", "00:00"),
             mesh_shape=os.environ.get("RAG_TPU_MESH", ""),
             use_pallas=_env_bool("RAG_TPU_USE_PALLAS", True),
+            index_dtype=os.environ.get("RAG_TPU_INDEX_DTYPE", "bfloat16"),
             corpus_tile=_env_int("RAG_TPU_CORPUS_TILE", 1024),
             batch_window_s=_env_float("RAG_TPU_BATCH_WINDOW_S", 0.05),
             max_batch_size=_env_int("RAG_TPU_MAX_BATCH", 32),
