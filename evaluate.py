@@ -45,7 +45,10 @@ def build_index(n_chunks: int, embedder, use_pallas: bool):
     return index
 
 
-def run_evaluation(k: int = 5, n_chunks: int = 2048, two_stage: bool = False):
+def run_evaluation(
+    k: int = 5, n_chunks: int = 2048, two_stage: bool = False,
+    tier: str = "flat",
+):
     from financial_rag_system_tpu.data.synthetic import GOLDEN_SET
     from financial_rag_system_tpu.models.embedder import get_embedder
     from financial_rag_system_tpu.models.reranker import get_reranker
@@ -60,6 +63,16 @@ def run_evaluation(k: int = 5, n_chunks: int = 2048, two_stage: bool = False):
     else:
         index = build_index(n_chunks, embedder, use_pallas)
         print(f"built synthetic corpus: {index.n_valid} chunks")
+    if tier == "ivf":
+        from financial_rag_system_tpu.index.ivf import IVFIndex
+
+        index = IVFIndex(index, tile=min(index.tile, 128))
+        print(f"ivf tier: {index.n_clusters} clusters, nprobe={index.nprobe}")
+    elif tier == "hnsw":
+        from financial_rag_system_tpu.index.hnsw import HNSWIndex
+
+        index = HNSWIndex(index)
+        print(f"hnsw tier: ef={index.ef}, native={index.native_built}")
     reranker = get_reranker() if two_stage else None
 
     hits, rrs, total_latency = 0, [], 0.0
@@ -104,5 +117,7 @@ if __name__ == "__main__":
     ap.add_argument("--k", type=int, default=5)
     ap.add_argument("--corpus", type=int, default=2048)
     ap.add_argument("--two-stage", action="store_true")
+    ap.add_argument("--tier", choices=("flat", "ivf", "hnsw"), default="flat",
+                    help="index tier under evaluation")
     args = ap.parse_args()
-    run_evaluation(args.k, args.corpus, args.two_stage)
+    run_evaluation(args.k, args.corpus, args.two_stage, tier=args.tier)

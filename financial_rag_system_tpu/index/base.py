@@ -32,8 +32,15 @@ class SearchMixin:
     store: Any  # DocumentStore
 
     def search_device(
-        self, query_vecs: jax.Array, query_filter: jax.Array, k: int
+        self,
+        query_vecs: jax.Array,
+        query_filter: jax.Array,
+        k: int,
+        *,
+        host_codes: list[tuple[int, int]] | None = None,
     ) -> tuple[jax.Array, jax.Array]:
+        """host_codes mirrors query_filter on the host so engines can make
+        selectivity decisions without a device round-trip."""
         raise NotImplementedError
 
     def _hits(self, scores: np.ndarray, rows: np.ndarray) -> list[list[dict]]:
@@ -73,7 +80,8 @@ class SearchMixin:
         codes = [self.store.query_codes(t, d) for t, d in filters]
         codes += [(-3, -3)] * (bpad - b)  # padding queries match nothing
         scores, rows = self.search_device(
-            jnp.asarray(q), jnp.asarray(codes, jnp.int32), k
+            jnp.asarray(q), jnp.asarray(codes, jnp.int32), k,
+            host_codes=codes,
         )
         return self._hits(np.asarray(scores)[:b], np.asarray(rows)[:b])
 

@@ -170,6 +170,8 @@ class FlatIndex(SearchMixin):
         query_vecs: jax.Array,
         query_filter: jax.Array,
         k: int,
+        *,
+        host_codes=None,
     ) -> tuple[jax.Array, jax.Array]:
         """Device-level search: (B, D) x (B, 2) codes -> (B, k) scores/rows."""
         return masked_topk(

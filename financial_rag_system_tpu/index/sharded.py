@@ -175,7 +175,10 @@ class ShardedFlatIndex(SearchMixin):
         )
         return new_count
 
-    def search_device(self, query_vecs: jax.Array, query_filter: jax.Array, k: int):
+    def search_device(
+        self, query_vecs: jax.Array, query_filter: jax.Array, k: int,
+        *, host_codes=None,
+    ):
         fn = self._search_cache.get(k)
         if fn is None:
             fn = make_sharded_search(

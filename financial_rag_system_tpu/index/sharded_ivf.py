@@ -228,7 +228,8 @@ class ShardedIVFIndex(SearchMixin):
         return jnp.unique(tiles, size=budget, fill_value=-1).astype(jnp.int32)
 
     def search_device(
-        self, query_vecs: jax.Array, query_filter: jax.Array, k: int
+        self, query_vecs: jax.Array, query_filter: jax.Array, k: int,
+        *, host_codes=None,
     ) -> tuple[jax.Array, jax.Array]:
         b = query_vecs.shape[0]
         budget = min(

@@ -211,3 +211,28 @@ def test_rebuild_keeps_tail_visible_until_swap():
     assert not hx._tail_rows
     hits = hx.search_batch(nv, [("NVDA", None)], k=3)[0]
     assert hits and hits[0]["ticker"] == "NVDA"  # now in the graph
+
+
+def test_selective_filter_exact_path():
+    """A minority ticker (5% of rows) must not lose recall to the walk."""
+    rng = np.random.default_rng(11)
+    v = _corpus(rng, n=2000)
+    flat = FlatIndex(dim=64, capacity=2000, tile=128, use_pallas=False)
+    flat.upsert(
+        [f"p{i}" for i in range(2000)], v, [f"text {i}" for i in range(2000)],
+        [
+            {"ticker": "RARE" if i % 20 == 0 else "COMMON",
+             "document_type": "10-K"}
+            for i in range(2000)
+        ],
+    )
+    hx = HNSWIndex(flat, m=16, ef=64, frontier=4)
+    q = _queries(rng, b=8)
+    fh = flat.search_batch(q, [("RARE", None)] * 8, k=10)
+    hh = hx.search_batch(q, [("RARE", None)] * 8, k=10)
+    assert all(h["ticker"] == "RARE" for hl in hh for h in hl)
+    assert _recall(hh, fh, 10) == 1.0  # exact path: full recall
+    # no duplicate rows when a row reaches both the walk and the list
+    for hl in hh:
+        rows = [h["row"] for h in hl]
+        assert len(rows) == len(set(rows))
