@@ -28,6 +28,52 @@ def _bucket(b: int) -> int:
     return ((b + 127) // 128) * 128
 
 
+def merge_candidates(
+    s: jax.Array, i: jax.Array, extras, k: int
+) -> tuple[jax.Array, jax.Array]:
+    """Merge (B,k) primary results with extra (scores, ids) candidate sets,
+    masking duplicate (query, row) pairs BEFORE the final top-k so a row
+    reached by two paths can't crowd out distinct rows.  Candidate width
+    stays O(k * paths), so the pairwise compare is tiny."""
+    import jax.numpy as jnp
+
+    from financial_rag_system_tpu.ops.topk import NEG_INF
+
+    if not extras:
+        return s, i
+    for s_e, i_e in extras:
+        s = jnp.concatenate([s, s_e], axis=1)
+        i = jnp.concatenate([i, i_e], axis=1)
+    eq = (i[:, :, None] == i[:, None, :]) & (i[:, :, None] >= 0)
+    earlier = jnp.tril(jnp.ones_like(eq, dtype=bool), k=-1)
+    is_dup = jnp.any(eq & earlier, axis=2)
+    s = jnp.where(is_dup, NEG_INF, s)
+    i = jnp.where(is_dup, -1, i)
+    s, pos = jax.lax.top_k(s, k)
+    i = jnp.take_along_axis(i, pos, axis=1)
+    return s, i
+
+
+def selective_rows(
+    rows_by_ticker: dict[int, "np.ndarray"],
+    host_codes,
+    limit: int,
+) -> "np.ndarray | None":
+    """Union of the batch's inverted lists for filters selective enough
+    to score exactly (<= limit matching rows); None when no query
+    qualifies."""
+    if not host_codes:
+        return None
+    union = []
+    for tcode, _dt in host_codes:
+        rows = rows_by_ticker.get(int(tcode))
+        if rows is not None and len(rows) <= limit:
+            union.append(rows)
+    if not union:
+        return None
+    return np.unique(np.concatenate(union))
+
+
 class SearchMixin:
     store: Any  # DocumentStore
 

@@ -367,40 +367,24 @@ class HNSWIndex(SearchMixin):
             frontier=self.frontier,
             pad_id=pad_id,
         )
+        from financial_rag_system_tpu.index.base import (
+            merge_candidates,
+            selective_rows,
+        )
+
         extras = []
         # exact path for selective filters: union of the batch's small
         # inverted lists, one gather + masked top-k, merged with the walk
-        if host_codes:
-            union: list[np.ndarray] = []
-            for tcode, _dt in host_codes:
-                rows = rows_by_ticker.get(int(tcode))
-                if rows is not None and len(rows) <= self.SELECTIVE_LIMIT:
-                    union.append(rows)
-            if union:
-                rows = np.unique(np.concatenate(union))
-                extras.append(self._score_rows(rows, qp, query_filter, k))
+        rows = selective_rows(rows_by_ticker, host_codes, self.SELECTIVE_LIMIT)
+        if rows is not None:
+            extras.append(self._score_rows(rows, qp, query_filter, k))
         if self._tail_rows:
             extras.append(
                 self._score_rows(
                     np.asarray(self._tail_rows), qp, query_filter, k
                 )
             )
-        if extras:
-            for s_e, i_e in extras:
-                s = jnp.concatenate([s, s_e], axis=1)
-                i = jnp.concatenate([i, i_e], axis=1)
-            # a row can appear in both the walk results and an exact list:
-            # mask all but the first occurrence BEFORE the final top-k so
-            # duplicates can't crowd out distinct rows (candidate width is
-            # at most 3k, so the pairwise compare is tiny)
-            eq = (i[:, :, None] == i[:, None, :]) & (i[:, :, None] >= 0)
-            earlier = jnp.tril(jnp.ones_like(eq, dtype=bool), k=-1)
-            is_dup = jnp.any(eq & earlier, axis=2)
-            s = jnp.where(is_dup, NEG_INF, s)
-            i = jnp.where(is_dup, -1, i)
-            s, pos = jax.lax.top_k(s, k)
-            i = jnp.take_along_axis(i, pos, axis=1)
-        return s, i
+        return merge_candidates(s, i, extras, k)
 
     def _score_rows(self, rows: np.ndarray, qp, qf, k):
         emb = self.flat._emb[jnp.asarray(rows)]

@@ -226,6 +226,10 @@ def ivf_probe_xla(
 class IVFIndex(SearchMixin):
     """Sub-linear tier built from (and sharing the store of) a FlatIndex."""
 
+    # filters matching at most this many packed rows bypass probing and
+    # are scored exactly over their inverted list (see search_device)
+    SELECTIVE_LIMIT = 8192
+
     def __init__(
         self,
         flat,
@@ -308,6 +312,12 @@ class IVFIndex(SearchMixin):
         flat = self.flat
         n = assign.shape[0]
         self._assign = assign.astype(np.int32)
+        # inverted lists per ticker code for the selective-filter path
+        codes0 = np.asarray(flat._codes[0, :n])
+        self._rows_by_ticker = {
+            int(c): np.where(codes0 == c)[0].astype(np.int32)
+            for c in np.unique(codes0)
+        }
         packed_n = self.n_clusters * self.c_max
         # cluster-major packing: stable-sort rows by cluster, compute each
         # row's within-cluster rank, spill ranks >= c_max to the tail
@@ -393,17 +403,30 @@ class IVFIndex(SearchMixin):
                 q, query_filter, self.packed_emb, self.packed_codes,
                 self.packed_gids, tile_ids, k, tile=self.tile,
             )
-        if self._tail_rows:
-            s_t, i_t = self._search_tail(q, query_filter, k)
-            s = jnp.concatenate([s, s_t], axis=1)
-            i = jnp.concatenate([i, i_t], axis=1)
-            top_s, pos = jax.lax.top_k(s, k)
-            i = jnp.take_along_axis(i, pos, axis=1)
-            return top_s, i
-        return s, i
+        from financial_rag_system_tpu.index.base import (
+            merge_candidates,
+            selective_rows,
+        )
 
-    def _search_tail(self, q, qf, k):
-        rows = np.asarray(self._tail_rows)
+        extras = []
+        # same cardinality strategy as the HNSW tier: selective filters
+        # are scored exactly over their inverted lists — cluster probing
+        # can miss matching rows whose clusters the query doesn't probe
+        rows = selective_rows(
+            self._rows_by_ticker, host_codes, self.SELECTIVE_LIMIT
+        )
+        if rows is not None:
+            extras.append(self._score_rows(rows, q, query_filter, k))
+        if self._tail_rows:
+            extras.append(
+                self._score_rows(np.asarray(self._tail_rows), q,
+                                 query_filter, k)
+            )
+        return merge_candidates(s, i, extras, k)
+
+    def _score_rows(self, rows: np.ndarray, q, qf, k):
+        """Exact masked top-k over an explicit row subset (tail or the
+        selective-filter inverted lists)."""
         emb = self.flat._emb[jnp.asarray(rows)]
         codes = self.flat._codes[:, jnp.asarray(rows)]
         s, local = masked_topk_xla(q, emb, codes, qf, len(rows), min(k, len(rows)))
