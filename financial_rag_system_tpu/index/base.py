@@ -58,20 +58,65 @@ def selective_rows(
     rows_by_ticker: dict[int, "np.ndarray"],
     host_codes,
     limit: int,
+    *,
+    batch_limit: int | None = None,
 ) -> "np.ndarray | None":
     """Union of the batch's inverted lists for filters selective enough
     to score exactly (<= limit matching rows); None when no query
-    qualifies."""
+    qualifies.
+
+    ``batch_limit`` caps the exact-scored union for the whole batch
+    (default 4x the per-filter limit): smallest lists first, larger ones
+    fall back to the ANN path — otherwise a 32-query batch of distinct
+    near-limit tickers would brute-force a quarter of a 1M corpus.
+    """
     if not host_codes:
         return None
-    union = []
+    lists = []
+    seen: set[int] = set()
     for tcode, _dt in host_codes:
-        rows = rows_by_ticker.get(int(tcode))
-        if rows is not None and len(rows) <= limit:
-            union.append(rows)
-    if not union:
+        code = int(tcode)
+        rows = rows_by_ticker.get(code)
+        if rows is not None and len(rows) <= limit and code not in seen:
+            seen.add(code)
+            lists.append(rows)
+    if not lists:
         return None
+    cap = batch_limit if batch_limit is not None else 4 * limit
+    lists.sort(key=len)
+    union, total = [], 0
+    for rows in lists:
+        if total + len(rows) > cap and union:
+            break
+        union.append(rows)
+        total += len(rows)
     return np.unique(np.concatenate(union))
+
+
+def build_ticker_lists(flat, n: int) -> dict[int, "np.ndarray"]:
+    """Inverted row lists per ticker code over rows [0, n) — one (n,)
+    int32 host readback per build."""
+    codes0 = np.asarray(flat._codes[0, :n])
+    return {
+        int(c): np.where(codes0 == c)[0].astype(np.int32)
+        for c in np.unique(codes0)
+    }
+
+
+def score_rows(flat, rows: "np.ndarray", q_prepped, qf, k):
+    """Exact masked top-k over an explicit row subset of a flat index
+    (tail rows or selective-filter inverted lists).  ``q_prepped`` must
+    already match the corpus representation (see FlatIndex.prep_queries)
+    so scores share the ANN path's scale."""
+    from financial_rag_system_tpu.ops.topk import NEG_INF, masked_topk_xla
+
+    emb = flat._emb[jnp.asarray(rows)]
+    codes = flat._codes[:, jnp.asarray(rows)]
+    s, local = masked_topk_xla(
+        q_prepped, emb, codes, qf, len(rows), min(k, len(rows))
+    )
+    gids = jnp.where(s > NEG_INF, jnp.asarray(rows, jnp.int32)[local], -1)
+    return s, gids
 
 
 class SearchMixin:

@@ -287,14 +287,12 @@ class HNSWIndex(SearchMixin):
         )
         ef = max(self.ef, int(entries.shape[0]))
         self._host_graph = (np.asarray(adj, np.int32), np.asarray(entries))
+        from financial_rag_system_tpu.index.base import build_ticker_lists
+
         # inverted lists per ticker code over the graph rows: highly
         # selective filters bypass the walk (see search_device) — the
         # standard fix for filtered-ANN recall collapse at low selectivity
-        codes0 = np.asarray(flat._codes[0, :n])
-        rows_by_ticker = {
-            int(c): np.where(codes0 == c)[0].astype(np.int32)
-            for c in np.unique(codes0)
-        }
+        rows_by_ticker = build_ticker_lists(flat, n)
         # one-tuple snapshot: concurrent searches read a consistent
         # (adjacency, entries, sentinel, ef, inverted-lists) state
         return (adj_pad, jnp.asarray(entries, jnp.int32), n, ef, rows_by_ticker)
@@ -369,6 +367,7 @@ class HNSWIndex(SearchMixin):
         )
         from financial_rag_system_tpu.index.base import (
             merge_candidates,
+            score_rows,
             selective_rows,
         )
 
@@ -377,24 +376,15 @@ class HNSWIndex(SearchMixin):
         # inverted lists, one gather + masked top-k, merged with the walk
         rows = selective_rows(rows_by_ticker, host_codes, self.SELECTIVE_LIMIT)
         if rows is not None:
-            extras.append(self._score_rows(rows, qp, query_filter, k))
+            extras.append(score_rows(self.flat, rows, qp, query_filter, k))
         if self._tail_rows:
             extras.append(
-                self._score_rows(
-                    np.asarray(self._tail_rows), qp, query_filter, k
+                score_rows(
+                    self.flat, np.asarray(self._tail_rows), qp,
+                    query_filter, k,
                 )
             )
         return merge_candidates(s, i, extras, k)
-
-    def _score_rows(self, rows: np.ndarray, qp, qf, k):
-        emb = self.flat._emb[jnp.asarray(rows)]
-        codes = self.flat._codes[:, jnp.asarray(rows)]
-        s, local = masked_topk_xla(
-            qp.astype(self.flat.dtype), emb, codes, qf, len(rows),
-            min(k, len(rows)),
-        )
-        gids = jnp.where(s > NEG_INF, jnp.asarray(rows, jnp.int32)[local], -1)
-        return s, gids
 
     # -- upserts go to the flat tail until rebuild -----------------------
 

@@ -254,8 +254,7 @@ class IVFIndex(SearchMixin):
         self.c_max = ((want + tile - 1) // tile) * tile
         self.tiles_per_cluster = self.c_max // tile
         self.kmeans_iters = kmeans_iters
-        self._tail_rows: list[int] = []
-        self._build()
+        self._state, self._tail_rows = self._build()
 
     # -- build ----------------------------------------------------------
 
@@ -264,7 +263,8 @@ class IVFIndex(SearchMixin):
     # these cluster counts and keeps the k-means program size bounded.
     KMEANS_SAMPLE = 131072
 
-    def _build(self) -> None:
+    def _build(self):
+        """k-means + packing; returns (state, tail) for an atomic swap."""
         flat = self.flat
         n = flat.n_valid
         vecs = flat._emb[:n].astype(jnp.float32)
@@ -295,29 +295,29 @@ class IVFIndex(SearchMixin):
             cent, assign = spherical_kmeans(
                 vecs, self.n_clusters, iters=self.kmeans_iters
             )
-        # centroid values are unit-norm floats: an int8 cast would
-        # truncate them to 0/±1, so quantized indexes keep bf16 centroids
-        cent_dtype = jnp.bfloat16 if getattr(
-            self.flat, "quantized", False
-        ) else self.dtype
-        self.centroids = cent.astype(cent_dtype)
         # only the (N,) assignment crosses to the host; the corpus
         # embeddings are packed in HBM by a device scatter — at the 1M
         # tier a host round trip here is ~1.5 GB each way
-        self._pack(np.asarray(assign))
+        return self._pack(np.asarray(assign), np.asarray(cent, np.float32))
 
-    def _pack(self, assign: np.ndarray) -> None:
+    def _pack(self, assign: np.ndarray, cent: np.ndarray):
         """Cluster-major packing of rows [0, len(assign)) from an
-        assignment vector — shared by fresh builds and persisted loads."""
+        assignment vector — shared by fresh builds and persisted loads.
+        Returns (state, tail): one tuple so concurrent searches read a
+        consistent (centroids, packing, inverted-lists) snapshot while
+        ``rebuild`` replaces it."""
+        from financial_rag_system_tpu.index.base import build_ticker_lists
+
         flat = self.flat
         n = assign.shape[0]
-        self._assign = assign.astype(np.int32)
-        # inverted lists per ticker code for the selective-filter path
-        codes0 = np.asarray(flat._codes[0, :n])
-        self._rows_by_ticker = {
-            int(c): np.where(codes0 == c)[0].astype(np.int32)
-            for c in np.unique(codes0)
-        }
+        assign = assign.astype(np.int32)
+        # centroid values are unit-norm floats: an int8 cast would
+        # truncate them to ~zeros, so quantized indexes keep bf16 centroids
+        cent_dtype = jnp.bfloat16 if getattr(
+            flat, "quantized", False
+        ) else self.dtype
+        centroids = jnp.asarray(cent).astype(cent_dtype)
+        rows_by_ticker = build_ticker_lists(flat, n)
         packed_n = self.n_clusters * self.c_max
         # cluster-major packing: stable-sort rows by cluster, compute each
         # row's within-cluster rank, spill ranks >= c_max to the tail
@@ -331,30 +331,63 @@ class IVFIndex(SearchMixin):
         pos = jnp.asarray(sorted_assign[keep] * self.c_max + within[keep])
         # cluster-overflow spills plus any rows past the packed range
         # (rows upserted after a persisted build) — all brute-forced
-        self._tail_rows = [int(r) for r in order[~keep]] + list(
-            range(n, flat.n_valid)
-        )
+        tail = [int(r) for r in order[~keep]] + list(range(n, flat.n_valid))
 
-        self.packed_emb = (
+        packed_emb = (
             jnp.zeros((packed_n, flat._emb.shape[1]), self.dtype)
             .at[pos]
             .set(flat._emb[rows_kept].astype(self.dtype))
         )
-        self.packed_codes = (
+        packed_codes = (
             jnp.full((2, packed_n), PAD_CODE, jnp.int32)
             .at[:, pos]
             .set(flat._codes[:, rows_kept])
         )
-        self.packed_gids = (
+        packed_gids = (
             jnp.full((1, packed_n), -1, jnp.int32)
             .at[0, pos]
             .set(rows_kept.astype(jnp.int32))
         )
-        self.num_tiles = packed_n // self.tile
+        state = (
+            centroids, packed_emb, packed_codes, packed_gids,
+            rows_by_ticker, assign,
+        )
+        return state, tail
+
+    # attribute views over the atomic snapshot
+    @property
+    def centroids(self):
+        return self._state[0]
+
+    @property
+    def packed_emb(self):
+        return self._state[1]
+
+    @property
+    def packed_codes(self):
+        return self._state[2]
+
+    @property
+    def packed_gids(self):
+        return self._state[3]
+
+    @property
+    def _rows_by_ticker(self):
+        return self._state[4]
+
+    @property
+    def _assign(self):
+        return self._state[5]
+
+    @property
+    def num_tiles(self) -> int:
+        return self.n_clusters * self.c_max // self.tile
 
     def rebuild(self) -> None:
-        """Fold tail/new rows back into the clustered layout."""
-        self._build()
+        """Fold tail/new rows back into the clustered layout.  The old
+        packing keeps serving during the build; the swap is one tuple
+        assignment."""
+        self._state, self._tail_rows = self._build()
 
     @property
     def n_valid(self) -> int:
@@ -367,11 +400,13 @@ class IVFIndex(SearchMixin):
 
     # -- query ------------------------------------------------------------
 
-    def _tile_list(self, queries: jax.Array, budget: int) -> jax.Array:
+    def _tile_list(
+        self, queries: jax.Array, budget: int, centroids: jax.Array
+    ) -> jax.Array:
         """Batch-union probed tile ids, -1 padded to ``budget``."""
         scores = jnp.dot(
             queries.astype(jnp.float32),
-            self.centroids.T.astype(jnp.float32),
+            centroids.T.astype(jnp.float32),
             preferred_element_type=jnp.float32,
         )
         _, clusters = jax.lax.top_k(scores, self.nprobe)  # (B, nprobe)
@@ -385,55 +420,45 @@ class IVFIndex(SearchMixin):
         self, query_vecs: jax.Array, query_filter: jax.Array, k: int,
         *, host_codes=None,
     ) -> tuple[jax.Array, jax.Array]:
+        from financial_rag_system_tpu.index.base import (
+            merge_candidates,
+            score_rows,
+            selective_rows,
+        )
+
+        state = self._state  # one atomic read: packing stays consistent
+        centroids, packed_emb, packed_codes, packed_gids, rbt, _ = state
+        tail = self._tail_rows
         b = query_vecs.shape[0]
         budget = min(
             self.num_tiles, b * self.nprobe * self.tiles_per_cluster
         )
         q = self.flat.prep_queries(query_vecs)
-        tile_ids = self._tile_list(q, budget)
+        tile_ids = self._tile_list(q, budget, centroids)
         on_tpu = jax.devices()[0].platform == "tpu"
         if self.flat.use_pallas and on_tpu:
             s, i = ivf_probe_pallas(
-                q, query_filter, self.packed_emb, self.packed_codes,
-                self.packed_gids, tile_ids, k,
+                q, query_filter, packed_emb, packed_codes,
+                packed_gids, tile_ids, k,
                 tile=self.tile, probe_budget=budget,
             )
         else:
             s, i = ivf_probe_xla(
-                q, query_filter, self.packed_emb, self.packed_codes,
-                self.packed_gids, tile_ids, k, tile=self.tile,
+                q, query_filter, packed_emb, packed_codes,
+                packed_gids, tile_ids, k, tile=self.tile,
             )
-        from financial_rag_system_tpu.index.base import (
-            merge_candidates,
-            selective_rows,
-        )
-
         extras = []
         # same cardinality strategy as the HNSW tier: selective filters
         # are scored exactly over their inverted lists — cluster probing
         # can miss matching rows whose clusters the query doesn't probe
-        rows = selective_rows(
-            self._rows_by_ticker, host_codes, self.SELECTIVE_LIMIT
-        )
+        rows = selective_rows(rbt, host_codes, self.SELECTIVE_LIMIT)
         if rows is not None:
-            extras.append(self._score_rows(rows, q, query_filter, k))
-        if self._tail_rows:
+            extras.append(score_rows(self.flat, rows, q, query_filter, k))
+        if tail:
             extras.append(
-                self._score_rows(np.asarray(self._tail_rows), q,
-                                 query_filter, k)
+                score_rows(self.flat, np.asarray(tail), q, query_filter, k)
             )
         return merge_candidates(s, i, extras, k)
-
-    def _score_rows(self, rows: np.ndarray, q, qf, k):
-        """Exact masked top-k over an explicit row subset (tail or the
-        selective-filter inverted lists)."""
-        emb = self.flat._emb[jnp.asarray(rows)]
-        codes = self.flat._codes[:, jnp.asarray(rows)]
-        s, local = masked_topk_xla(q, emb, codes, qf, len(rows), min(k, len(rows)))
-        gids = jnp.where(
-            s > NEG_INF, jnp.asarray(rows, jnp.int32)[local], -1
-        )
-        return s, gids
 
     # -- upserts go to the flat tail until rebuild -------------------------
 
@@ -484,6 +509,7 @@ class IVFIndex(SearchMixin):
         idx.c_max = int(data["c_max"])
         idx.tiles_per_cluster = idx.c_max // idx.tile
         idx.kmeans_iters = 10
-        idx.centroids = jnp.asarray(data["centroids"]).astype(flat.dtype)
-        idx._pack(assign)
+        idx._state, idx._tail_rows = idx._pack(
+            assign, np.asarray(data["centroids"], np.float32)
+        )
         return idx

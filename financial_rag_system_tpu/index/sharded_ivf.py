@@ -51,9 +51,7 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def make_sharded_ivf_probe(
-    mesh: Mesh, *, k: int, tile: int, probe_budget: int
-):
+def make_sharded_ivf_probe(mesh: Mesh, *, k: int, tile: int):
     """Jitted shard_map probe: replicated queries, sharded packed corpus.
 
     fn(queries (B,D), qf (B,2), centroids (Kc,D) repl, packed (S*P, D)
@@ -109,13 +107,14 @@ class ShardedIVFIndex(SearchMixin):
         self.n_clusters = min(n, n_clusters or max(4, int(np.sqrt(n / 4))))
         self.nprobe = min(nprobe, self.n_clusters)
         self.kmeans_iters = kmeans_iters
-        self._tail_rows: list[int] = []
         self._probe_cache: dict[tuple[int, int], Any] = {}
-        self._build()
+        self._state, self._tail_rows = self._build()
 
     # -- build ------------------------------------------------------------
 
-    def _build(self) -> None:
+    def _build(self):
+        """Returns (state, tail) for an atomic snapshot swap — concurrent
+        searches must never pair an old packing with new centroids."""
         flat = self.flat
         n = flat.n_valid
         rows_per_shard = flat.capacity // self.n_shards
@@ -129,7 +128,7 @@ class ShardedIVFIndex(SearchMixin):
         cent, _ = spherical_kmeans(
             sample_vecs, self.n_clusters, iters=self.kmeans_iters
         )
-        self.centroids = jax.device_put(
+        centroids = jax.device_put(
             cent.astype(self.dtype), NamedSharding(self.mesh, P())
         )
 
@@ -160,6 +159,9 @@ class ShardedIVFIndex(SearchMixin):
         packed_local = self.n_clusters * self.c_max  # rows per shard
         self.packed_local = packed_local
 
+        from financial_rag_system_tpu.index.base import build_ticker_lists
+
+        rows_by_ticker = build_ticker_lists(flat, n)
         pos = np.full(n, -1, np.int64)
         tail: list[int] = []
         for s in range(self.n_shards):
@@ -176,7 +178,6 @@ class ShardedIVFIndex(SearchMixin):
                 s * packed_local + sorted_a[keep] * self.c_max + within[keep]
             )
             tail.extend(int(r) for r in rows[order[~keep]])
-        self._tail_rows = tail
 
         kept = np.where(pos >= 0)[0]
         packed_n = packed_local * self.n_shards
@@ -184,28 +185,49 @@ class ShardedIVFIndex(SearchMixin):
         col_shard = NamedSharding(self.mesh, P(None, AXIS_CORPUS))
         jpos = jnp.asarray(pos[kept])
         jrows = jnp.asarray(kept)
-        self.packed_emb = jax.device_put(
+        packed_emb = jax.device_put(
             jnp.zeros((packed_n, flat.dim), self.dtype)
             .at[jpos]
             .set(flat._emb[jrows].astype(self.dtype)),
             emb_shard,
         )
-        self.packed_codes = jax.device_put(
+        packed_codes = jax.device_put(
             jnp.full((2, packed_n), PAD_CODE, jnp.int32)
             .at[:, jpos]
             .set(flat._codes[:, jrows]),
             col_shard,
         )
-        self.packed_gids = jax.device_put(
+        packed_gids = jax.device_put(
             jnp.full((1, packed_n), -1, jnp.int32)
             .at[0, jpos]
             .set(jrows.astype(jnp.int32)),
             col_shard,
         )
         self.num_tiles_local = packed_local // self.tile
+        state = (centroids, packed_emb, packed_codes, packed_gids,
+                 rows_by_ticker)
+        return state, tail
+
+    # attribute views over the atomic snapshot
+    @property
+    def centroids(self):
+        return self._state[0]
+
+    @property
+    def packed_emb(self):
+        return self._state[1]
+
+    @property
+    def packed_codes(self):
+        return self._state[2]
+
+    @property
+    def packed_gids(self):
+        return self._state[3]
 
     def rebuild(self) -> None:
-        self._build()
+        """Old packing serves during the build; one-tuple swap."""
+        self._state, self._tail_rows = self._build()
 
     @property
     def n_valid(self) -> int:
@@ -213,11 +235,15 @@ class ShardedIVFIndex(SearchMixin):
 
     # -- query ------------------------------------------------------------
 
-    def _tile_list(self, queries: jax.Array, budget: int) -> jax.Array:
+    SELECTIVE_LIMIT = 8192
+
+    def _tile_list(
+        self, queries: jax.Array, budget: int, centroids: jax.Array
+    ) -> jax.Array:
         """Batch-union probed LOCAL tile ids (identical on every shard)."""
         scores = jnp.dot(
             queries.astype(jnp.float32),
-            self.centroids.T.astype(jnp.float32),
+            centroids.T.astype(jnp.float32),
             preferred_element_type=jnp.float32,
         )
         _, clusters = jax.lax.top_k(scores, self.nprobe)
@@ -231,40 +257,41 @@ class ShardedIVFIndex(SearchMixin):
         self, query_vecs: jax.Array, query_filter: jax.Array, k: int,
         *, host_codes=None,
     ) -> tuple[jax.Array, jax.Array]:
+        from financial_rag_system_tpu.index.base import (
+            merge_candidates,
+            score_rows,
+            selective_rows,
+        )
+
+        state = self._state  # one atomic read
+        centroids, packed_emb, packed_codes, packed_gids, rbt = state
+        tail = self._tail_rows
         b = query_vecs.shape[0]
         budget = min(
             self.num_tiles_local, b * self.nprobe * self.tiles_per_cluster
         )
         q = query_vecs.astype(self.dtype)
-        tile_ids = self._tile_list(q, budget)
+        tile_ids = self._tile_list(q, budget, centroids)
         key = (k, budget)
         fn = self._probe_cache.get(key)
         if fn is None:
-            fn = make_sharded_ivf_probe(
-                self.mesh, k=k, tile=self.tile, probe_budget=budget
-            )
+            fn = make_sharded_ivf_probe(self.mesh, k=k, tile=self.tile)
             self._probe_cache[key] = fn
         s, i = fn(
-            q, query_filter, self.packed_emb, self.packed_codes,
-            self.packed_gids, tile_ids,
+            q, query_filter, packed_emb, packed_codes, packed_gids, tile_ids,
         )
-        if self._tail_rows:
-            s_t, i_t = self._search_tail(q, query_filter, k)
-            s = jnp.concatenate([s, s_t], axis=1)
-            i = jnp.concatenate([i, i_t], axis=1)
-            s, posn = jax.lax.top_k(s, k)
-            i = jnp.take_along_axis(i, posn, axis=1)
-        return s, i
-
-    def _search_tail(self, q, qf, k):
-        rows = np.asarray(self._tail_rows)
-        emb = self.flat._emb[jnp.asarray(rows)]
-        codes = self.flat._codes[:, jnp.asarray(rows)]
-        s, local = masked_topk_xla(
-            q, emb, codes, qf, len(rows), min(k, len(rows))
-        )
-        gids = jnp.where(s > NEG_INF, jnp.asarray(rows, jnp.int32)[local], -1)
-        return s, gids
+        extras = []
+        # same cardinality strategy as the single-chip tiers: selective
+        # filters are scored exactly (the gather crosses shards but the
+        # row set is small by construction)
+        rows = selective_rows(rbt, host_codes, self.SELECTIVE_LIMIT)
+        if rows is not None:
+            extras.append(score_rows(self.flat, rows, q, query_filter, k))
+        if tail:
+            extras.append(
+                score_rows(self.flat, np.asarray(tail), q, query_filter, k)
+            )
+        return merge_candidates(s, i, extras, k)
 
     # -- upserts go to the tail until rebuild ------------------------------
 

@@ -122,22 +122,31 @@ def create_app(engine: RAGEngine) -> web.Application:
         # HNSW persists graph+flat; IVF persists via its wrapped flat
         target = idx if hasattr(idx, "save") else idx.flat
         await asyncio.to_thread(target.save, directory)
-        # tier files from a previous save must not outlive a save under a
-        # different tier — on restart they would be paired with a flat
-        # index they don't describe
+        # index files from a previous save must not outlive a save under
+        # a different tier OR family — on restart they would be paired
+        # with state they don't describe (a stale sharded_index.npz would
+        # shadow a newer flat corpus, and vice versa)
         import os
 
         from financial_rag_system_tpu.index.hnsw import HNSWIndex
         from financial_rag_system_tpu.index.ivf import IVFIndex
+        from financial_rag_system_tpu.index.sharded import ShardedFlatIndex
 
-        for klass, fname in (
-            (HNSWIndex, HNSWIndex.GRAPH_FILE),
-            (IVFIndex, IVFIndex.IVF_FILE),
-        ):
-            if not isinstance(idx, klass):
-                stale = os.path.join(directory, fname)
-                if os.path.exists(stale):
-                    os.unlink(stale)
+        sharded = isinstance(getattr(idx, "flat", idx), ShardedFlatIndex)
+        stale_files = ["sharded_index.npz"] if not sharded else [
+            "flat_index.npz", HNSWIndex.GRAPH_FILE, IVFIndex.IVF_FILE
+        ]
+        if not sharded:
+            for klass, fname in (
+                (HNSWIndex, HNSWIndex.GRAPH_FILE),
+                (IVFIndex, IVFIndex.IVF_FILE),
+            ):
+                if not isinstance(idx, klass):
+                    stale_files.append(fname)
+        for fname in stale_files:
+            stale = os.path.join(directory, fname)
+            if os.path.exists(stale):
+                os.unlink(stale)
         return web.json_response({"saved_to": directory})
 
     async def index_rebuild(request: web.Request) -> web.Response:
@@ -230,15 +239,26 @@ def build_default_engine(mode: str = "batched") -> RAGEngine:
         from financial_rag_system_tpu.index.sharded import ShardedFlatIndex
         from financial_rag_system_tpu.parallel.mesh import create_mesh
 
+        import jax.numpy as jnp
+
         mesh = create_mesh(cfg.mesh_shape)
         if os.path.exists(os.path.join(cfg.index_dir, "sharded_index.npz")):
             index = ShardedFlatIndex.load(
                 cfg.index_dir, mesh, use_pallas=cfg.use_pallas
             )
         else:
+            if os.path.exists(os.path.join(cfg.index_dir, "flat_index.npz")):
+                print(
+                    "warning: a single-device flat_index.npz exists but "
+                    "multi-device serving starts a fresh sharded index — "
+                    "re-ingest or save under this topology"
+                )
             index = ShardedFlatIndex(
                 mesh, cfg.embed_dim, tile=cfg.corpus_tile,
                 use_pallas=cfg.use_pallas,
+                # int8 asserts loudly in ShardedFlatIndex until wired in —
+                # never silently ignore the operator's dtype request
+                dtype=jnp.dtype(cfg.index_dtype),
             )
         return RAGEngine(cfg, index, embedder, reranker, mode=mode)
     # full model stack => keep a device token store so the fused

@@ -86,7 +86,7 @@ def test_ivf_pallas_interpret_matches_xla(rng):
     q = jnp.asarray(vecs[:8])
     qf = jnp.asarray([[-1, -1]] * 8, jnp.int32)
     budget = ivf.num_tiles
-    tile_ids = ivf._tile_list(q.astype(ivf.dtype), budget)
+    tile_ids = ivf._tile_list(q.astype(ivf.dtype), budget, ivf.centroids)
     args = (
         q.astype(ivf.dtype), qf, ivf.packed_emb, ivf.packed_codes,
         ivf.packed_gids, tile_ids, 5,

@@ -120,3 +120,20 @@ def test_sharded_tier_rejects_int8():
 
     with pytest.raises(AssertionError, match="int8"):
         ShardedFlatIndex(create_mesh("corpus:8"), dim=64, dtype=jnp.int8)
+
+
+def test_int8_ivf_save_load_keeps_probing(data, tmp_path):
+    """Regression: loading an IVF over an int8 flat must not truncate the
+    unit-norm centroids to int8 (which collapses cluster probing)."""
+    v, q = data
+    i8 = _flat(v, jnp.int8)
+    ivf = IVFIndex(i8, n_clusters=32, nprobe=8, tile=64)
+    before = ivf.search_batch(q, [(None, None)] * 8, k=10)
+    ivf.save(str(tmp_path))
+    flat2 = FlatIndex.load(str(tmp_path), use_pallas=False)
+    ivf2 = IVFIndex.load(str(tmp_path), flat2)
+    assert ivf2.centroids.dtype == jnp.bfloat16
+    after = ivf2.search_batch(q, [(None, None)] * 8, k=10)
+    assert [[h["row"] for h in hl] for hl in before] == [
+        [h["row"] for h in hl] for hl in after
+    ]

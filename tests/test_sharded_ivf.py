@@ -93,3 +93,30 @@ def test_tail_upsert_then_rebuild(mesh):
     assert not [r for r in ivf._tail_rows if r >= 1025]
     hits = ivf.search_batch(nv, [("NVDA", None)], k=3)[0]
     assert hits and hits[0]["ticker"] == "NVDA"
+
+
+def test_selective_filter_exact_path(mesh):
+    """A minority ticker must not lose recall to cluster probing."""
+    rng = np.random.default_rng(5)
+    v = _clustered(rng, 2048)
+    flat = ShardedFlatIndex(mesh, dim=64, capacity=2048, tile=64)
+    flat.upsert(
+        [f"p{i}" for i in range(2048)], v, [f"text {i}" for i in range(2048)],
+        [
+            {"ticker": "RARE" if i % 32 == 0 else "COMMON",
+             "document_type": "10-K"}
+            for i in range(2048)
+        ],
+    )
+    ivf = ShardedIVFIndex(flat, n_clusters=32, nprobe=4, tile=64)
+    q = _clustered(rng, 8)
+    fh = flat.search_batch(q, [("RARE", None)] * 8, k=10)
+    ih = ivf.search_batch(q, [("RARE", None)] * 8, k=10)
+    assert all(h["ticker"] == "RARE" for hl in ih for h in hl)
+    rec = np.mean(
+        [
+            len({h["row"] for h in ih[i]} & {h["row"] for h in fh[i]}) / 10
+            for i in range(8)
+        ]
+    )
+    assert rec == 1.0  # exact path: full recall
