@@ -82,9 +82,17 @@ class RAGEngine:
             )
 
     def _dispatch_batch(self, queries, filters):
-        """Late-bound batch fn so index/fusion swaps take effect live."""
-        if self._fused_fn is not None:
-            return self._fused_retrieve_batch(queries, filters)
+        """Late-bound batch fn so index/fusion swaps take effect live.
+
+        fused fn and index are captured together: a concurrent tier
+        promotion must not pair last tier's fused program with the new
+        index (or vice versa) mid-batch.
+        """
+        from financial_rag_system_tpu.index.flat import FlatIndex
+
+        fused, kind, index = self._fused_fn, self._fused_kind, self.index
+        if fused is not None and isinstance(index, FlatIndex):
+            return self._fused_retrieve_batch(queries, filters, fused, kind, index)
         return self._embed_retrieve_batch(queries, filters)
 
     def _maybe_build_fused(self):
@@ -166,6 +174,9 @@ class RAGEngine:
         self,
         queries: list[str],
         filters: list[tuple[str | None, str | None]],
+        fused_fn,
+        fused_kind: str,
+        index,
     ) -> list[tuple[None, list[dict[str, Any]]]]:
         """Single-program batch: one device sync for embed+search+rerank.
 
@@ -183,23 +194,23 @@ class RAGEngine:
         ids, types, mask = pad_batch(encs)
         b = len(queries)
         bpad = ids.shape[0]
-        codes = [self.index.store.query_codes(t, d) for t, d in filters]
+        codes = [index.store.query_codes(t, d) for t, d in filters]
         codes += [(-3, -3)] * (bpad - b)
         qf = jnp.asarray(codes, jnp.int32)
-        nv = jnp.asarray(self.index.n_valid, jnp.int32)
-        if self._fused_kind == "full":
-            rows, bi, ce = self._fused_fn(
+        nv = jnp.asarray(index.n_valid, jnp.int32)
+        if fused_kind == "full":
+            rows, bi, ce = fused_fn(
                 self.embedder.params,
                 self.reranker.params,
                 jnp.asarray(ids), jnp.asarray(types), jnp.asarray(mask), qf,
-                self.index._emb, self.index._codes, self.index._doc_tok, nv,
+                index._emb, index._codes, index._doc_tok, nv,
             )
             vecs = [None] * b
         else:  # hash: rerank score == bi-encoder cosine by construction
-            qv, bi, rows = self._fused_fn(
+            qv, bi, rows = fused_fn(
                 self.embedder._table,
                 jnp.asarray(ids), jnp.asarray(mask), qf,
-                self.index._emb, self.index._codes, nv,
+                index._emb, index._codes, nv,
             )
             ce = bi
             vecs = list(np.asarray(qv)[:b])
@@ -210,7 +221,7 @@ class RAGEngine:
             for r, s, c in zip(rows[i], bi[i], ce[i]):
                 if not np.isfinite(s):
                     continue
-                payload = self.index.store.get(int(r))
+                payload = index.store.get(int(r))
                 payload["score"] = float(s)
                 payload["row"] = int(r)
                 payload["rerank_score"] = float(c)

@@ -81,7 +81,9 @@ def test_fused_matches_staged(tmp_path, stack):
     queries = ["apple services margin", "microsoft cloud growth"]
     filters = [("AAPL", None), ("MSFT", None)]
 
-    fused = eng._fused_retrieve_batch(queries, filters)
+    fused = eng._fused_retrieve_batch(
+        queries, filters, eng._fused_fn, eng._fused_kind, eng.index
+    )
     staged = eng._embed_retrieve_batch(queries, filters)
     for (_f_vec, f_hits), (_s_vec, s_hits) in zip(fused, staged):
         assert [h["row"] for h in f_hits] == [h["row"] for h in s_hits]
@@ -159,7 +161,9 @@ def test_hash_fused_matches_staged(tmp_path):
 
     queries = ["apple services margin", "microsoft cloud growth"]
     filters = [("AAPL", None), ("MSFT", None)]
-    fused = eng._fused_retrieve_batch(queries, filters)
+    fused = eng._fused_retrieve_batch(
+        queries, filters, eng._fused_fn, eng._fused_kind, eng.index
+    )
     staged = eng._embed_retrieve_batch(queries, filters)
     for (f_vec, f_hits), (s_vec, s_hits) in zip(fused, staged):
         assert [h["row"] for h in f_hits] == [h["row"] for h in s_hits]
