@@ -73,6 +73,32 @@ def run_evaluation(
 
         index = HNSWIndex(index)
         print(f"hnsw tier: ef={index.ef}, native={index.native_built}")
+    elif tier in ("sharded", "sharded-ivf"):
+        from financial_rag_system_tpu.index.sharded import ShardedFlatIndex
+        from financial_rag_system_tpu.parallel.mesh import create_mesh
+
+        mesh = create_mesh()
+        sharded = ShardedFlatIndex(
+            mesh, dim=embedder.dim, capacity=index.n_valid,
+            tile=min(128, index.tile),
+        )
+        sharded.upsert(
+            list(index.store.id_to_row.keys()),
+            np.asarray(index._emb[: index.n_valid], np.float32),
+            index.store.texts[: index.n_valid],
+            index.store.payloads[: index.n_valid],
+        )
+        index = sharded
+        if tier == "sharded-ivf":
+            from financial_rag_system_tpu.index.sharded_ivf import (
+                ShardedIVFIndex,
+            )
+
+            index = ShardedIVFIndex(sharded, tile=min(128, sharded.tile))
+            print(f"sharded-ivf tier: {index.n_clusters} clusters x "
+                  f"{index.n_shards} shards")
+        else:
+            print(f"sharded tier: {sharded.n_shards} shards")
     reranker = get_reranker() if two_stage else None
 
     hits, rrs, total_latency = 0, [], 0.0
@@ -117,7 +143,9 @@ if __name__ == "__main__":
     ap.add_argument("--k", type=int, default=5)
     ap.add_argument("--corpus", type=int, default=2048)
     ap.add_argument("--two-stage", action="store_true")
-    ap.add_argument("--tier", choices=("flat", "ivf", "hnsw"), default="flat",
+    ap.add_argument("--tier",
+                    choices=("flat", "ivf", "hnsw", "sharded", "sharded-ivf"),
+                    default="flat",
                     help="index tier under evaluation")
     args = ap.parse_args()
     run_evaluation(args.k, args.corpus, args.two_stage, tier=args.tier)
