@@ -80,7 +80,7 @@ def run_evaluation(
         mesh = create_mesh()
         sharded = ShardedFlatIndex(
             mesh, dim=embedder.dim, capacity=index.n_valid,
-            tile=min(128, index.tile),
+            tile=min(128, index.tile), use_pallas=use_pallas,
         )
         sharded.upsert(
             list(index.store.id_to_row.keys()),

@@ -68,17 +68,50 @@ class FlatIndex(SearchMixin):
         )
         self.capacity = _round_up(max(capacity, tile), tile)
         self.store = DocumentStore()
-        self._emb = jnp.zeros((self.capacity, dim), dtype=dtype)
-        self._codes = jnp.full((2, self.capacity), PAD_CODE, dtype=jnp.int32)
-        # optional device token store: pretokenized chunk ids resident in
-        # HBM so the fused query program reranks without host round trips
         self.token_store_len = token_store_len
         self.tokenizer = tokenizer
-        self._doc_tok = (
-            jnp.zeros((self.capacity, token_store_len), jnp.int32)
-            if token_store_len
-            else None
+        # device arrays live in ONE tuple (emb, codes, doc_tok) swapped as
+        # a unit: writers (upsert/_grow, which may change capacity) and
+        # readers run in different threads, and a reader pairing a grown
+        # emb with an ungrown codes would crash the whole batch.  The
+        # _emb/_codes/_doc_tok properties are views; consistency-critical
+        # readers take self._arrays once.
+        self._arrays = (
+            jnp.zeros((self.capacity, dim), dtype=dtype),
+            jnp.full((2, self.capacity), PAD_CODE, dtype=jnp.int32),
+            # optional device token store: pretokenized chunk ids resident
+            # in HBM so the fused program reranks without host round trips
+            (
+                jnp.zeros((self.capacity, token_store_len), jnp.int32)
+                if token_store_len
+                else None
+            ),
         )
+
+    # -- device-array views (see _arrays comment) -------------------------
+    @property
+    def _emb(self):
+        return self._arrays[0]
+
+    @_emb.setter
+    def _emb(self, v):
+        self._arrays = (v, self._arrays[1], self._arrays[2])
+
+    @property
+    def _codes(self):
+        return self._arrays[1]
+
+    @_codes.setter
+    def _codes(self, v):
+        self._arrays = (self._arrays[0], v, self._arrays[2])
+
+    @property
+    def _doc_tok(self):
+        return self._arrays[2]
+
+    @_doc_tok.setter
+    def _doc_tok(self, v):
+        self._arrays = (self._arrays[0], self._arrays[1], v)
 
     # ------------------------------------------------------------------
     @property
@@ -90,13 +123,22 @@ class FlatIndex(SearchMixin):
         while new_cap < needed:
             new_cap *= 2
         new_cap = _round_up(new_cap, self.tile)
-        emb = jnp.zeros((new_cap, self.dim), dtype=self.dtype)
-        codes = jnp.full((2, new_cap), PAD_CODE, dtype=jnp.int32)
-        self._emb = jax.lax.dynamic_update_slice(emb, self._emb, (0, 0))
-        self._codes = jax.lax.dynamic_update_slice(codes, self._codes, (0, 0))
-        if self._doc_tok is not None:
-            dtok = jnp.zeros((new_cap, self.token_store_len), jnp.int32)
-            self._doc_tok = jax.lax.dynamic_update_slice(dtok, self._doc_tok, (0, 0))
+        old_emb, old_codes, old_dtok = self._arrays
+        emb = jax.lax.dynamic_update_slice(
+            jnp.zeros((new_cap, self.dim), dtype=self.dtype), old_emb, (0, 0)
+        )
+        codes = jax.lax.dynamic_update_slice(
+            jnp.full((2, new_cap), PAD_CODE, dtype=jnp.int32), old_codes, (0, 0)
+        )
+        dtok = (
+            jax.lax.dynamic_update_slice(
+                jnp.zeros((new_cap, self.token_store_len), jnp.int32),
+                old_dtok, (0, 0),
+            )
+            if old_dtok is not None
+            else None
+        )
+        self._arrays = (emb, codes, dtok)  # one swap
         self.capacity = new_cap
 
     def upsert(
@@ -140,28 +182,30 @@ class FlatIndex(SearchMixin):
                 tok_rows[i, : len(tids)] = tids
 
         rows_a = np.asarray(rows, np.int64)
+        emb, codes, dtok = self._arrays
         # scatter rows on device; contiguous appends take the fast slice path
         if np.array_equal(rows_a, np.arange(rows_a[0], rows_a[0] + len(rows_a))):
             start = int(rows_a[0])
-            self._emb = jax.lax.dynamic_update_slice(
-                self._emb, jnp.asarray(vecs, self.dtype), (start, 0)
+            emb = jax.lax.dynamic_update_slice(
+                emb, jnp.asarray(vecs, self.dtype), (start, 0)
             )
-            self._codes = jax.lax.dynamic_update_slice(
-                self._codes,
+            codes = jax.lax.dynamic_update_slice(
+                codes,
                 jnp.asarray(np.asarray(code_rows, np.int32).T),
                 (0, start),
             )
             if tok_rows is not None:
-                self._doc_tok = jax.lax.dynamic_update_slice(
-                    self._doc_tok, jnp.asarray(tok_rows), (start, 0)
+                dtok = jax.lax.dynamic_update_slice(
+                    dtok, jnp.asarray(tok_rows), (start, 0)
                 )
         else:
-            self._emb = self._emb.at[rows_a].set(jnp.asarray(vecs, self.dtype))
-            self._codes = self._codes.at[:, rows_a].set(
+            emb = emb.at[rows_a].set(jnp.asarray(vecs, self.dtype))
+            codes = codes.at[:, rows_a].set(
                 jnp.asarray(np.asarray(code_rows, np.int32).T)
             )
             if tok_rows is not None:
-                self._doc_tok = self._doc_tok.at[rows_a].set(jnp.asarray(tok_rows))
+                dtok = dtok.at[rows_a].set(jnp.asarray(tok_rows))
+        self._arrays = (emb, codes, dtok)  # one swap
         return new_count
 
     # ------------------------------------------------------------------
@@ -174,12 +218,13 @@ class FlatIndex(SearchMixin):
         host_codes=None,
     ) -> tuple[jax.Array, jax.Array]:
         """Device-level search: (B, D) x (B, 2) codes -> (B, k) scores/rows."""
+        emb, codes, _ = self._arrays  # one read: emb/codes stay paired
         return masked_topk(
             self.prep_queries(query_vecs),
-            self._emb,
-            self._codes,
+            emb,
+            codes,
             query_filter,
-            self.n_valid,
+            min(self.n_valid, emb.shape[0]),
             k,
             tile=self.tile,
             use_pallas=self.use_pallas,

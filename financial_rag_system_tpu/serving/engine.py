@@ -197,20 +197,23 @@ class RAGEngine:
         codes = [index.store.query_codes(t, d) for t, d in filters]
         codes += [(-3, -3)] * (bpad - b)
         qf = jnp.asarray(codes, jnp.int32)
-        nv = jnp.asarray(index.n_valid, jnp.int32)
+        # one read of the array tuple: a concurrent upsert/grow must not
+        # pair a new emb with old codes/token-store mid-batch
+        emb, idx_codes, doc_tok = index._arrays
+        nv = jnp.asarray(min(index.n_valid, emb.shape[0]), jnp.int32)
         if fused_kind == "full":
             rows, bi, ce = fused_fn(
                 self.embedder.params,
                 self.reranker.params,
                 jnp.asarray(ids), jnp.asarray(types), jnp.asarray(mask), qf,
-                index._emb, index._codes, index._doc_tok, nv,
+                emb, idx_codes, doc_tok, nv,
             )
             vecs = [None] * b
         else:  # hash: rerank score == bi-encoder cosine by construction
             qv, bi, rows = fused_fn(
                 self.embedder._table,
                 jnp.asarray(ids), jnp.asarray(mask), qf,
-                index._emb, index._codes, nv,
+                emb, idx_codes, nv,
             )
             ce = bi
             vecs = list(np.asarray(qv)[:b])

@@ -52,6 +52,7 @@ def _device_corpus(n: int, d: int = 384):
     import jax.numpy as jnp
 
     ch = min(1_310_720, n)
+    # tile must divide n; scan() passes n as a multiple of its chunk
 
     @functools.partial(jax.jit, donate_argnums=0)
     def fill(buf, key, start):
@@ -61,8 +62,9 @@ def _device_corpus(n: int, d: int = 384):
             buf, v.astype(jnp.bfloat16), (start, 0)
         )
 
+    assert n % ch == 0, f"rows {n} must be a multiple of chunk {ch}"
     emb = jnp.zeros((n, d), jnp.bfloat16)
-    for i in range(max(1, n // ch)):
+    for i in range(n // ch):
         emb = fill(emb, jax.random.PRNGKey(i), i * ch)
     codes = jnp.stack(
         [jnp.arange(n, dtype=jnp.int32) % 8, jnp.arange(n, dtype=jnp.int32) % 2]
@@ -79,7 +81,8 @@ def scan(rows: int) -> None:
     from financial_rag_system_tpu.ops.topk import masked_topk_pallas
 
     floor = rpc_floor()
-    n = (rows // 2048) * 2048
+    ch = min(1_310_720, max(2048, rows))
+    n = max(2048, (rows // ch) * ch)  # whole chunks only: no zero rows
     emb, codes = _device_corpus(n)
     log(f"corpus {emb.nbytes / 2**30:.2f} GiB on device")
     b = 32
