@@ -70,7 +70,7 @@ def chunks_from_file(
         payloads.append(
             {
                 "ticker": ticker.upper(),
-                "document_type": filing_type,
+                "document_type": filing_type.upper(),  # reference ingest.py:162
                 "source_file": src,
                 "ingested_at": now,
             }

@@ -119,8 +119,11 @@ def make_corpus(
     return ids, texts, payloads
 
 
-# Golden evaluation set: same intents/keyword-scoring methodology as the
-# reference evaluator (evaluate.py:28-54), phrased first-party.
+# Golden evaluation set: intentionally IDENTICAL to the reference's
+# EVAL_DATASET (evaluate.py:28-54) — queries and keyword lists verbatim.
+# BASELINE.md's Hit@5/MRR parity target is defined on this exact query
+# set, so keeping it unchanged is benchmark fidelity, not reuse for
+# convenience.  (A harder, first-party set lives in evaluate.py --hard.)
 GOLDEN_SET = [
     {
         "query": "What are Apple's primary risk factors regarding the supply chain?",

@@ -327,6 +327,10 @@ class IVFIndex(SearchMixin):
         starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
         within = np.arange(n, dtype=np.int64) - starts[sorted_assign]
         keep = within < self.c_max
+        # host-side row -> packed-position map so upsert() can mask the
+        # stale packed copy of a re-upserted row (-1 = tail/overflow)
+        row_to_pos = np.full(n, -1, np.int64)
+        row_to_pos[order[keep]] = sorted_assign[keep] * self.c_max + within[keep]
         rows_kept = jnp.asarray(order[keep])
         pos = jnp.asarray(sorted_assign[keep] * self.c_max + within[keep])
         # cluster-overflow spills plus any rows past the packed range
@@ -350,7 +354,7 @@ class IVFIndex(SearchMixin):
         )
         state = (
             centroids, packed_emb, packed_codes, packed_gids,
-            rows_by_ticker, assign,
+            rows_by_ticker, assign, row_to_pos,
         )
         return state, tail
 
@@ -427,7 +431,7 @@ class IVFIndex(SearchMixin):
         )
 
         state = self._state  # one atomic read: packing stays consistent
-        centroids, packed_emb, packed_codes, packed_gids, rbt, _ = state
+        centroids, packed_emb, packed_codes, packed_gids, rbt = state[:5]
         tail = self._tail_rows
         b = query_vecs.shape[0]
         budget = min(
@@ -463,9 +467,29 @@ class IVFIndex(SearchMixin):
     # -- upserts go to the flat tail until rebuild -------------------------
 
     def upsert(self, ids, vectors, texts, payloads) -> int:
+        existing = [
+            self.store.id_to_row[p] for p in ids if p in self.store.id_to_row
+        ]
         start = self.flat.n_valid
         added = self.flat.upsert(ids, vectors, texts, payloads)
         self._tail_rows.extend(range(start, self.flat.n_valid))
+        if existing:
+            # re-upserted rows: flat arrays are fresh but the packed IVF
+            # copy is stale — mask the packed slot (one-tuple state swap)
+            # and serve the row from the brute-forced tail until rebuild()
+            # (mirrors Qdrant's immediate-upsert semantics)
+            state = self._state
+            row_to_pos = state[6]
+            masked = [
+                r for r in existing
+                if r < len(row_to_pos) and row_to_pos[r] >= 0
+            ]
+            if masked:
+                gids = state[3].at[0, jnp.asarray(row_to_pos[masked])].set(-1)
+                rtp = row_to_pos.copy()
+                rtp[masked] = -1
+                self._state = state[:3] + (gids,) + state[4:6] + (rtp,)
+                self._tail_rows.extend(masked)
         return added
 
     # -- persistence --------------------------------------------------------

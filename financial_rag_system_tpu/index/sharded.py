@@ -98,16 +98,19 @@ class ShardedFlatIndex(SearchMixin):
     ):
         from financial_rag_system_tpu.ops.topk import pallas_available
 
-        assert jnp.dtype(dtype) != jnp.int8, (
-            "int8 quantization is not wired into the sharded tier yet"
-        )
         self.mesh = mesh
         self.dim = dim
         self.tile = tile
-        self.dtype = dtype
+        self.dtype = jnp.dtype(dtype)
+        # int8 mode: same symmetric row/query quantization as FlatIndex —
+        # scores are cosine * 127^2, ranking-preserving, half the HBM of
+        # bf16 per shard (so ~2x corpus per chip at equal memory)
+        self.quantized = self.dtype == jnp.int8
         # construction-time gate: compiled Pallas kernels cannot lower on
         # the CPU backend (same normalization as FlatIndex)
-        self.use_pallas = use_pallas and pallas_available()
+        self.use_pallas = (
+            use_pallas and pallas_available() and not self.quantized
+        )
         self.n_shards = mesh.shape[AXIS_CORPUS]
         per_shard = _round_up(
             max(capacity // self.n_shards, tile), tile
@@ -153,6 +156,8 @@ class ShardedFlatIndex(SearchMixin):
             return 0
         vecs = np.asarray(vectors, np.float32)
         vecs = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+        if self.quantized:
+            vecs = np.clip(np.rint(vecs * 127.0), -127, 127)
         rows, code_rows, new_count = [], [], 0
         for pid, text, payload in zip(ids, texts, payloads):
             row, is_new = self.store.upsert(pid, text, payload)
@@ -186,12 +191,20 @@ class ShardedFlatIndex(SearchMixin):
             )
             self._search_cache[k] = fn
         return fn(
-            query_vecs.astype(self.dtype),
+            self.prep_queries(query_vecs),
             self._emb,
             self._codes,
             query_filter,
             jnp.asarray(self.n_valid, jnp.int32),
         )
+
+    def prep_queries(self, query_vecs):
+        """Match queries to the corpus representation (cast, or the same
+        symmetric int8 quantization as the rows — see FlatIndex)."""
+        if self.quantized:
+            q = query_vecs.astype(jnp.float32) * 127.0
+            return jnp.clip(jnp.round(q), -127, 127).astype(jnp.int8)
+        return query_vecs.astype(self.dtype)
 
     # search()/search_batch() come from SearchMixin.
 
@@ -206,7 +219,9 @@ class ShardedFlatIndex(SearchMixin):
             os.path.join(directory, "sharded_index.npz"),
             emb=np.asarray(self._emb, np.float32),
             codes=np.asarray(self._codes),
-            meta=np.asarray([self.dim, self.tile, self.capacity]),
+            meta=np.asarray(
+                [self.dim, self.tile, self.capacity, int(self.quantized)]
+            ),
         )
         self.store.save(os.path.join(directory, "store.json"))
 
@@ -220,9 +235,12 @@ class ShardedFlatIndex(SearchMixin):
         import os
 
         data = np.load(os.path.join(directory, "sharded_index.npz"))
-        dim, tile, capacity = (int(x) for x in data["meta"])
+        meta = [int(x) for x in data["meta"]]
+        dim, tile, capacity = meta[:3]
+        quantized = bool(meta[3]) if len(meta) > 3 else False
         idx = ShardedFlatIndex(
-            mesh, dim, capacity=capacity, tile=tile, use_pallas=use_pallas
+            mesh, dim, capacity=capacity, tile=tile, use_pallas=use_pallas,
+            dtype=jnp.int8 if quantized else jnp.bfloat16,
         )
         if idx.capacity != capacity:  # mesh shape changed; re-pad per shard
             emb = np.zeros((idx.capacity, dim), np.float32)

@@ -114,7 +114,11 @@ class ShardedIVFIndex(SearchMixin):
 
     def _build(self):
         """Returns (state, tail) for an atomic snapshot swap — concurrent
-        searches must never pair an old packing with new centroids."""
+        searches must never pair an old packing with new centroids.  The
+        packing GEOMETRY (c_max, tiles_per_cluster, packed_local,
+        num_tiles_local) is part of the state tuple for the same reason:
+        a search computing probe tile ids with new geometry against old
+        packed arrays would probe silently wrong rows."""
         flat = self.flat
         n = flat.n_valid
         rows_per_shard = flat.capacity // self.n_shards
@@ -128,8 +132,13 @@ class ShardedIVFIndex(SearchMixin):
         cent, _ = spherical_kmeans(
             sample_vecs, self.n_clusters, iters=self.kmeans_iters
         )
+        # centroid values are unit-norm floats: an int8 cast would truncate
+        # them to ~zeros, so quantized indexes keep bf16 centroids
+        cent_dtype = (
+            jnp.bfloat16 if getattr(flat, "quantized", False) else self.dtype
+        )
         centroids = jax.device_put(
-            cent.astype(self.dtype), NamedSharding(self.mesh, P())
+            cent.astype(cent_dtype), NamedSharding(self.mesh, P())
         )
 
         # 2. assignment of every valid row (chunked matmul, device)
@@ -154,10 +163,9 @@ class ShardedIVFIndex(SearchMixin):
             mask = shard_of == s
             counts[s] = np.bincount(assign[mask], minlength=self.n_clusters)
         avg = max(1, int(counts.mean() * 2))
-        self.c_max = _round_up(avg, self.tile)
-        self.tiles_per_cluster = self.c_max // self.tile
-        packed_local = self.n_clusters * self.c_max  # rows per shard
-        self.packed_local = packed_local
+        c_max = _round_up(avg, self.tile)  # locals until the one-tuple swap
+        tiles_per_cluster = c_max // self.tile
+        packed_local = self.n_clusters * c_max  # rows per shard
 
         from financial_rag_system_tpu.index.base import build_ticker_lists
 
@@ -173,9 +181,9 @@ class ShardedIVFIndex(SearchMixin):
                 [[0], np.cumsum(counts[s])[:-1]]
             )
             within = np.arange(rows.shape[0]) - starts[sorted_a]
-            keep = within < self.c_max
+            keep = within < c_max
             pos[rows[order[keep]]] = (
-                s * packed_local + sorted_a[keep] * self.c_max + within[keep]
+                s * packed_local + sorted_a[keep] * c_max + within[keep]
             )
             tail.extend(int(r) for r in rows[order[~keep]])
 
@@ -203,9 +211,10 @@ class ShardedIVFIndex(SearchMixin):
             .set(jrows.astype(jnp.int32)),
             col_shard,
         )
-        self.num_tiles_local = packed_local // self.tile
+        geom = (c_max, tiles_per_cluster, packed_local,
+                packed_local // self.tile)
         state = (centroids, packed_emb, packed_codes, packed_gids,
-                 rows_by_ticker)
+                 rows_by_ticker, geom, pos)
         return state, tail
 
     # attribute views over the atomic snapshot
@@ -225,6 +234,22 @@ class ShardedIVFIndex(SearchMixin):
     def packed_gids(self):
         return self._state[3]
 
+    @property
+    def c_max(self) -> int:
+        return self._state[5][0]
+
+    @property
+    def tiles_per_cluster(self) -> int:
+        return self._state[5][1]
+
+    @property
+    def packed_local(self) -> int:
+        return self._state[5][2]
+
+    @property
+    def num_tiles_local(self) -> int:
+        return self._state[5][3]
+
     def rebuild(self) -> None:
         """Old packing serves during the build; one-tuple swap."""
         self._state, self._tail_rows = self._build()
@@ -238,16 +263,21 @@ class ShardedIVFIndex(SearchMixin):
     SELECTIVE_LIMIT = 8192
 
     def _tile_list(
-        self, queries: jax.Array, budget: int, centroids: jax.Array
+        self, queries: jax.Array, budget: int, centroids: jax.Array,
+        tiles_per_cluster: int,
     ) -> jax.Array:
-        """Batch-union probed LOCAL tile ids (identical on every shard)."""
+        """Batch-union probed LOCAL tile ids (identical on every shard).
+
+        ``tiles_per_cluster`` comes from the caller's snapshot, never
+        ``self``, so the tile arithmetic always matches the packing the
+        tile ids will index into."""
         scores = jnp.dot(
             queries.astype(jnp.float32),
             centroids.T.astype(jnp.float32),
             preferred_element_type=jnp.float32,
         )
         _, clusters = jax.lax.top_k(scores, self.nprobe)
-        tpc = self.tiles_per_cluster
+        tpc = tiles_per_cluster
         tiles = (
             clusters[..., None] * tpc + jnp.arange(tpc)[None, None, :]
         ).reshape(-1)
@@ -264,14 +294,15 @@ class ShardedIVFIndex(SearchMixin):
         )
 
         state = self._state  # one atomic read
-        centroids, packed_emb, packed_codes, packed_gids, rbt = state
+        centroids, packed_emb, packed_codes, packed_gids, rbt, geom, _ = state
+        _c_max, tiles_per_cluster, _packed_local, num_tiles_local = geom
         tail = self._tail_rows
         b = query_vecs.shape[0]
         budget = min(
-            self.num_tiles_local, b * self.nprobe * self.tiles_per_cluster
+            num_tiles_local, b * self.nprobe * tiles_per_cluster
         )
-        q = query_vecs.astype(self.dtype)
-        tile_ids = self._tile_list(q, budget, centroids)
+        q = self.flat.prep_queries(query_vecs)
+        tile_ids = self._tile_list(q, budget, centroids, tiles_per_cluster)
         key = (k, budget)
         fn = self._probe_cache.get(key)
         if fn is None:
@@ -296,7 +327,32 @@ class ShardedIVFIndex(SearchMixin):
     # -- upserts go to the tail until rebuild ------------------------------
 
     def upsert(self, ids, vectors, texts, payloads) -> int:
+        existing = [
+            self.store.id_to_row[p] for p in ids if p in self.store.id_to_row
+        ]
         start = self.flat.n_valid
         added = self.flat.upsert(ids, vectors, texts, payloads)
         self._tail_rows.extend(range(start, self.flat.n_valid))
+        if existing:
+            # re-upserted rows: the flat arrays now hold the fresh
+            # embedding but the packed IVF copy is stale — mask the packed
+            # slot and serve the row from the brute-forced tail until
+            # rebuild() (mirrors Qdrant's immediate-upsert semantics)
+            state = self._state
+            row_to_pos = state[6]
+            masked = [
+                r for r in existing
+                if r < len(row_to_pos) and row_to_pos[r] >= 0
+            ]
+            if masked:
+                gids = jax.device_put(
+                    state[3].at[0, jnp.asarray(row_to_pos[masked])].set(-1),
+                    NamedSharding(self.mesh, P(None, AXIS_CORPUS)),
+                )
+                rtp = row_to_pos.copy()
+                rtp[masked] = -1
+                self._state = state[:3] + (gids,) + state[4:6] + (rtp,)
+                self._tail_rows.extend(masked)
+            # rows already in the tail re-score from the updated flat
+            # arrays automatically; no second tail entry needed
         return added

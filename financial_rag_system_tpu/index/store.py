@@ -75,13 +75,21 @@ class DocumentStore:
         return row, False
 
     def codes_for(self, payload: dict[str, Any]) -> tuple[int, int]:
+        # uppercase both vocabularies so filters are case-insensitive,
+        # matching the reference (main.py:221,228 uppercase at query time,
+        # ingest.py:162 uppercases document_type at ingestion)
         return (
-            self.tickers.encode(str(payload.get("ticker", ""))),
-            self.doc_types.encode(str(payload.get("document_type", ""))),
+            self.tickers.encode(str(payload.get("ticker", "")).upper()),
+            self.doc_types.encode(str(payload.get("document_type", "")).upper()),
         )
 
     def query_codes(self, ticker: str | None, document_type: str | None) -> tuple[int, int]:
-        return self.tickers.lookup(ticker), self.doc_types.lookup(document_type)
+        return (
+            self.tickers.lookup(None if ticker is None else ticker.upper()),
+            self.doc_types.lookup(
+                None if document_type is None else document_type.upper()
+            ),
+        )
 
     def get(self, row: int) -> dict[str, Any]:
         p = dict(self.payloads[row])

@@ -152,8 +152,13 @@ def encode(
         hidden = _ln(
             hidden + attn_out, lp["attn_ln_scale"], lp["attn_ln_bias"], cfg.ln_eps
         )
-        mlp = _matmul(jax.nn.gelu(_matmul(hidden, lp["in_w"], lp["in_b"])),
-                      lp["out_w"], lp["out_b"])
+        # exact erf GELU: HF BERT (BGE-small, MiniLM) uses gelu, not the
+        # tanh approximation jax.nn.gelu defaults to — ported weights
+        # would otherwise drift below the parity-test tolerance
+        mlp = _matmul(
+            jax.nn.gelu(_matmul(hidden, lp["in_w"], lp["in_b"]),
+                        approximate=False),
+            lp["out_w"], lp["out_b"])
         hidden = _ln(
             hidden + mlp, lp["mlp_ln_scale"], lp["mlp_ln_bias"], cfg.ln_eps
         )

@@ -94,8 +94,9 @@ async def generate_answer(
 ) -> tuple[str, str]:
     """Breaker-guarded generation. Returns (answer, provider).
 
-    provider is the model name on success or "System Degraded" when the
-    breaker is open / the call fails (reference main.py:280-302).
+    provider is "Groq (<model>)" on success (reference main.py:298) or
+    "System Degraded" when the breaker is open / the call fails
+    (reference main.py:280-302).
     """
     if not breaker.is_healthy:
         return DEGRADED_ANSWER, "System Degraded"
@@ -103,7 +104,7 @@ async def generate_answer(
     user = f"Context:\n{context}\n\nQuestion: {query}"
     try:
         answer = await client.chat(model, SYSTEM_PROMPT, user)
-        return answer, model
+        return answer, f"Groq ({model})"
     except Exception:
         breaker.trip()
         return DEGRADED_ANSWER, "System Degraded"

@@ -181,3 +181,63 @@ def test_load_puts_newer_rows_in_tail(tmp_path):
     assert ivf2._tail_rows == [512]
     hits = ivf2.search_batch(nv, [("NVDA", None)], k=3)[0]
     assert hits and hits[0]["ticker"] == "NVDA"
+
+
+def test_reupsert_existing_id_serves_fresh_vector(rng):
+    """Re-upserting an existing id must take effect immediately (Qdrant
+    upserts do): the stale packed copy is masked and the row re-scores
+    from the updated flat arrays via the tail until rebuild."""
+    vecs = _clustered_corpus(rng, n=500, d=32, n_centers=4)
+    flat = _flat(rng, vecs)
+    ivf = IVFIndex(flat, n_clusters=4, nprobe=1, tile=128)
+
+    # move p7 to a brand-new direction orthogonal-ish to the corpus
+    nv = rng.standard_normal((1, 32)).astype(np.float32)
+    nv /= np.linalg.norm(nv)
+    ivf.upsert(["p7"], nv, ["fresh text"], [{"ticker": "AAPL",
+                                             "document_type": "10-K"}])
+
+    hits = ivf.search(nv, k=3)[0]
+    assert hits and hits[0]["row"] == 7 and hits[0]["text"] == "fresh text"
+    # the OLD location must no longer surface row 7 with a stale score:
+    # nprobe=1 probes only the old cluster, where the slot is now masked
+    old_hits = ivf.search(vecs[7], k=10)[0]
+    for h in old_hits:
+        if h["row"] == 7:
+            # if row 7 appears it must carry the FRESH embedding's score
+            want = float(np.dot(vecs[7], nv[0]))
+            assert abs(h["score"] - want) < 0.05
+    # a second re-upsert doesn't grow the packed mask bookkeeping wrongly
+    ivf.upsert(["p7"], vecs[7:8], ["back again"], [{"ticker": "AAPL"}])
+    hits = ivf.search(vecs[7], k=3)[0]
+    assert hits and hits[0]["row"] == 7 and hits[0]["text"] == "back again"
+    # rebuild folds everything back in
+    ivf.rebuild()
+    hits = ivf.search(vecs[7], k=3)[0]
+    assert hits and hits[0]["row"] == 7
+
+
+def test_filters_case_insensitive(rng):
+    """Reference uppercases ticker/document_type at query time
+    (main.py:221,228) and document_type at ingestion (ingest.py:162) —
+    lowercase filter values must match."""
+    vecs = _clustered_corpus(rng, n=300, d=32, n_centers=4)
+    n = len(vecs)
+    flat = FlatIndex(dim=32, capacity=n, tile=128, use_pallas=False)
+    flat.upsert(
+        [f"p{i}" for i in range(n)],
+        vecs,
+        [f"text {i}" for i in range(n)],
+        [
+            {"ticker": "aapl" if i % 2 else "AAPL",
+             "document_type": "10-k" if i % 3 else "10-K"}
+            for i in range(n)
+        ],
+    )
+    up = flat.search(vecs[0], ticker="AAPL", document_type="10-K", k=10)[0]
+    low = flat.search(vecs[0], ticker="aapl", document_type="10-k", k=10)[0]
+    assert up and low
+    assert [h["row"] for h in up] == [h["row"] for h in low]
+    # mixed-case stored payloads all land under one code
+    assert len(flat.store.tickers.to_code) == 1
+    assert len(flat.store.doc_types.to_code) == 1

@@ -114,12 +114,45 @@ def test_int8_hnsw_tier_and_tail_scale_consistency(data):
     assert hits and hits[0]["text"] == "tail text"
 
 
-def test_sharded_tier_rejects_int8():
+def test_int8_sharded_tier(data):
+    """int8 corpus sharded over the mesh: ranking parity with bf16 + the
+    doubled per-chip capacity really lands as int8 shards in HBM."""
     from financial_rag_system_tpu.index.sharded import ShardedFlatIndex
+    from financial_rag_system_tpu.index.sharded_ivf import ShardedIVFIndex
     from financial_rag_system_tpu.parallel.mesh import create_mesh
 
-    with pytest.raises(AssertionError, match="int8"):
-        ShardedFlatIndex(create_mesh("corpus:8"), dim=64, dtype=jnp.int8)
+    v, q = data
+    mesh = create_mesh("corpus:8")
+
+    def _sharded(dtype):
+        idx = ShardedFlatIndex(
+            mesh, dim=v.shape[1], capacity=v.shape[0], tile=64, dtype=dtype
+        )
+        idx.upsert(
+            [f"p{i}" for i in range(len(v))],
+            v,
+            [f"text {i}" for i in range(len(v))],
+            [
+                {"ticker": ["AAPL", "MSFT"][i % 2], "document_type": "10-K"}
+                for i in range(len(v))
+            ],
+        )
+        return idx
+
+    bf = _sharded(jnp.bfloat16)
+    i8 = _sharded(jnp.int8)
+    assert i8.quantized and i8._emb.dtype == jnp.int8
+    bh = bf.search_batch(q, [(None, None)] * 8, k=10)
+    ih = i8.search_batch(q, [(None, None)] * 8, k=10)
+    assert _recall(ih, bh, 10) >= 0.9
+    # filters still apply under quantization
+    fh = i8.search_batch(q[:1], [("AAPL", None)], k=5)
+    assert all(h["ticker"] == "AAPL" for h in fh[0])
+    # IVF tier over the int8 sharded corpus: centroids stay bf16
+    ivf = ShardedIVFIndex(i8, n_clusters=16, nprobe=8, tile=16)
+    assert ivf.centroids.dtype == jnp.bfloat16
+    iv = ivf.search_batch(q, [(None, None)] * 8, k=10)
+    assert _recall(iv, ih, 10) >= 0.85
 
 
 def test_int8_ivf_save_load_keeps_probing(data, tmp_path):
