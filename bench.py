@@ -8,28 +8,33 @@ boundaries (torch embed -> Qdrant HNSW -> torch rerank):
            -> MiniLM-architecture cross-encoder rerank of the top 15
 
 per batch of 32 queries (the reference's dynamic-batch size), reporting
-p50 per-query latency.  Corpus vectors are random unit vectors (search
-cost is value-independent); encoder weights are random-init — identical
-FLOPs to trained weights.  Retrieval *quality* is benchmarked separately
-by evaluate.py (Hit@5/MRR).
+sustained per-query latency.  Corpus vectors are random unit vectors
+(search cost is value-independent); encoder weights are random-init —
+identical FLOPs to trained weights.  Retrieval *quality* is benchmarked
+separately by evaluate.py (Hit@5/MRR).
 
 vs_baseline: the reference's published concurrent serving result is
 ~2.7 s for 10 queries => ~270 ms/query end-to-end on its EC2 CPU stack
 (/root/reference/README.md:3,59 — includes its hosted-LLM time; no
 retrieval-only number is published).  vs_baseline = 270 / our_ms.
 
-Prints ONE JSON line to stdout; detail goes to stderr.
+Contract: prints EXACTLY ONE JSON line to stdout on every path —
+success, TPU-tunnel failure (bounded retry then CPU fallback with
+"degraded": true), mid-run wedge (watchdog thread emits the best
+measurement so far), or hard crash (backstop line with value -1).
+Detail goes to stderr.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
+import threading
 import time
+import traceback
 
 import numpy as np
-
-import os
 
 BASELINE_MS_PER_QUERY = 270.0
 # env overrides exist for smoke-testing the harness on CPU; the driver's
@@ -40,13 +45,136 @@ RETRIEVE_K = 15
 DIM = 384
 N_WARMUP = int(os.environ.get("BENCH_WARMUP", 3))
 N_ITERS = int(os.environ.get("BENCH_ITERS", 30))
+# how long to keep retrying TPU backend init before falling back to CPU
+TPU_WAIT_S = float(os.environ.get("BENCH_TPU_WAIT_S", 240))
+# hard wall: if the device tunnel wedges mid-run (a documented rig
+# failure mode), the watchdog emits the best-so-far JSON and exits 0
+WATCHDOG_S = float(os.environ.get("BENCH_WATCHDOG_S", 2400))
 
 
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+# --- un-losable result plumbing ---------------------------------------------
+
+RESULT = {
+    "metric": "two_stage_retrieval_sustained_latency_per_query",
+    "value": -1.0,
+    "unit": "ms",
+    "vs_baseline": 0.0,
+    "platform": "none",
+    "degraded": True,
+}
+_emit_lock = threading.Lock()
+_emitted = False
+
+
+def set_result(per_query_ms: float, *, stage: str) -> None:
+    """Record the best measurement so far (watchdog-visible)."""
+    RESULT["value"] = round(per_query_ms, 4)
+    RESULT["vs_baseline"] = round(BASELINE_MS_PER_QUERY / per_query_ms, 1)
+    RESULT["stage"] = stage
+
+
+def emit() -> None:
+    """Print the ONE JSON line (idempotent, thread-safe)."""
+    global _emitted
+    with _emit_lock:
+        if _emitted:
+            return
+        _emitted = True
+        print(json.dumps(RESULT), flush=True)
+
+
+def start_watchdog() -> None:
+    def run():
+        time.sleep(WATCHDOG_S)
+        if not _emitted:
+            log(f"watchdog: {WATCHDOG_S:.0f}s wall expired — emitting "
+                "best-so-far result and exiting")
+            RESULT["degraded"] = True
+            RESULT.setdefault("error", "watchdog timeout (wedged device?)")
+            emit()
+            os._exit(0)
+
+    threading.Thread(target=run, daemon=True).start()
+
+
+def probe_tpu(timeout_s: float) -> bool:
+    """True iff a SUBPROCESS can init the default (TPU) backend in time.
+
+    The tunnel's failure modes include both raising (UNAVAILABLE) and
+    silently hanging; probing in a child process with a hard timeout
+    keeps this process's JAX import state clean either way, so a CPU
+    fallback is always still possible here.
+    """
+    import subprocess
+
+    code = "import jax; print(jax.devices()[0].platform, flush=True)"
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+        platform = (out.stdout or "").strip().splitlines()[-1:]
+        ok = out.returncode == 0 and platform == ["tpu"]
+        log(f"tpu probe: rc={out.returncode} out={platform} -> {ok}")
+        return ok
+    except subprocess.TimeoutExpired:
+        log(f"tpu probe: timed out after {timeout_s:.0f}s (wedged tunnel?)")
+        return False
+    except Exception as exc:
+        log(f"tpu probe: {exc!r}")
+        return False
+
+
+def init_backend() -> str:
+    """Initialize a JAX backend, never raising on the TPU path.
+
+    Probes the TPU backend out-of-process (bounded retries within
+    TPU_WAIT_S), then either uses it or forces the CPU backend.
+    Returns the platform name.
+    """
+    deadline = time.time() + TPU_WAIT_S
+    attempt = 0
+    probe_timeout = min(120.0, max(30.0, TPU_WAIT_S / 2))
+    tpu_ok = False
+    while time.time() < deadline:
+        attempt += 1
+        if probe_tpu(min(probe_timeout, deadline - time.time() + 5)):
+            tpu_ok = True
+            break
+        if time.time() < deadline:
+            time.sleep(min(10.0, max(0.1, deadline - time.time())))
+
+    import jax
+
+    if not tpu_ok:
+        log("TPU backend unavailable — falling back to CPU (degraded run)")
+        jax.config.update("jax_platforms", "cpu")
+    platform = jax.devices()[0].platform
+    log(f"backend: {platform} after {attempt} probe(s), "
+        f"devices: {jax.devices()}")
+    return platform
+
+
 def main() -> None:
+    platform = init_backend()
+    on_tpu = platform == "tpu"
+    RESULT["platform"] = platform
+    RESULT["degraded"] = not on_tpu
+    # a degraded CPU run must still finish: shrink to smoke-test sizes
+    # (unless the caller explicitly overrode them)
+    corpus_n = CORPUS_N
+    n_iters, workers, reps = N_ITERS, 16, 48
+    if not on_tpu:
+        corpus_n = int(os.environ.get("BENCH_CORPUS_N", 8192))
+        n_iters = int(os.environ.get("BENCH_ITERS", 3))
+        workers, reps = 2, 4
+    workers = int(os.environ.get("BENCH_WORKERS", workers))
+    reps = int(os.environ.get("BENCH_REPS", reps))
+
     import jax
     import jax.numpy as jnp
 
@@ -56,11 +184,6 @@ def main() -> None:
     from financial_rag_system_tpu.models.embedder import BiEncoder
     from financial_rag_system_tpu.models.reranker import CrossEncoderReranker
     from financial_rag_system_tpu.models.tokenizer import Tokenizer
-    from financial_rag_system_tpu.index.store import PAD_CODE
-
-    platform = jax.devices()[0].platform
-    on_tpu = platform == "tpu"
-    log(f"platform: {platform}, devices: {jax.devices()}")
 
     # --- models (real architectures, random-init weights) ------------------
     tok = Tokenizer()
@@ -78,22 +201,23 @@ def main() -> None:
     rr_mod.MAX_DEVICE_BATCH = reranker_batch
 
     # --- corpus -------------------------------------------------------------
-    log(f"building {CORPUS_N}-chunk corpus ...")
+    log(f"building {corpus_n}-chunk corpus ...")
     t0 = time.time()
     index = FlatIndex(
-        DIM, capacity=CORPUS_N, tile=1024 if on_tpu else 128, use_pallas=on_tpu
+        DIM, capacity=corpus_n, tile=1024 if on_tpu else 128,
+        use_pallas=on_tpu,
     )
     key = jax.random.PRNGKey(42)
-    vecs = jax.random.normal(key, (CORPUS_N, DIM), jnp.float32)
+    vecs = jax.random.normal(key, (corpus_n, DIM), jnp.float32)
     vecs = vecs / jnp.linalg.norm(vecs, axis=1, keepdims=True)
     index._emb = jnp.asarray(vecs, index.dtype)
     # metadata codes: 8 tickers round-robin, 2 doc types
-    n = CORPUS_N
+    n = corpus_n
     tick = np.arange(n, dtype=np.int32) % 8
     dt = np.arange(n, dtype=np.int32) % 2
     index._codes = jnp.asarray(np.stack([tick, dt]))
     # host-side texts for the rerank stage
-    ids, texts, payloads = make_corpus(CORPUS_N, seed=1)
+    ids, texts, payloads = make_corpus(corpus_n, seed=1)
     index.store.texts = texts
     index.store.payloads = payloads
     index.store.id_to_row = {i: r for r, i in enumerate(ids)}
@@ -114,66 +238,17 @@ def main() -> None:
         axis=1,
     )
 
-    def pipeline() -> tuple[float, float, float]:
-        t0 = time.time()
-        qv = embedder.encode(queries)  # (32, 384)
-        t1 = time.time()
-        scores, rows = index.search_device(
-            jnp.asarray(qv), jnp.asarray(qf), RETRIEVE_K
-        )
-        rows = np.asarray(rows)  # sync
-        t2 = time.time()
-        for b in range(BATCH):
-            cand = [index.store.texts[int(r)] for r in rows[b]]
-            s = reranker.score(queries[b], cand)
-            np.argsort(s)[::-1][:5]
-        t3 = time.time()
-        return (t1 - t0) * 1e3, (t2 - t1) * 1e3, (t3 - t2) * 1e3
-
-    # batched rerank variant: all 480 pairs in one forward
-    def pipeline_batched_rerank() -> tuple[float, float, float]:
-        t0 = time.time()
-        qv = embedder.encode(queries)
-        t1 = time.time()
-        scores, rows = index.search_device(
-            jnp.asarray(qv), jnp.asarray(qf), RETRIEVE_K
-        )
-        rows = np.asarray(rows)
-        t2 = time.time()
-        encs = []
-        for b in range(BATCH):
-            q_ids = tok.tokenize_ids(queries[b])
-            for r in rows[b]:
-                encs.append(
-                    tok.encode_pair_from_ids(
-                        q_ids,
-                        reranker._doc_token_ids(index.store.texts[int(r)]),
-                        reranker.max_len,
-                    )
-                )
-        from financial_rag_system_tpu.models.tokenizer import pad_batch
-
-        idsb, types, mask = pad_batch(encs)
-        logits = bert.cross_score(
-            reranker.params, jnp.asarray(idsb), jnp.asarray(types),
-            jnp.asarray(mask), reranker.cfg,
-        )
-        s = np.asarray(logits[: len(encs)]).reshape(BATCH, RETRIEVE_K)
-        np.argsort(-s, axis=1)
-        t3 = time.time()
-        return (t1 - t0) * 1e3, (t2 - t1) * 1e3, (t3 - t2) * 1e3
-
     # --- fused single-program pipeline (device token store) ----------------
     # Measured FIRST and the JSON line printed immediately after: on rigs
     # where the device tunnel can wedge mid-run, a hang in the secondary
     # staged-pipeline detail must not lose the headline measurement.
-    from financial_rag_system_tpu.models.tokenizer import SEP_ID
+    from financial_rag_system_tpu.models.tokenizer import SEP_ID, pad_batch
     from financial_rag_system_tpu.ops.fused_query import make_fused_query
 
     DLEN = 96
     log("building device token store ...")
     t0 = time.time()
-    dtok = np.zeros((CORPUS_N, DLEN), np.int32)
+    dtok = np.zeros((corpus_n, DLEN), np.int32)
     for i, text in enumerate(texts):
         tids = tok.tokenize_ids(text)[: DLEN - 1] + [SEP_ID]
         dtok[i, : len(tids)] = tids
@@ -186,8 +261,6 @@ def main() -> None:
         k=RETRIEVE_K, tile=1024 if on_tpu else 128, use_pallas=on_tpu,
     )
     q_encs = [tok.encode(q, 32) for q in queries]
-    from financial_rag_system_tpu.models.tokenizer import pad_batch
-
     qi, qt, qm = pad_batch(q_encs)
     jqi, jqt, jqm = map(jnp.asarray, (qi, qt, qm))
     jqf = jnp.asarray(qf)
@@ -199,29 +272,27 @@ def main() -> None:
             index._emb, index._codes, doc_tokens, nv,
         )
 
-    from financial_rag_system_tpu.utils.timing import concurrent_ms, fetched_ms
+    from financial_rag_system_tpu.utils.timing import concurrent_ms
 
     log("warmup/compile fused pipeline ...")
     jax.block_until_ready(fused_call())
 
     # single-request view: one call incl. the host fetch of its outputs
     fused_ms = []
-    for _ in range(N_ITERS):
+    for _ in range(n_iters):
         t0 = time.time()
         rows, bi, ce = fused_call()
         np.asarray(rows), np.asarray(bi), np.asarray(ce)
         fused_ms.append((time.time() - t0) * 1e3)
     p50_batch = float(np.percentile(fused_ms, 50))
     p95_batch = float(np.percentile(fused_ms, 95))
+    # watchdog-visible checkpoint: if the sustained stage wedges, the
+    # single-call number still makes it out
+    set_result(p50_batch / BATCH, stage="single_call_p50")
 
     # serving view: batches overlap on device and their fetches overlap
     # across threads — exactly what the async batcher does under load
-    workers = int(os.environ.get("BENCH_WORKERS", 16))
-    sustained_batch_ms = concurrent_ms(
-        fused_call,
-        workers=workers,
-        reps=int(os.environ.get("BENCH_REPS", 48)),
-    )
+    sustained_batch_ms = concurrent_ms(fused_call, workers=workers, reps=reps)
 
     per_query = sustained_batch_ms / BATCH
     qps = BATCH * 1000.0 / sustained_batch_ms
@@ -231,26 +302,47 @@ def main() -> None:
         f"{sustained_batch_ms:.2f}ms/batch => {per_query:.3f} ms/query "
         f"({qps:.0f} QPS)"
     )
-
-    print(
-        json.dumps(
-            {
-                "metric": "two_stage_retrieval_sustained_latency_per_query",
-                "value": round(per_query, 4),
-                "unit": "ms",
-                "vs_baseline": round(BASELINE_MS_PER_QUERY / per_query, 1),
-            }
-        ),
-        flush=True,
-    )
+    set_result(per_query, stage="sustained")
+    RESULT["corpus_n"] = corpus_n
+    emit()
 
     # --- staged (3 syncs/batch) detail, stderr only -------------------------
     try:
+        def pipeline_batched_rerank() -> tuple[float, float, float]:
+            t0 = time.time()
+            qv = embedder.encode(queries)
+            t1 = time.time()
+            _scores, rows = index.search_device(
+                jnp.asarray(qv), jnp.asarray(qf), RETRIEVE_K
+            )
+            rows = np.asarray(rows)
+            t2 = time.time()
+            encs = []
+            for b in range(BATCH):
+                q_ids = tok.tokenize_ids(queries[b])
+                for r in rows[b]:
+                    encs.append(
+                        tok.encode_pair_from_ids(
+                            q_ids,
+                            reranker._doc_token_ids(index.store.texts[int(r)]),
+                            reranker.max_len,
+                        )
+                    )
+            idsb, types, mask = pad_batch(encs)
+            logits = bert.cross_score(
+                reranker.params, jnp.asarray(idsb), jnp.asarray(types),
+                jnp.asarray(mask), reranker.cfg,
+            )
+            s = np.asarray(logits[: len(encs)]).reshape(BATCH, RETRIEVE_K)
+            np.argsort(-s, axis=1)
+            t3 = time.time()
+            return (t1 - t0) * 1e3, (t2 - t1) * 1e3, (t3 - t2) * 1e3
+
         log("warmup/compile staged pipeline ...")
         for _ in range(N_WARMUP):
             pipeline_batched_rerank()
         embed_ms, search_ms, rerank_ms, staged_ms = [], [], [], []
-        for _ in range(N_ITERS):
+        for _ in range(n_iters):
             e, s, r = pipeline_batched_rerank()
             embed_ms.append(e)
             search_ms.append(s)
@@ -268,4 +360,13 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    start_watchdog()
+    try:
+        main()
+    except BaseException as exc:  # backstop: the JSON line still prints
+        log("bench crashed:\n" + traceback.format_exc())
+        RESULT["degraded"] = True
+        RESULT["error"] = f"{type(exc).__name__}: {exc}"
+        emit()
+        sys.exit(0)
+    emit()  # no-op if main already emitted
