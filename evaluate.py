@@ -28,11 +28,15 @@ import time
 import numpy as np
 
 
-def build_index(n_chunks: int, embedder, use_pallas: bool):
-    from financial_rag_system_tpu.data.synthetic import make_corpus
+def build_index(n_chunks: int, embedder, use_pallas: bool, *, hard: bool = False):
+    from financial_rag_system_tpu.data.synthetic import (
+        make_corpus,
+        make_hard_corpus,
+    )
     from financial_rag_system_tpu.index.flat import FlatIndex
 
-    ids, texts, payloads = make_corpus(n_chunks)
+    maker = make_hard_corpus if hard else make_corpus
+    ids, texts, payloads = maker(n_chunks)
     index = FlatIndex(
         dim=embedder.dim, capacity=max(n_chunks, 1024),
         tile=min(1024, max(128, n_chunks // 4 // 128 * 128 or 128)),
@@ -47,13 +51,17 @@ def build_index(n_chunks: int, embedder, use_pallas: bool):
 
 def run_evaluation(
     k: int = 5, n_chunks: int = 2048, two_stage: bool = False,
-    tier: str = "flat",
+    tier: str = "flat", hard: bool = False,
 ):
-    from financial_rag_system_tpu.data.synthetic import GOLDEN_SET
+    from financial_rag_system_tpu.data.synthetic import (
+        GOLDEN_SET,
+        make_hard_set,
+    )
     from financial_rag_system_tpu.models.embedder import get_embedder
     from financial_rag_system_tpu.models.reranker import get_reranker
     from financial_rag_system_tpu.index.flat import FlatIndex
 
+    golden = make_hard_set() if hard else GOLDEN_SET
     embedder = get_embedder()
     index_dir = os.environ.get("INDEX_DIR", "")
     use_pallas = os.environ.get("JAX_PLATFORMS", "") not in ("cpu",)
@@ -61,8 +69,9 @@ def run_evaluation(
         index = FlatIndex.load(index_dir)
         print(f"loaded index from {index_dir}: {index.n_valid} chunks")
     else:
-        index = build_index(n_chunks, embedder, use_pallas)
-        print(f"built synthetic corpus: {index.n_valid} chunks")
+        index = build_index(n_chunks, embedder, use_pallas, hard=hard)
+        print(f"built synthetic corpus: {index.n_valid} chunks"
+              + (" (hard mode)" if hard else ""))
     if tier == "ivf":
         from financial_rag_system_tpu.index.ivf import IVFIndex
 
@@ -103,7 +112,7 @@ def run_evaluation(
 
     hits, rrs, total_latency = 0, [], 0.0
     fan_k = 15 if two_stage else k
-    for item in GOLDEN_SET:
+    for item in golden:
         t0 = time.time()
         vec = embedder.encode([item["query"]])
         cands = index.search(vec, ticker=item["ticker"], k=fan_k)[0]
@@ -128,7 +137,7 @@ def run_evaluation(
             rrs.append(0.0)
             print(f"[MISS]        | {latency:6.1f} ms | {item['query'][:55]}")
 
-    n = len(GOLDEN_SET)
+    n = len(golden)
     hit_rate = 100.0 * hits / n
     mrr = sum(rrs) / n
     avg_ms = total_latency / n
@@ -141,11 +150,17 @@ def run_evaluation(
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--k", type=int, default=5)
-    ap.add_argument("--corpus", type=int, default=2048)
+    ap.add_argument("--corpus", type=int, default=None,
+                    help="corpus size (default 2048, 65536 in --hard mode)")
     ap.add_argument("--two-stage", action="store_true")
     ap.add_argument("--tier",
                     choices=("flat", "ivf", "hnsw", "sharded", "sharded-ivf"),
                     default="flat",
                     help="index tier under evaluation")
+    ap.add_argument("--hard", action="store_true",
+                    help="56 paraphrase queries + keyword-sharing "
+                         "distractors over a 64k corpus (headroom mode)")
     args = ap.parse_args()
-    run_evaluation(args.k, args.corpus, args.two_stage, tier=args.tier)
+    corpus = args.corpus or (65536 if args.hard else 2048)
+    run_evaluation(args.k, corpus, args.two_stage, tier=args.tier,
+                   hard=args.hard)

@@ -68,6 +68,12 @@ _FILLER_SUBJECTS = [
 
 _TICKERS = ["AAPL", "MSFT", "GOOG", "AMZN", "NVDA", "META", "TSLA", "JPM"]
 
+_COMPANY = {
+    "AAPL": "Apple", "MSFT": "Microsoft", "GOOG": "Google",
+    "AMZN": "Amazon", "NVDA": "Nvidia", "META": "Meta",
+    "TSLA": "Tesla", "JPM": "JPMorgan",
+}
+
 
 _NOTE_TEMPLATES = [
     "Note {i}: {t} provides disclosure concerning {subj}. The balance "
@@ -159,3 +165,245 @@ GOLDEN_SET = [
         ],
     },
 ]
+
+
+# ---------------------------------------------------------------------------
+# Hard evaluation mode: paraphrase queries + keyword-sharing distractors
+# ---------------------------------------------------------------------------
+#
+# The easy GOLDEN_SET saturates (Hit@5 100 / MRR 1.0 at the 2k tier), so it
+# cannot detect regressions.  The hard set creates headroom three ways:
+#
+# 1. **Paraphrase queries**: the query never contains its scoring keywords
+#    verbatim — the retriever has to bridge the vocabulary gap.
+# 2. **Lexical bait**: each (intent, ticker) plants several same-ticker
+#    distractor chunks that REUSE the query's surface words in unrelated
+#    contexts but never contain the scoring keywords — a weak retriever
+#    ranks bait above the positive and the query scores as a miss.
+# 3. **Cross-ticker keyword sharing**: every ticker has a positive with the
+#    SAME scoring keywords, so a broken metadata filter immediately shows
+#    up as hits leaking from wrong tickers.
+#
+# Scoring methodology is unchanged from the reference harness
+# (/root/reference/evaluate.py:96-111): first rank whose text contains any
+# expected keyword, Hit@k %, MRR.  The keywords are multi-word phrases that
+# appear ONLY in the intent's positives (asserted by tests), so substring
+# scoring stays sound.
+
+HARD_INTENTS = [
+    {
+        "name": "factory_risk",
+        "query": "How exposed is {company} to problems at the factories that assemble its products?",
+        "keywords": ["outsourcing partners", "single-source suppliers"],
+        "positive": (
+            "{company} relies on third-party outsourcing partners, including "
+            "single-source suppliers, to perform final assembly of its "
+            "products at factories the partners operate. Interruption at "
+            "these facilities, component shortages, or logistics constraints "
+            "could delay shipments and raise unit costs materially."
+        ),
+        "baits": [
+            "{company} opened a new office campus adjacent to its former "
+            "factories site, which was redeveloped into research space; no "
+            "products are assembled there and no exposure remains.",
+            "Warranty claims on {company} products are accrued when probable; "
+            "the estimate does not depend on which factory assembled the unit "
+            "or on problems identified after sale.",
+            "A discussion of problems with seasonal demand for {company} "
+            "products appears in the outlook section; factory utilization "
+            "rates are disclosed separately and remain stable.",
+        ],
+    },
+    {
+        "name": "payout",
+        "query": "How much cash did {company} return to its shareholders during the year?",
+        "keywords": ["returned to stockholders", "quarterly cash dividend"],
+        "positive": (
+            "{company} returned capital to stockholders through open-market "
+            "buybacks and a quarterly cash dividend; in aggregate 28.3 "
+            "billion dollars was returned to stockholders during the fiscal "
+            "year under the board-authorized programs."
+        ),
+        "baits": [
+            "{company} holds cash and marketable securities to fund operating "
+            "needs; treasury policy is reviewed each year by the audit "
+            "committee rather than by shareholders.",
+            "Shareholders of {company} approved the equity incentive plan at "
+            "the annual meeting this year; no cash awards were granted and "
+            "no amounts return to participants before vesting.",
+            "{company} classifies restricted cash within other assets; during "
+            "the year the balance was immaterial to shareholders' equity and "
+            "to the return on assets ratio.",
+        ],
+    },
+    {
+        "name": "climate",
+        "query": "What is {company} doing about its environmental footprint and emissions?",
+        "keywords": ["carbon neutral", "renewable energy credits"],
+        "positive": (
+            "{company} has committed to become carbon neutral across its "
+            "corporate operations and supply base, cutting emissions by "
+            "purchasing renewable energy credits, shifting to recycled "
+            "materials, and requiring suppliers to transition to clean power."
+        ),
+        "baits": [
+            "{company} discloses the square footage footprint of its data "
+            "centers; environmental permits for new construction are obtained "
+            "from local authorities as required.",
+            "Vehicle emissions testing regulations affect third-party "
+            "logistics vendors used by {company}; the company passes those "
+            "compliance costs through to carriers.",
+            "An environmental remediation reserve was recorded by {company} "
+            "for a legacy industrial site; the footprint of the liability is "
+            "capped by a seller indemnity.",
+        ],
+    },
+    {
+        "name": "cyber",
+        "query": "Has {company} had security breaches and how does it protect customer information?",
+        "keywords": ["unauthorized access", "incident response"],
+        "positive": (
+            "{company} maintains an incident response program and layered "
+            "security safeguards designed to protect customer data and "
+            "prevent unauthorized access; to date no breach material to the "
+            "financial statements has occurred."
+        ),
+        "baits": [
+            "{company} pledges certain securities as collateral under "
+            "financing arrangements; customer receivables information is "
+            "summarized in the credit risk note.",
+            "Physical security services protect {company} retail locations "
+            "and distribution centers; customer traffic information is not "
+            "disclosed in this report.",
+            "{company} licenses information from data vendors for marketing "
+            "to customers; the agreements protect vendor confidentiality and "
+            "limit security audits to once per year.",
+        ],
+    },
+    {
+        "name": "legal",
+        "query": "What lawsuits or government investigations is {company} currently facing?",
+        "keywords": ["antitrust", "consent decree"],
+        "positive": (
+            "{company} is subject to antitrust investigations by government "
+            "authorities in several jurisdictions and operates under a "
+            "consent decree relating to past conduct; management cannot "
+            "currently estimate the range of reasonably possible loss."
+        ),
+        "baits": [
+            "Sales by {company} to government agencies are made under "
+            "framework contracts; pricing audits are routine and are not "
+            "investigations of the company.",
+            "{company} recovered amounts from an insurance lawsuit settled in "
+            "its favor; the gain is currently deferred pending appeal by the "
+            "carrier.",
+            "Internal investigations of expense policy violations at "
+            "{company} are handled by the ethics office and none is currently "
+            "material to operations.",
+        ],
+    },
+    {
+        "name": "ai_strategy_hard",
+        "query": "How is {company} using machine intelligence across its products and services?",
+        "keywords": ["large language models", "inference accelerators"],
+        "positive": (
+            "{company} deploys large language models in intelligence "
+            "features across its products and services, and designs "
+            "inference accelerators to serve them efficiently; research "
+            "spending supports foundation model training and on-device "
+            "deployment."
+        ),
+        "baits": [
+            "{company} depreciates machine tooling over five years; products "
+            "retired from service are scrapped and the residual intelligence "
+            "of the process is immaterial.",
+            "Market intelligence reports purchased by {company} cover "
+            "competitor products and services pricing across regions.",
+            "Self-service kiosks and machine placement fees contribute an "
+            "immaterial amount to {company} services revenue this period.",
+        ],
+    },
+    {
+        "name": "segment_mix",
+        "query": "Which business lines drive most of {company} revenue and how did the mix shift?",
+        "keywords": ["reportable segments", "disaggregated revenue"],
+        "positive": (
+            "{company} presents disaggregated revenue across its reportable "
+            "segments; the mix shifted toward recurring offerings, with the "
+            "largest segment contributing over half of consolidated sales "
+            "for the period."
+        ),
+        "baits": [
+            "{company} leases business equipment under operating leases; "
+            "credit lines remain undrawn and revenue recognition for leases "
+            "is unchanged from the prior shift in guidance.",
+            "The product mix of raw materials used by {company} shifted "
+            "toward recycled inputs; the revenue impact of the change was "
+            "neutral for most business units.",
+            "{company} closed several business lines of an acquired entity; "
+            "severance drove the shift in operating expense rather than any "
+            "revenue line.",
+        ],
+    },
+]
+
+
+def make_hard_set(tickers: list[str] | None = None) -> list[dict]:
+    """>=50 paraphrase queries: every intent crossed with every ticker.
+
+    Same item schema as GOLDEN_SET so the evaluator loop is unchanged.
+    """
+    tickers = tickers or _TICKERS
+    out = []
+    for t in tickers:
+        for intent in HARD_INTENTS:
+            out.append(
+                {
+                    "query": intent["query"].format(company=_COMPANY[t]),
+                    "ticker": t,
+                    "expected_keywords": list(intent["keywords"]),
+                    "intent": intent["name"],
+                }
+            )
+    return out
+
+
+def make_hard_corpus(
+    n_chunks: int = 65536, *, seed: int = 0, tickers: list[str] | None = None
+) -> tuple[list[str], list[str], list[dict[str, Any]]]:
+    """Hard-mode corpus: positives + lexical bait + filler to ``n_chunks``.
+
+    Layout: for every (ticker, intent), ONE positive (contains the scoring
+    keywords) and its bait chunks (share the query's surface words, never
+    the keywords), then seeded filler distractors across all tickers.
+    Positives exist for every ticker, so each query's keywords also live
+    in 7 wrong-ticker chunks — the metadata filter is load-bearing.
+    """
+    rng = random.Random(seed)
+    tickers = tickers or _TICKERS
+    ids, texts, payloads = [], [], []
+
+    def add(ticker: str, ftype: str, src: str, i: int, text: str) -> None:
+        ids.append(point_id(ticker, ftype, src, i))
+        texts.append(text)
+        payloads.append(
+            {"ticker": ticker, "document_type": ftype, "source_file": src}
+        )
+
+    for t in tickers:
+        company = _COMPANY[t]
+        for intent in HARD_INTENTS:
+            add(t, "10-K", f"hard_{intent['name']}", 0,
+                intent["positive"].format(company=company))
+            for j, bait in enumerate(intent["baits"]):
+                ftype = "10-K" if j % 2 == 0 else "10-Q"
+                add(t, ftype, f"bait_{intent['name']}", j,
+                    bait.format(company=company))
+
+    i = 0
+    while len(ids) < n_chunks:
+        ticker = tickers[i % len(tickers)]
+        ftype = "10-K" if i % 3 else "10-Q"
+        add(ticker, ftype, "hard_filler", i, _distractor(rng, ticker, i))
+        i += 1
+    return ids, texts, payloads
