@@ -62,9 +62,14 @@ class FlatIndex(SearchMixin):
         # normalize at construction so every consumer (flat search, the
         # engine's fused single-program path) sees a flag that is safe to
         # dispatch on — Pallas cannot lower compiled kernels on CPU.
-        # int8 through the Pallas kernel is pending TPU validation.
+        # int8 rides the same kernel (tiles widen in VMEM; ops/topk.py)
+        # behind the FRS_INT8_PALLAS kill switch.
+        from financial_rag_system_tpu.ops.topk import int8_pallas_enabled
+
         self.use_pallas = (
-            use_pallas and pallas_available() and not self.quantized
+            use_pallas
+            and pallas_available()
+            and (not self.quantized or int8_pallas_enabled())
         )
         self.capacity = _round_up(max(capacity, tile), tile)
         self.store = DocumentStore()

@@ -101,7 +101,11 @@ def _ivf_kernel(
 
     @pl.when(tile_ids_ref[step] >= 0)
     def _process():
-        s = jnp.dot(q_ref[:], c_ref[:].T, preferred_element_type=jnp.float32)
+        # int8 tiles widen in VMEM (see ops/topk.py _topk_kernel)
+        q, c = q_ref[:], c_ref[:]
+        if q.dtype == jnp.int8:
+            q, c = q.astype(jnp.float32), c.astype(jnp.float32)
+        s = jnp.dot(q, c.T, preferred_element_type=jnp.float32)
         tick_q = qf_ref[:, 0:1]
         dt_q = qf_ref[:, 1:2]
         tick_c = codes_ref[0:1, :]

@@ -60,7 +60,8 @@ def make_sharded_search(
             s, i = masked_topk_pallas(queries, emb, codes, qf, local_valid, k, tile=tile)
         else:
             s, i = masked_topk_xla(queries, emb, codes, qf, local_valid, k)
-        gi = i + base
+        # -1 padding (shard smaller than k) must not alias a real row
+        gi = jnp.where(i >= 0, i + base, -1)
         # gather partials from every shard: (B, n_shards*k)
         all_s = jax.lax.all_gather(s, AXIS_CORPUS, axis=1, tiled=True)
         all_i = jax.lax.all_gather(gi, AXIS_CORPUS, axis=1, tiled=True)
@@ -107,9 +108,14 @@ class ShardedFlatIndex(SearchMixin):
         # bf16 per shard (so ~2x corpus per chip at equal memory)
         self.quantized = self.dtype == jnp.int8
         # construction-time gate: compiled Pallas kernels cannot lower on
-        # the CPU backend (same normalization as FlatIndex)
+        # the CPU backend (same normalization as FlatIndex); int8 rides
+        # the kernel behind the FRS_INT8_PALLAS kill switch
+        from financial_rag_system_tpu.ops.topk import int8_pallas_enabled
+
         self.use_pallas = (
-            use_pallas and pallas_available() and not self.quantized
+            use_pallas
+            and pallas_available()
+            and (not self.quantized or int8_pallas_enabled())
         )
         self.n_shards = mesh.shape[AXIS_CORPUS]
         per_shard = _round_up(
@@ -209,16 +215,33 @@ class ShardedFlatIndex(SearchMixin):
     # search()/search_batch() come from SearchMixin.
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _host_copy(arr) -> np.ndarray:
+        """Device->host copy that works for multi-process global arrays
+        (a cross-process gather, so every process must call it — the
+        op-broadcast control plane guarantees that for save())."""
+        if arr.is_fully_addressable:
+            return np.asarray(arr)
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(arr, tiled=True))
+
     def save(self, directory: str) -> None:
         """Checkpoint is mesh-shape independent: arrays land as plain
-        host npz and re-place onto whatever mesh loads them."""
+        host npz and re-place onto whatever mesh loads them.  In
+        multi-process serving every process joins the gather; process 0
+        writes the files."""
         import os
 
+        emb = self._host_copy(self._emb)
+        codes = self._host_copy(self._codes)
+        if jax.process_index() != 0:
+            return
         os.makedirs(directory, exist_ok=True)
         np.savez_compressed(
             os.path.join(directory, "sharded_index.npz"),
-            emb=np.asarray(self._emb, np.float32),
-            codes=np.asarray(self._codes),
+            emb=np.asarray(emb, np.float32),
+            codes=codes,
             meta=np.asarray(
                 [self.dim, self.tile, self.capacity, int(self.quantized)]
             ),

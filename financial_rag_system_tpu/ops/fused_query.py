@@ -40,48 +40,33 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def fused_two_stage(
-    embed_params,
+def _prep_queries(qv: jax.Array, corpus_dtype, quantized: bool) -> jax.Array:
+    """Match query vectors to the corpus representation inside the fused
+    program — the in-graph twin of FlatIndex.prep_queries (symmetric int8
+    quantization, or a plain cast)."""
+    if quantized:
+        q = qv.astype(jnp.float32) * 127.0
+        return jnp.clip(jnp.round(q), -127, 127).astype(jnp.int8)
+    return qv.astype(corpus_dtype)
+
+
+def _cross_rerank(
     rerank_params,
-    q_ids: jax.Array,      # (B, LQ) int32, [CLS]...[SEP] + 0-padding
-    q_types: jax.Array,    # (B, LQ)
-    q_mask: jax.Array,     # (B, LQ)
-    query_filter: jax.Array,  # (B, 2) int32
-    corpus_emb: jax.Array,    # (N, D)
-    corpus_codes: jax.Array,  # (2, N)
-    doc_tokens: jax.Array,    # (N, DLEN) int32, tokenized [..., SEP], 0-pad
-    n_valid: jax.Array,       # scalar int32
+    q_ids: jax.Array,      # (B, LQ)
+    rows: jax.Array,       # (B, K) int32 candidate rows (-1 = empty)
+    bi_scores: jax.Array,  # (B, K) f32 (-inf = empty)
+    doc_tokens: jax.Array,  # (N, DLEN)
     *,
-    embed_cfg: bert.BertConfig,
     rerank_cfg: bert.BertConfig,
-    k: int,
-    tile: int,
-    use_pallas: bool,
-):
-    """Returns (rows (B,k) int32, bi_scores (B,k) f32, ce_logits (B,k) f32)."""
+) -> jax.Array:
+    """Stages 3+4 of the fused pipeline: gather candidate token ids from
+    HBM and cross-encode all B*K pairs in one forward.  Returns (B, K)
+    logits with empty slots masked to -inf."""
     b, lq = q_ids.shape
+    k = rows.shape[1]
     dlen = doc_tokens.shape[1]
+    dtok = doc_tokens[jnp.maximum(rows, 0)]  # (B, K, DLEN)
 
-    # Stage 1: bi-encoder embedding (CLS pool + L2 norm)
-    h = bert.encode(embed_params, q_ids, q_types, q_mask, embed_cfg)
-    cls = h[:, 0, :]
-    qv = cls / jnp.linalg.norm(cls, axis=-1, keepdims=True).clip(1e-12)
-
-    # Stage 2: fused masked similarity + top-k over the HBM corpus
-    if use_pallas:
-        bi_scores, rows = masked_topk_pallas(
-            qv.astype(corpus_emb.dtype), corpus_emb, corpus_codes,
-            query_filter, n_valid, k, tile=tile,
-        )
-    else:
-        bi_scores, rows = masked_topk_xla(
-            qv, corpus_emb, corpus_codes, query_filter, n_valid, k
-        )
-
-    # Stage 3: gather candidate token ids straight from HBM
-    dtok = doc_tokens[rows]  # (B, k, DLEN)
-
-    # Stage 4: cross-encoder rerank of all B*k pairs in one forward
     pair_ids = jnp.concatenate(
         [jnp.broadcast_to(q_ids[:, None, :], (b, k, lq)), dtok], axis=2
     ).reshape(b * k, lq + dlen)
@@ -107,8 +92,51 @@ def fused_two_stage(
         pooled, rerank_params["classifier"]["w"], rerank_params["classifier"]["b"]
     )[: b * k, 0].reshape(b, k)
 
-    # hide rerank logits for empty slots (bi score == -inf)
-    logits = jnp.where(jnp.isfinite(bi_scores), logits, -jnp.inf)
+    # hide rerank logits for empty slots (bi score == -inf or row == -1)
+    return jnp.where(jnp.isfinite(bi_scores) & (rows >= 0), logits, -jnp.inf)
+
+
+def fused_two_stage(
+    embed_params,
+    rerank_params,
+    q_ids: jax.Array,      # (B, LQ) int32, [CLS]...[SEP] + 0-padding
+    q_types: jax.Array,    # (B, LQ)
+    q_mask: jax.Array,     # (B, LQ)
+    query_filter: jax.Array,  # (B, 2) int32
+    corpus_emb: jax.Array,    # (N, D)
+    corpus_codes: jax.Array,  # (2, N)
+    doc_tokens: jax.Array,    # (N, DLEN) int32, tokenized [..., SEP], 0-pad
+    n_valid: jax.Array,       # scalar int32
+    *,
+    embed_cfg: bert.BertConfig,
+    rerank_cfg: bert.BertConfig,
+    k: int,
+    tile: int,
+    use_pallas: bool,
+    quantized: bool = False,
+):
+    """Returns (rows (B,k) int32, bi_scores (B,k) f32, ce_logits (B,k) f32)."""
+    # Stage 1: bi-encoder embedding (CLS pool + L2 norm)
+    h = bert.encode(embed_params, q_ids, q_types, q_mask, embed_cfg)
+    cls = h[:, 0, :]
+    qv = cls / jnp.linalg.norm(cls, axis=-1, keepdims=True).clip(1e-12)
+    q = _prep_queries(qv, corpus_emb.dtype, quantized)
+
+    # Stage 2: fused masked similarity + top-k over the HBM corpus
+    if use_pallas:
+        bi_scores, rows = masked_topk_pallas(
+            q, corpus_emb, corpus_codes, query_filter, n_valid, k, tile=tile,
+        )
+    else:
+        bi_scores, rows = masked_topk_xla(
+            q, corpus_emb, corpus_codes, query_filter, n_valid, k
+        )
+
+    # Stages 3+4: HBM token gather + cross-encoder rerank, one forward
+    logits = _cross_rerank(
+        rerank_params, q_ids, rows, bi_scores, doc_tokens,
+        rerank_cfg=rerank_cfg,
+    )
     return rows, bi_scores, logits
 
 
@@ -124,6 +152,7 @@ def fused_hash_query(
     k: int,
     tile: int,
     use_pallas: bool,
+    quantized: bool = False,
 ):
     """Single-program embed+search for the hermetic hash-model stack.
 
@@ -135,21 +164,196 @@ def fused_hash_query(
     vecs = table[q_ids] * m
     mean = jnp.sum(vecs, axis=1) / jnp.sum(m, axis=1).clip(1.0)
     qv = mean / jnp.linalg.norm(mean, axis=-1, keepdims=True).clip(1e-12)
+    q = _prep_queries(qv, corpus_emb.dtype, quantized)
     if use_pallas:
         scores, rows = masked_topk_pallas(
-            qv.astype(corpus_emb.dtype), corpus_emb, corpus_codes,
-            query_filter, n_valid, k, tile=tile,
+            q, corpus_emb, corpus_codes, query_filter, n_valid, k, tile=tile,
         )
     else:
-        from financial_rag_system_tpu.ops.topk import masked_topk_xla as _xla
-
-        scores, rows = _xla(qv, corpus_emb, corpus_codes, query_filter, n_valid, k)
+        scores, rows = masked_topk_xla(
+            q, corpus_emb, corpus_codes, query_filter, n_valid, k
+        )
     return qv, scores, rows
 
 
-def make_fused_hash_query(*, k: int, tile: int = 1024, use_pallas: bool = True):
+def make_fused_hash_query(
+    *, k: int, tile: int = 1024, use_pallas: bool = True,
+    quantized: bool = False,
+):
     fn = functools.partial(
-        fused_hash_query, k=k, tile=tile, use_pallas=use_pallas
+        fused_hash_query, k=k, tile=tile, use_pallas=use_pallas,
+        quantized=quantized,
+    )
+    return jax.jit(fn)
+
+
+# ---------------------------------------------------------------------------
+# fused IVF tier: embed -> centroid probe -> probed-tiles kernel -> rerank
+# ---------------------------------------------------------------------------
+
+
+def _probe_tiles(
+    q: jax.Array,           # (B, D) corpus-representation queries
+    centroids: jax.Array,   # (K_cl, Dc)
+    *,
+    nprobe: int,
+    tiles_per_cluster: int,
+    num_tiles: int,
+) -> jax.Array:
+    """Batch-union probed tile ids, -1-padded to the static budget — the
+    in-graph twin of IVFIndex._tile_list (index/ivf.py)."""
+    b = q.shape[0]
+    scores = jnp.dot(
+        q.astype(jnp.float32),
+        centroids.T.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    _, clusters = jax.lax.top_k(scores, nprobe)  # (B, nprobe)
+    tiles = (
+        clusters[..., None] * tiles_per_cluster
+        + jnp.arange(tiles_per_cluster)[None, None, :]
+    ).reshape(-1)
+    budget = min(num_tiles, b * nprobe * tiles_per_cluster)
+    return jnp.unique(tiles, size=budget, fill_value=-1).astype(jnp.int32)
+
+
+def fused_ivf_two_stage(
+    embed_params,
+    rerank_params,
+    q_ids: jax.Array,         # (B, LQ) int32
+    q_types: jax.Array,       # (B, LQ)
+    q_mask: jax.Array,        # (B, LQ)
+    query_filter: jax.Array,  # (B, 2) int32
+    centroids: jax.Array,     # (K_cl, D)
+    packed_emb: jax.Array,    # (K_cl*C_max, D) cluster-major packing
+    packed_codes: jax.Array,  # (2, K_cl*C_max)
+    packed_gids: jax.Array,   # (1, K_cl*C_max) original row ids, -1 pad
+    doc_tokens: jax.Array,    # (N, DLEN) flat-index token store
+    *,
+    embed_cfg: bert.BertConfig,
+    rerank_cfg: bert.BertConfig,
+    k: int,
+    tile: int,
+    nprobe: int,
+    tiles_per_cluster: int,
+    use_pallas: bool,
+    quantized: bool = False,
+):
+    """The sub-linear twin of :func:`fused_two_stage`: the flat masked
+    top-k is replaced by centroid probing + the probed-tiles IVF kernel
+    (index/ivf.py), so one program serves embed -> probe -> search ->
+    gather -> rerank at the million-chunk tier.  Returns (rows, bi, ce).
+
+    Replaces: the reference's per-request Qdrant HNSW query + torch
+    rerank round-trips (main.py:215-246) in one device dispatch.
+    """
+    from financial_rag_system_tpu.index.ivf import ivf_probe_pallas, ivf_probe_xla
+
+    h = bert.encode(embed_params, q_ids, q_types, q_mask, embed_cfg)
+    cls = h[:, 0, :]
+    qv = cls / jnp.linalg.norm(cls, axis=-1, keepdims=True).clip(1e-12)
+    q = _prep_queries(qv, packed_emb.dtype, quantized)
+
+    num_tiles = packed_emb.shape[0] // tile
+    tile_ids = _probe_tiles(
+        q, centroids, nprobe=nprobe,
+        tiles_per_cluster=tiles_per_cluster, num_tiles=num_tiles,
+    )
+    if use_pallas:
+        bi_scores, rows = ivf_probe_pallas(
+            q, query_filter, packed_emb, packed_codes, packed_gids,
+            tile_ids, k, tile=tile, probe_budget=tile_ids.shape[0],
+        )
+    else:
+        bi_scores, rows = ivf_probe_xla(
+            q, query_filter, packed_emb, packed_codes, packed_gids,
+            tile_ids, k, tile=tile,
+        )
+    logits = _cross_rerank(
+        rerank_params, q_ids, rows, bi_scores, doc_tokens,
+        rerank_cfg=rerank_cfg,
+    )
+    return rows, bi_scores, logits
+
+
+def fused_ivf_hash_query(
+    table: jax.Array,
+    q_ids: jax.Array,
+    q_mask: jax.Array,
+    query_filter: jax.Array,
+    centroids: jax.Array,
+    packed_emb: jax.Array,
+    packed_codes: jax.Array,
+    packed_gids: jax.Array,
+    *,
+    k: int,
+    tile: int,
+    nprobe: int,
+    tiles_per_cluster: int,
+    use_pallas: bool,
+    quantized: bool = False,
+):
+    """IVF probing for the hermetic hash stack (rerank == bi cosine).
+    Returns (qv, scores, rows)."""
+    from financial_rag_system_tpu.index.ivf import ivf_probe_pallas, ivf_probe_xla
+
+    m = q_mask[:, :, None].astype(jnp.float32)
+    vecs = table[q_ids] * m
+    mean = jnp.sum(vecs, axis=1) / jnp.sum(m, axis=1).clip(1.0)
+    qv = mean / jnp.linalg.norm(mean, axis=-1, keepdims=True).clip(1e-12)
+    q = _prep_queries(qv, packed_emb.dtype, quantized)
+    num_tiles = packed_emb.shape[0] // tile
+    tile_ids = _probe_tiles(
+        q, centroids, nprobe=nprobe,
+        tiles_per_cluster=tiles_per_cluster, num_tiles=num_tiles,
+    )
+    if use_pallas:
+        scores, rows = ivf_probe_pallas(
+            q, query_filter, packed_emb, packed_codes, packed_gids,
+            tile_ids, k, tile=tile, probe_budget=tile_ids.shape[0],
+        )
+    else:
+        scores, rows = ivf_probe_xla(
+            q, query_filter, packed_emb, packed_codes, packed_gids,
+            tile_ids, k, tile=tile,
+        )
+    return qv, scores, rows
+
+
+def make_fused_ivf_query(
+    embed_cfg: bert.BertConfig,
+    rerank_cfg: bert.BertConfig,
+    *,
+    k: int,
+    tile: int,
+    nprobe: int,
+    tiles_per_cluster: int,
+    use_pallas: bool,
+    quantized: bool = False,
+):
+    fn = functools.partial(
+        fused_ivf_two_stage,
+        embed_cfg=embed_cfg, rerank_cfg=rerank_cfg, k=k, tile=tile,
+        nprobe=nprobe, tiles_per_cluster=tiles_per_cluster,
+        use_pallas=use_pallas, quantized=quantized,
+    )
+    return jax.jit(fn)
+
+
+def make_fused_ivf_hash_query(
+    *,
+    k: int,
+    tile: int,
+    nprobe: int,
+    tiles_per_cluster: int,
+    use_pallas: bool,
+    quantized: bool = False,
+):
+    fn = functools.partial(
+        fused_ivf_hash_query,
+        k=k, tile=tile, nprobe=nprobe,
+        tiles_per_cluster=tiles_per_cluster,
+        use_pallas=use_pallas, quantized=quantized,
     )
     return jax.jit(fn)
 
@@ -161,6 +365,7 @@ def make_fused_query(
     k: int,
     tile: int = 1024,
     use_pallas: bool = True,
+    quantized: bool = False,
 ):
     """jit-compiled fused query fn with static model configs."""
     fn = functools.partial(
@@ -170,6 +375,7 @@ def make_fused_query(
         k=k,
         tile=tile,
         use_pallas=use_pallas,
+        quantized=quantized,
     )
     return jax.jit(fn)
 
@@ -215,7 +421,7 @@ def make_sharded_fused_query(
             embed_cfg=embed_cfg, rerank_cfg=rerank_cfg,
             k=k, tile=tile, use_pallas=use_pallas,
         )
-        rows_g = rows_l + base
+        rows_g = jnp.where(jnp.isfinite(bi_l), rows_l + base, -1)
         all_rows = jax.lax.all_gather(rows_g, AXIS_CORPUS, axis=1, tiled=True)
         all_bi = jax.lax.all_gather(bi_l, AXIS_CORPUS, axis=1, tiled=True)
         all_ce = jax.lax.all_gather(ce_l, AXIS_CORPUS, axis=1, tiled=True)

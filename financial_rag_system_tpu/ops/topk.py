@@ -76,7 +76,18 @@ def masked_topk_xla(
     )
     mask = _match_mask(codes, query_filter) & valid
     scores = jnp.where(mask, scores, NEG_INF)
-    top_s, top_i = jax.lax.top_k(scores, k)
+    # a corpus (or shard) smaller than k pads with -inf/-1 slots so
+    # callers always get a (B, k) result (e.g. tiny per-shard slices)
+    kk = min(k, n)
+    top_s, top_i = jax.lax.top_k(scores, kk)
+    if kk < k:
+        b = scores.shape[0]
+        top_s = jnp.concatenate(
+            [top_s, jnp.full((b, k - kk), NEG_INF, top_s.dtype)], axis=1
+        )
+        top_i = jnp.concatenate(
+            [top_i, jnp.full((b, k - kk), -1, top_i.dtype)], axis=1
+        )
     return top_s, top_i.astype(jnp.int32)
 
 
@@ -105,8 +116,14 @@ def _topk_kernel(
         out_s_ref[:] = jnp.full_like(out_s_ref, NEG_INF)
         out_i_ref[:] = jnp.zeros_like(out_i_ref)
 
-    # (B, T) scores on the MXU.
-    s = jnp.dot(q_ref[:], c_ref[:].T, preferred_element_type=jnp.float32)
+    # (B, T) scores on the MXU.  int8 corpora stream at half the HBM
+    # bytes of bf16 and are widened in VMEM: scores fit f32 exactly
+    # (|q|,|c| <= 127), so int8 ranking matches the XLA reference
+    # bit-for-bit.
+    q, c = q_ref[:], c_ref[:]
+    if q.dtype == jnp.int8:
+        q, c = q.astype(jnp.float32), c.astype(jnp.float32)
+    s = jnp.dot(q, c.T, preferred_element_type=jnp.float32)
 
     # Metadata + padding mask on the VPU.
     tick_q = qf_ref[:, 0:1]
@@ -141,6 +158,19 @@ def _topk_kernel(
                 jnp.where(sel, cat_i, 0), axis=1, keepdims=True
             )
             cat_s = jnp.where(sel, NEG_INF, cat_s)
+
+
+def int8_pallas_enabled() -> bool:
+    """int8 corpora through the compiled Pallas kernels.
+
+    The kernels widen int8 tiles in VMEM (see _topk_kernel), so HBM
+    traffic halves while scores stay exact; validated on a live chip via
+    ``scripts/tpu_probes.py --probe int8`` (rows match the XLA reference
+    bit-for-bit).  ``FRS_INT8_PALLAS=0`` is the operator kill switch.
+    """
+    import os
+
+    return os.environ.get("FRS_INT8_PALLAS", "1") != "0"
 
 
 def pallas_available() -> bool:

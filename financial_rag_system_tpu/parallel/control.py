@@ -1,0 +1,239 @@
+"""Op-broadcast control plane for multi-process sharded serving.
+
+Multi-controller JAX requires every process to execute the same device
+program in the same order: a corpus sharded over a multi-host mesh can
+only be upserted/searched if ALL processes issue the device_put/search
+together.  The reference never had this problem (one Qdrant server,
+HTTP from anywhere — main.py:215-239); the round-1 workaround was a
+private per-host flat index with workers parked (VERDICT.md weak #6).
+
+This module gives the coordinator a way to drive every worker through
+the same op stream:
+
+- the coordinator binds a control socket and wraps its index in
+  :class:`BroadcastIndex`: every state-mutating or device-program op
+  (upsert / search / rebuild) is pickled, length-prefix-broadcast to
+  all workers, acked, and only then executed locally — one lock holds
+  across broadcast+local-execute so the op order is identical on every
+  process (two interleaved collective programs would cross-rendezvous
+  and hang);
+- workers run :func:`worker_loop`: receive an op, ack, execute it on
+  their identically-constructed index.  Collective programs inside the
+  op synchronize the processes; host-side stores stay identical because
+  the op stream is identical.
+
+The transport is a plain TCP socket (length-prefixed pickle), not an
+XLA collective: workers idle between requests, and an idle participant
+must not sit inside a collective rendezvous with a 40 s timeout.
+Trust model: the control port carries pickled payloads, so it must only
+be reachable from the pod's own hosts (same trust domain as
+JAX_COORDINATOR_ADDRESS, which carries equivalent authority).
+"""
+
+from __future__ import annotations
+
+import pickle
+import socket
+import struct
+import threading
+from typing import Any, Callable
+
+import numpy as np
+
+from financial_rag_system_tpu.index.base import SearchMixin
+
+_LEN = struct.Struct("!Q")
+ACK = b"\x06"
+DEFAULT_TIMEOUT_S = 600.0
+
+
+def _send_msg(sock: socket.socket, payload: bytes) -> None:
+    sock.sendall(_LEN.pack(len(payload)) + payload)
+
+
+def _recv_exact(sock: socket.socket, n: int) -> bytes:
+    buf = bytearray()
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            raise ConnectionError("control channel closed")
+        buf.extend(chunk)
+    return bytes(buf)
+
+
+def _recv_msg(sock: socket.socket) -> bytes:
+    (n,) = _LEN.unpack(_recv_exact(sock, _LEN.size))
+    return _recv_exact(sock, n)
+
+
+class ControlServer:
+    """Coordinator side: accept ``n_workers`` connections, broadcast ops."""
+
+    def __init__(self, host: str, port: int, n_workers: int,
+                 accept_timeout_s: float = DEFAULT_TIMEOUT_S):
+        self._lock = threading.Lock()
+        self._listener = socket.create_server((host, port))
+        self._listener.settimeout(accept_timeout_s)
+        self._conns: list[socket.socket] = []
+        for _ in range(n_workers):
+            conn, _addr = self._listener.accept()
+            conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+            conn.settimeout(accept_timeout_s)
+            self._conns.append(conn)
+
+    def run(self, op: str, args: tuple, local: Callable[[], Any]) -> Any:
+        """Broadcast (op, args), wait for all receive-acks, run ``local``.
+
+        The lock spans broadcast AND local execution: op N+1 cannot start
+        broadcasting until op N's local (collective) program finished, so
+        every process enters collectives in the same order.
+        """
+        payload = pickle.dumps((op, args), protocol=pickle.HIGHEST_PROTOCOL)
+        with self._lock:
+            for conn in self._conns:
+                _send_msg(conn, payload)
+            for conn in self._conns:
+                if _recv_exact(conn, 1) != ACK:
+                    raise ConnectionError(f"bad ack for op {op!r}")
+            return local()
+
+    def shutdown(self) -> None:
+        try:
+            self.run("shutdown", (), lambda: None)
+        except OSError:
+            pass
+        for conn in self._conns:
+            conn.close()
+        self._listener.close()
+
+
+def _rebuild_ivf(index):
+    from financial_rag_system_tpu.index.sharded import ShardedFlatIndex
+    from financial_rag_system_tpu.index.sharded_ivf import ShardedIVFIndex
+
+    if isinstance(index, ShardedIVFIndex):
+        index.rebuild()
+        return index
+    assert isinstance(index, ShardedFlatIndex)
+    return ShardedIVFIndex(index, tile=min(index.tile, 128))
+
+
+class BroadcastIndex(SearchMixin):
+    """Coordinator's view of a multi-process sharded index.
+
+    Wraps the inner (ShardedFlat/ShardedIVF) index; every op that runs a
+    device program goes through :meth:`ControlServer.run` so workers
+    execute the same program.  Host-only reads (store lookups, n_valid)
+    are served locally — every process's store is identical by
+    construction.
+    """
+
+    def __init__(self, server: ControlServer, inner):
+        self.server = server
+        self.inner = inner
+
+    # host-only delegation ------------------------------------------------
+    @property
+    def store(self):
+        return self.inner.store
+
+    @property
+    def n_valid(self) -> int:
+        return self.inner.n_valid
+
+    @property
+    def n_shards(self) -> int:
+        return self.inner.n_shards
+
+    @property
+    def flat(self):
+        """The underlying ShardedFlatIndex (tier-independent)."""
+        return getattr(self.inner, "flat", self.inner)
+
+    # broadcast ops --------------------------------------------------------
+    def upsert(self, ids, vectors, texts, payloads) -> int:
+        args = (list(ids), np.asarray(vectors, np.float32), list(texts),
+                list(payloads))
+        return self.server.run(
+            "upsert", args, lambda: self.inner.upsert(*args)
+        )
+
+    def search_device(self, query_vecs, query_filter, k, *, host_codes=None):
+        q = np.asarray(query_vecs, np.float32)
+        qf = np.asarray(query_filter, np.int32)
+        return self.server.run(
+            "search", (q, qf, int(k)),
+            lambda: self.inner.search_device(
+                q, qf, k, host_codes=host_codes
+            ),
+        )
+
+    def save(self, directory: str) -> None:
+        """Checkpoint via a broadcast op: the cross-process gather inside
+        ShardedFlatIndex.save needs every process; process 0 writes."""
+        self.server.run(
+            "save", (directory,), lambda: self.flat.save(directory)
+        )
+
+    def rebuild_tier(self, tier: str | None = None) -> dict[str, Any]:
+        if tier == "hnsw":
+            return {
+                "status": "error",
+                "reason": "sharded indexes support the ivf tier only",
+            }
+
+        def local():
+            self.inner = _rebuild_ivf(self.inner)
+            return self.inner
+
+        inner = self.server.run("rebuild_ivf", (), local)
+        return {
+            "status": "ok",
+            "tier": f"Broadcast[{type(inner).__name__}]",
+            "clusters": getattr(inner, "n_clusters", None),
+            "tail_rows": len(getattr(inner, "_tail_rows", [])),
+        }
+
+
+def worker_loop(index, host: str, port: int, *,
+                timeout_s: float = DEFAULT_TIMEOUT_S,
+                connect_retries: int = 60) -> None:
+    """Worker side: execute the coordinator's op stream until shutdown.
+
+    ``index`` is this process's identically-constructed sharded index
+    (same build path as the coordinator's inner index).
+    """
+    import time
+
+    last: Exception | None = None
+    for _ in range(connect_retries):
+        try:
+            sock = socket.create_connection((host, port), timeout=timeout_s)
+            break
+        except OSError as exc:  # coordinator not listening yet
+            last = exc
+            time.sleep(0.5)
+    else:
+        raise ConnectionError(f"control plane never came up: {last}")
+    sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+    sock.settimeout(None)  # idle between ops indefinitely
+
+    while True:
+        op, args = pickle.loads(_recv_msg(sock))
+        sock.sendall(ACK)
+        if op == "shutdown":
+            sock.close()
+            return
+        if op == "upsert":
+            index.upsert(*args)
+        elif op == "search":
+            q, qf, k = args
+            index.search_device(q, qf, k)
+        elif op == "rebuild_ivf":
+            index = _rebuild_ivf(index)
+        elif op == "save":
+            # join the cross-process gather; process 0 (the coordinator)
+            # is the one that writes files
+            getattr(index, "flat", index).save(*args)
+        else:  # pragma: no cover — version-skew guard
+            raise ValueError(f"unknown control op {op!r}")

@@ -184,6 +184,16 @@ def create_app(engine: RAGEngine) -> web.Application:
         n = int(request.query.get("n", 20))
         return web.json_response(get_tracer().recent_traces(n))
 
+    async def traces_mlflow(request: web.Request) -> web.Response:
+        """MLflow-schema trace export (obs/mlflow_export.py) — the
+        interop surface for the reference's MLflow tooling."""
+        from financial_rag_system_tpu.obs.mlflow_export import to_mlflow_traces
+
+        n = int(request.query.get("n", 100))
+        return web.json_response(
+            to_mlflow_traces(get_tracer().recent_traces(n))
+        )
+
     async def ui(request: web.Request) -> web.Response:
         from financial_rag_system_tpu.serving.ui import PAGE
 
@@ -203,6 +213,7 @@ def create_app(engine: RAGEngine) -> web.Application:
             web.get("/queue_status", queue_status),
             web.get("/metrics", metrics),
             web.get("/traces", traces),
+            web.get("/traces/mlflow", traces_mlflow),
             web.get("/", ui),
         ]
     )
@@ -227,15 +238,15 @@ def build_default_engine(mode: str = "batched") -> RAGEngine:
 
     import jax
 
-    if len(jax.devices()) > 1 and jax.process_count() == 1:
-        # single-process multi-device serving: shard the corpus over the
-        # mesh (the fused single-program path is per-chip — the sharded
-        # engine uses the staged shard_map pipeline instead).  Multi-
-        # PROCESS serving keeps per-host flat indexes for now: workers
-        # park (see main()) and do not participate in device_puts, so a
-        # global-mesh index cannot be materialized from the coordinator
-        # alone — cross-host sharded serving needs an op-broadcast
-        # control plane (future work).
+    if len(jax.devices()) > 1:
+        # multi-device serving: shard the corpus over the mesh (the fused
+        # single-program path is per-chip — the sharded engine uses the
+        # staged shard_map pipeline instead).  Multi-PROCESS serving
+        # builds the SAME global-mesh index on every process; main()
+        # wraps the coordinator's in a BroadcastIndex and runs workers
+        # through the op-broadcast loop (parallel/control.py), so every
+        # device_put/search executes on all processes in the same order
+        # and the corpus is built exactly once.
         from financial_rag_system_tpu.index.sharded import ShardedFlatIndex
         from financial_rag_system_tpu.parallel.mesh import create_mesh
 
@@ -254,7 +265,8 @@ def build_default_engine(mode: str = "batched") -> RAGEngine:
                     "re-ingest or save under this topology"
                 )
             index = ShardedFlatIndex(
-                mesh, cfg.embed_dim, tile=cfg.corpus_tile,
+                mesh, cfg.embed_dim, capacity=cfg.max_corpus,
+                tile=cfg.corpus_tile,
                 use_pallas=cfg.use_pallas,
                 # int8 asserts loudly in ShardedFlatIndex until wired in —
                 # never silently ignore the operator's dtype request
@@ -297,7 +309,9 @@ def build_default_engine(mode: str = "batched") -> RAGEngine:
     return RAGEngine(cfg, index, embedder, reranker, mode=mode)
 
 
-def main() -> None:  # pragma: no cover — manual entry point
+def main() -> None:  # pragma: no cover — exercised by tests/test_multihost.py
+    import os
+
     from financial_rag_system_tpu.parallel.distributed import (
         initialize_distributed,
         is_coordinator,
@@ -307,14 +321,35 @@ def main() -> None:  # pragma: no cover — manual entry point
     multi = initialize_distributed()
     cfg = get_config()
     engine = build_default_engine()
-    if multi and not is_coordinator():
-        # non-coordinator hosts participate in sharded device programs
-        # only; park this process without binding the HTTP port
-        import time
+    if multi:
+        import jax
 
-        print("worker process: serving handled by the coordinator")
-        while True:
-            time.sleep(60)
+        from financial_rag_system_tpu.parallel.control import (
+            BroadcastIndex,
+            ControlServer,
+            worker_loop,
+        )
+
+        coord_host = os.environ.get(
+            "JAX_COORDINATOR_ADDRESS", "localhost:0"
+        ).rsplit(":", 1)[0]
+        if is_coordinator():
+            server = ControlServer(
+                cfg.host, cfg.control_port, jax.process_count() - 1
+            )
+            engine.index = BroadcastIndex(server, engine.index)
+            try:
+                web.run_app(create_app(engine), host=cfg.host, port=cfg.port)
+            finally:
+                server.shutdown()  # releases parked workers
+            return
+        else:
+            # workers execute the coordinator's op stream so global-mesh
+            # device programs (upsert scatter, sharded search, rebuild)
+            # run on every process; no HTTP port is bound here
+            print("worker process: serving handled by the coordinator")
+            worker_loop(engine.index, coord_host, cfg.control_port)
+            return
     web.run_app(create_app(engine), host=cfg.host, port=cfg.port)
 
 

@@ -1,4 +1,4 @@
-"""Exact-match response cache + feedback store (SQLite).
+"""Exact-match response cache + feedback store (SQLite or Postgres).
 
 Keeps the reference's cache semantics exactly (reference
 database.py:52-86, main.py:249-265, 307-317):
@@ -12,9 +12,13 @@ database.py:52-86, main.py:249-265, 307-317):
 - the cache doubles as a query/answer log for fine-tuning (the
   reference README calls this out), which train/contrastive.py consumes.
 
-SQLAlchemy/Postgres isn't in this environment; stdlib sqlite3 with WAL
-covers single-node serving. A first-party ordered-migration runner
-stands in for alembic (schema_version table), reference alembic/.
+Backend selection mirrors the reference's DATABASE_URL dispatch
+(reference database.py:44-50: pooled Postgres in production, SQLite
+under TESTING): a ``postgres://``/``postgresql://`` URL connects
+through a DB-API driver (psycopg2 or pg8000, whichever is installed, or
+an injected one for tests); anything else is a SQLite file path.  A
+first-party ordered-migration runner stands in for alembic
+(schema_version table), reference alembic/.
 """
 
 from __future__ import annotations
@@ -23,27 +27,30 @@ import os
 import sqlite3
 import threading
 import time
+from typing import Any
 
+# dialect-templated migrations: {pk} = autoincrement primary key,
+# {float} = 8-byte float column
 MIGRATIONS: list[tuple[int, str]] = [
     (
         1,
         """
         CREATE TABLE IF NOT EXISTS query_cache (
-            id INTEGER PRIMARY KEY AUTOINCREMENT,
+            id {pk},
             query_hash TEXT NOT NULL UNIQUE,
             ticker TEXT NOT NULL,
             query_text TEXT NOT NULL,
             response TEXT NOT NULL,
             provider TEXT,
-            created_at REAL NOT NULL
+            created_at {float} NOT NULL
         );
         CREATE INDEX IF NOT EXISTS ix_cache_ticker ON query_cache (ticker);
         CREATE INDEX IF NOT EXISTS ix_cache_ticker_hash ON query_cache (ticker, query_hash);
         CREATE TABLE IF NOT EXISTS user_feedback (
-            id INTEGER PRIMARY KEY AUTOINCREMENT,
+            id {pk},
             query_hash TEXT NOT NULL,
             rating INTEGER NOT NULL,
-            created_at REAL NOT NULL
+            created_at {float} NOT NULL
         );
         CREATE INDEX IF NOT EXISTS ix_feedback_hash ON user_feedback (query_hash);
         """,
@@ -51,41 +58,150 @@ MIGRATIONS: list[tuple[int, str]] = [
 ]
 
 
-class CacheDB:
-    """Thread-safe SQLite-backed cache + feedback store."""
+def _is_postgres_url(path: str) -> bool:
+    return path.startswith(("postgres://", "postgresql://"))
 
-    def __init__(self, path: str = "frs_cache.db"):
-        self.path = path
+
+class _SqliteBackend:
+    """stdlib sqlite3 with WAL — single-node serving and TESTING."""
+
+    param = "?"
+    pk_sql = "INTEGER PRIMARY KEY AUTOINCREMENT"
+    float_sql = "REAL"
+    upsert_prefix = "INSERT OR REPLACE"
+    upsert_suffix = ""
+
+    def __init__(self, path: str):
         if path not in (":memory:",) and os.path.dirname(path):
             os.makedirs(os.path.dirname(path), exist_ok=True)
-        self._lock = threading.Lock()
         self._conn = sqlite3.connect(path, check_same_thread=False)
         self._conn.execute("PRAGMA journal_mode=WAL")
+
+    def execute(self, sql: str, params: tuple = ()):
+        return self._conn.execute(sql, params)
+
+    def commit(self) -> None:
+        self._conn.commit()
+
+    def close(self) -> None:
+        self._conn.close()
+
+
+class _PostgresBackend:
+    """DB-API Postgres backend (reference database.py:44-50 pooled path).
+
+    ``driver`` injects any DB-API module (tests use a sqlite-backed shim);
+    otherwise psycopg2 then pg8000 are tried.  One connection per CacheDB
+    — CacheDB's lock already serializes access, which stands in for the
+    reference's pool_size=10 QueuePool on this single-writer workload.
+    """
+
+    param = "%s"
+    pk_sql = "BIGSERIAL PRIMARY KEY"
+    float_sql = "DOUBLE PRECISION"
+    upsert_prefix = "INSERT"
+    upsert_suffix = (
+        " ON CONFLICT (query_hash) DO UPDATE SET"
+        " ticker=EXCLUDED.ticker, query_text=EXCLUDED.query_text,"
+        " response=EXCLUDED.response, provider=EXCLUDED.provider,"
+        " created_at=EXCLUDED.created_at"
+    )
+
+    def __init__(self, url: str, driver: Any | None = None):
+        driver = driver or self._find_driver()
+        try:
+            self._conn = driver.connect(url)
+        except TypeError:
+            # drivers like pg8000 take parsed kwargs, not a DSN string
+            self._conn = driver.connect(**self._parse(url))
+
+    @staticmethod
+    def _find_driver() -> Any:
+        for name in ("psycopg2", "pg8000.dbapi", "pg8000"):
+            try:
+                import importlib
+
+                return importlib.import_module(name)
+            except ImportError:
+                continue
+        raise ImportError(
+            "DATABASE_URL is a postgres:// URL but no Postgres driver is "
+            "installed (tried psycopg2, pg8000); install one or point "
+            "DATABASE_URL at a SQLite path"
+        )
+
+    @staticmethod
+    def _parse(url: str) -> dict[str, Any]:
+        from urllib.parse import urlsplit
+
+        u = urlsplit(url)
+        kw: dict[str, Any] = {"database": (u.path or "/").lstrip("/") or "postgres"}
+        if u.username:
+            kw["user"] = u.username
+        if u.password:
+            kw["password"] = u.password
+        if u.hostname:
+            kw["host"] = u.hostname
+        if u.port:
+            kw["port"] = u.port
+        return kw
+
+    def execute(self, sql: str, params: tuple = ()):
+        cur = self._conn.cursor()
+        cur.execute(sql, params)
+        return cur
+
+    def commit(self) -> None:
+        self._conn.commit()
+
+    def close(self) -> None:
+        self._conn.close()
+
+
+class CacheDB:
+    """Thread-safe cache + feedback store over either backend."""
+
+    def __init__(self, path: str = "frs_cache.db", *, pg_driver: Any | None = None):
+        self.path = path
+        self._lock = threading.Lock()
+        if _is_postgres_url(path):
+            self._db: _SqliteBackend | _PostgresBackend = _PostgresBackend(
+                path, driver=pg_driver
+            )
+        else:
+            self._db = _SqliteBackend(path)
+        self._p = self._db.param
         self._migrate()
 
     def _migrate(self) -> None:
-        with self._lock, self._conn:
-            self._conn.execute(
+        db = self._db
+        with self._lock:
+            db.execute(
                 "CREATE TABLE IF NOT EXISTS schema_version (version INTEGER NOT NULL)"
             )
-            row = self._conn.execute(
-                "SELECT MAX(version) FROM schema_version"
-            ).fetchone()
+            db.commit()
+            row = db.execute("SELECT MAX(version) FROM schema_version").fetchone()
             current = row[0] or 0
             for version, sql in MIGRATIONS:
                 if version > current:
-                    self._conn.executescript(sql)
-                    self._conn.execute(
-                        "INSERT INTO schema_version (version) VALUES (?)", (version,)
+                    script = sql.format(pk=db.pk_sql, float=db.float_sql)
+                    for stmt in script.split(";"):
+                        if stmt.strip():
+                            db.execute(stmt)
+                    db.execute(
+                        f"INSERT INTO schema_version (version) VALUES ({self._p})",
+                        (version,),
                     )
+            db.commit()
 
     # -- cache ---------------------------------------------------------
 
     def lookup(self, query_hash: str, ticker: str) -> str | None:
         with self._lock:
-            row = self._conn.execute(
+            row = self._db.execute(
                 "SELECT response FROM query_cache "
-                "WHERE query_hash=? AND ticker=? ORDER BY id DESC LIMIT 1",
+                f"WHERE query_hash={self._p} AND ticker={self._p} "
+                "ORDER BY id DESC LIMIT 1",
                 (query_hash, ticker),
             ).fetchone()
         return row[0] if row else None
@@ -99,38 +215,47 @@ class CacheDB:
         provider: str | None = None,
     ) -> None:
         # query_hash is unique (reference database.py:74); re-answers replace
-        with self._lock, self._conn:
-            self._conn.execute(
-                "INSERT OR REPLACE INTO query_cache "
+        p = self._p
+        with self._lock:
+            self._db.execute(
+                f"{self._db.upsert_prefix} INTO query_cache "
                 "(query_hash, ticker, query_text, response, provider, created_at) "
-                "VALUES (?,?,?,?,?,?)",
+                f"VALUES ({p},{p},{p},{p},{p},{p})"
+                f"{self._db.upsert_suffix}",
                 (query_hash, ticker.upper(), query, response, provider, time.time()),
             )
+            self._db.commit()
 
     def clear_ticker(self, ticker: str) -> int:
-        with self._lock, self._conn:
-            cur = self._conn.execute(
-                "DELETE FROM query_cache WHERE ticker=?", (ticker.upper(),)
+        with self._lock:
+            cur = self._db.execute(
+                f"DELETE FROM query_cache WHERE ticker={self._p}",
+                (ticker.upper(),),
             )
+            self._db.commit()
             return cur.rowcount
 
     def cache_count(self) -> int:
         with self._lock:
-            return self._conn.execute("SELECT COUNT(*) FROM query_cache").fetchone()[0]
+            return self._db.execute(
+                "SELECT COUNT(*) FROM query_cache"
+            ).fetchone()[0]
 
     # -- feedback --------------------------------------------------------
 
     def add_feedback(self, query_hash: str, rating: int) -> None:
-        with self._lock, self._conn:
-            self._conn.execute(
+        p = self._p
+        with self._lock:
+            self._db.execute(
                 "INSERT INTO user_feedback (query_hash, rating, created_at) "
-                "VALUES (?,?,?)",
+                f"VALUES ({p},{p},{p})",
                 (query_hash, rating, time.time()),
             )
+            self._db.commit()
 
     def feedback_count(self) -> int:
         with self._lock:
-            return self._conn.execute(
+            return self._db.execute(
                 "SELECT COUNT(*) FROM user_feedback"
             ).fetchone()[0]
 
@@ -138,13 +263,13 @@ class CacheDB:
 
     def export_pairs(self, limit: int = 10000) -> list[tuple[str, str]]:
         with self._lock:
-            rows = self._conn.execute(
+            rows = self._db.execute(
                 "SELECT query_text, response FROM query_cache "
-                "ORDER BY id DESC LIMIT ?",
+                f"ORDER BY id DESC LIMIT {self._p}",
                 (limit,),
             ).fetchall()
         return [(q, r) for q, r in rows]
 
     def close(self) -> None:
         with self._lock:
-            self._conn.close()
+            self._db.close()

@@ -89,10 +89,19 @@ class RAGEngine:
         index (or vice versa) mid-batch.
         """
         from financial_rag_system_tpu.index.flat import FlatIndex
+        from financial_rag_system_tpu.index.ivf import IVFIndex
 
         fused, kind, index = self._fused_fn, self._fused_kind, self.index
         if fused is not None and isinstance(index, FlatIndex):
             return self._fused_retrieve_batch(queries, filters, fused, kind, index)
+        if (
+            fused is not None
+            and isinstance(index, IVFIndex)
+            and kind in ("ivf_full", "ivf_hash")
+        ):
+            out = self._fused_ivf_batch(queries, filters, fused, kind, index)
+            if out is not None:
+                return out
         return self._embed_retrieve_batch(queries, filters)
 
     def _maybe_build_fused(self):
@@ -101,9 +110,17 @@ class RAGEngine:
         - full model stack + device token store => embed+search+rerank
           fused ("full" kind);
         - hermetic hash stack => embed+search fused, rerank scores equal
-          the bi-encoder cosines by construction ("hash" kind).
+          the bi-encoder cosines by construction ("hash" kind);
+        - IVF tier => same two stacks with the flat scan replaced by
+          centroid probing + the probed-tiles kernel ("ivf_full" /
+          "ivf_hash"); the staged path keeps handling batches that need
+          tail or selective-filter merging (see _fused_ivf_batch).
+
+        int8 corpora fuse too: the programs quantize query vectors
+        in-graph (ops/fused_query.py _prep_queries).
         """
         from financial_rag_system_tpu.index.flat import FlatIndex
+        from financial_rag_system_tpu.index.ivf import IVFIndex
         from financial_rag_system_tpu.models.embedder import BiEncoder, HashEmbedder
         from financial_rag_system_tpu.models.reranker import (
             CrossEncoderReranker,
@@ -111,12 +128,45 @@ class RAGEngine:
         )
 
         self._fused_kind = None
+        if isinstance(self.index, IVFIndex):
+            flat = self.index.flat
+            if not isinstance(flat, FlatIndex):
+                return None  # sharded IVF uses the shard_map pipeline
+            quantized = flat.quantized
+            common = dict(
+                k=self.cfg.retrieve_k,
+                tile=self.index.tile,
+                nprobe=self.index.nprobe,
+                tiles_per_cluster=self.index.tiles_per_cluster,
+                use_pallas=flat.use_pallas,
+                quantized=quantized,
+            )
+            if (
+                isinstance(self.embedder, BiEncoder)
+                and isinstance(self.reranker, CrossEncoderReranker)
+                and flat._doc_tok is not None
+            ):
+                from financial_rag_system_tpu.ops.fused_query import (
+                    make_fused_ivf_query,
+                )
+
+                self._fused_kind = "ivf_full"
+                return make_fused_ivf_query(
+                    self.embedder.cfg, self.reranker.cfg, **common
+                )
+            if isinstance(self.embedder, HashEmbedder) and isinstance(
+                self.reranker, HashReranker
+            ):
+                from financial_rag_system_tpu.ops.fused_query import (
+                    make_fused_ivf_hash_query,
+                )
+
+                self._fused_kind = "ivf_hash"
+                return make_fused_ivf_hash_query(**common)
+            return None
         if not isinstance(self.index, FlatIndex):
             return None
-        if getattr(self.index, "quantized", False):
-            # the fused programs cast query vectors with the corpus dtype;
-            # int8 fusion is pending — staged path handles quantized indexes
-            return None
+        quantized = self.index.quantized
         if (
             isinstance(self.embedder, BiEncoder)
             and isinstance(self.reranker, CrossEncoderReranker)
@@ -131,6 +181,7 @@ class RAGEngine:
                 k=self.cfg.retrieve_k,
                 tile=self.index.tile,
                 use_pallas=self.index.use_pallas,
+                quantized=quantized,
             )
         if isinstance(self.embedder, HashEmbedder) and isinstance(
             self.reranker, HashReranker
@@ -144,6 +195,7 @@ class RAGEngine:
                 k=self.cfg.retrieve_k,
                 tile=self.index.tile,
                 use_pallas=self.index.use_pallas,
+                quantized=quantized,
             )
         return None
 
@@ -223,6 +275,76 @@ class RAGEngine:
             hits = []
             for r, s, c in zip(rows[i], bi[i], ce[i]):
                 if not np.isfinite(s):
+                    continue
+                payload = index.store.get(int(r))
+                payload["score"] = float(s)
+                payload["row"] = int(r)
+                payload["rerank_score"] = float(c)
+                hits.append(payload)
+            out.append((vecs[i], hits))
+        return out
+
+    def _fused_ivf_batch(
+        self,
+        queries: list[str],
+        filters: list[tuple[str | None, str | None]],
+        fused_fn,
+        fused_kind: str,
+        index,
+    ) -> list[tuple[Any, list[dict[str, Any]]]] | None:
+        """Single-program IVF batch: embed -> centroid probe ->
+        probed-tiles kernel -> (gather+rerank), one device sync.
+
+        Returns None when the batch needs host-side candidate merging —
+        unfolded tail rows or a selective filter whose inverted list is
+        scored exactly (index/ivf.py search_device) — so the staged path
+        keeps those semantics.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        from financial_rag_system_tpu.index.base import selective_rows
+        from financial_rag_system_tpu.models.tokenizer import pad_batch
+
+        if index._tail_rows:
+            return None
+        # one atomic read each: the IVF packing snapshot and the flat
+        # array tuple (rows in packed_gids stay valid across flat appends)
+        state = index._state
+        centroids, packed_emb, packed_codes, packed_gids, rbt = state[:5]
+        b = len(queries)
+        codes = [index.store.query_codes(t, d) for t, d in filters]
+        if selective_rows(rbt, codes, index.SELECTIVE_LIMIT) is not None:
+            return None
+
+        tok = self.embedder.tokenizer
+        encs = [tok.encode(q, 64) for q in queries]
+        ids, types, mask = pad_batch(encs)
+        bpad = ids.shape[0]
+        codes += [(-3, -3)] * (bpad - b)
+        qf = jnp.asarray(codes, jnp.int32)
+        if fused_kind == "ivf_full":
+            doc_tok = index.flat._arrays[2]
+            rows, bi, ce = fused_fn(
+                self.embedder.params, self.reranker.params,
+                jnp.asarray(ids), jnp.asarray(types), jnp.asarray(mask), qf,
+                centroids, packed_emb, packed_codes, packed_gids, doc_tok,
+            )
+            vecs = [None] * b
+        else:  # ivf_hash: rerank score == bi-encoder cosine
+            qv, bi, rows = fused_fn(
+                self.embedder._table,
+                jnp.asarray(ids), jnp.asarray(mask), qf,
+                centroids, packed_emb, packed_codes, packed_gids,
+            )
+            ce = bi
+            vecs = list(np.asarray(qv)[:b])
+        rows, bi, ce = jax.device_get((rows, bi, ce))
+        out = []
+        for i in range(b):
+            hits = []
+            for r, s, c in zip(rows[i], bi[i], ce[i]):
+                if r < 0 or not np.isfinite(s):
                     continue
                 payload = index.store.get(int(r))
                 payload["score"] = float(s)
@@ -395,6 +517,12 @@ class RAGEngine:
         current = type(self.index).__name__
         if self.index.n_valid == 0:
             return {"status": "noop", "reason": "index empty"}
+        from financial_rag_system_tpu.parallel.control import BroadcastIndex
+
+        if isinstance(self.index, BroadcastIndex):
+            # multi-process: the rebuild is itself a broadcast op so every
+            # process runs the same collective build program
+            return self.index.rebuild_tier(tier)
         flat = getattr(self.index, "flat", self.index)
         if isinstance(flat, ShardedFlatIndex):
             # mesh-sharded corpus: the sub-linear tier is sharded IVF

@@ -86,12 +86,14 @@ class Config:
     use_pallas: bool = True         # False => pure-XLA fallback paths
     index_dtype: str = "bfloat16"   # corpus storage: bfloat16 | int8
     corpus_tile: int = 1024         # corpus rows per Pallas grid step
-    max_corpus: int = 1 << 20       # index capacity before growth
+    max_corpus: int = 1 << 15       # initial sharded capacity (grows on demand)
     token_store_len: int = 192      # device token store width (fused rerank)
 
     # --- serving -----------------------------------------------------------
     host: str = "0.0.0.0"
     port: int = 8001
+    # multi-process op-broadcast control plane (parallel/control.py)
+    control_port: int = 17077
 
     @staticmethod
     def from_env() -> "Config":
@@ -113,9 +115,11 @@ class Config:
             use_pallas=_env_bool("RAG_TPU_USE_PALLAS", True),
             index_dtype=os.environ.get("RAG_TPU_INDEX_DTYPE", "bfloat16"),
             corpus_tile=_env_int("RAG_TPU_CORPUS_TILE", 1024),
+            max_corpus=_env_int("RAG_TPU_MAX_CORPUS", 1 << 15),
             batch_window_s=_env_float("RAG_TPU_BATCH_WINDOW_S", 0.05),
             max_batch_size=_env_int("RAG_TPU_MAX_BATCH", 32),
             port=_env_int("RAG_TPU_PORT", 8001),
+            control_port=_env_int("FRS_CONTROL_PORT", 17077),
             breaker_state_path=os.environ.get(
                 "RAG_TPU_CB_PATH", "/tmp/frs_tpu_cb_state.json"
             ),

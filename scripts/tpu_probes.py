@@ -17,9 +17,17 @@ from __future__ import annotations
 
 import argparse
 import functools
+import os
+import sys
 import time
 
 import numpy as np
+
+# repo-root import path WITHOUT PYTHONPATH: setting PYTHONPATH=/root/repo
+# breaks the axon TPU plugin's registration at interpreter startup on
+# this rig (backend 'axon' vanishes from the registry), so the script
+# fixes sys.path itself — run it as `python scripts/tpu_probes.py`.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def log(msg: str) -> None:

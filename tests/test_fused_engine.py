@@ -140,20 +140,33 @@ def test_fused_ask_end_to_end(tmp_path, stack):
     asyncio.run(t())
 
 
-def test_hash_fused_matches_staged(tmp_path):
+def _hash_flat_index(n_docs: int = 6, *, dtype=None, capacity=128):
+    """Flat index + hash embedder over DOCS (cycled to n_docs rows)."""
+    import jax.numpy as jnp
+
     from financial_rag_system_tpu.models.embedder import HashEmbedder
-    from financial_rag_system_tpu.models.reranker import HashReranker
 
     emb = HashEmbedder(dim=64)
-    index = FlatIndex(64, capacity=128, tile=128, use_pallas=False)
-    texts = [d for d, _ in DOCS]
+    kw = {"dtype": dtype} if dtype is not None else {}
+    index = FlatIndex(64, capacity=capacity, tile=128, use_pallas=False, **kw)
+    texts = [
+        f"{DOCS[i % len(DOCS)][0]} clause {i}" for i in range(n_docs)
+    ]
+    tickers = [DOCS[i % len(DOCS)][1] for i in range(n_docs)]
     index.upsert(
-        [f"d{i}" for i in range(len(DOCS))], emb.encode(texts), texts,
+        [f"d{i}" for i in range(n_docs)], emb.encode(texts), texts,
         [
             {"ticker": t, "document_type": "10-Q", "source_file": f"f{i}"}
-            for i, (_, t) in enumerate(DOCS)
+            for i, t in enumerate(tickers)
         ],
     )
+    return emb, index
+
+
+def test_hash_fused_matches_staged(tmp_path):
+    from financial_rag_system_tpu.models.reranker import HashReranker
+
+    emb, index = _hash_flat_index()
     cfg = Config(testing=True, database_url=":memory:", embed_dim=64,
                  breaker_state_path=str(tmp_path / "cb.json"))
     eng = RAGEngine(cfg, index, emb, HashReranker(), mode="sequential")
@@ -172,3 +185,156 @@ def test_hash_fused_matches_staged(tmp_path):
             rtol=2e-3, atol=2e-3,
         )
         np.testing.assert_allclose(f_vec, s_vec, rtol=1e-4, atol=1e-4)
+
+
+def test_quantized_flat_fused_matches_staged(tmp_path):
+    """int8 corpora fuse: queries quantize in-graph (_prep_queries)."""
+    import jax.numpy as jnp
+
+    from financial_rag_system_tpu.models.reranker import HashReranker
+
+    emb, index = _hash_flat_index(24, dtype=jnp.int8)
+    assert index.quantized
+    cfg = Config(testing=True, database_url=":memory:", embed_dim=64,
+                 breaker_state_path=str(tmp_path / "cb.json"))
+    eng = RAGEngine(cfg, index, emb, HashReranker(), mode="sequential")
+    assert eng._fused_kind == "hash"
+
+    queries = ["apple services margin", "microsoft cloud growth"]
+    filters = [("AAPL", None), (None, None)]
+    fused = eng._fused_retrieve_batch(
+        queries, filters, eng._fused_fn, eng._fused_kind, eng.index
+    )
+    staged = eng._embed_retrieve_batch(queries, filters)
+    for (_fv, f_hits), (_sv, s_hits) in zip(fused, staged):
+        assert f_hits and [h["row"] for h in f_hits] == [
+            h["row"] for h in s_hits
+        ]
+        np.testing.assert_allclose(
+            [h["score"] for h in f_hits], [h["score"] for h in s_hits],
+            rtol=1e-5,
+        )
+
+
+# -- fused IVF tier ----------------------------------------------------------
+
+
+def _ivf_engine(tmp_path, *, dtype=None, n_docs=32):
+    import jax.numpy as jnp  # noqa: F401
+
+    from financial_rag_system_tpu.index.ivf import IVFIndex
+    from financial_rag_system_tpu.models.reranker import HashReranker
+
+    emb, flat = _hash_flat_index(n_docs, dtype=dtype, capacity=256)
+    # c_max big enough that no cluster spills to the tail (tail rows
+    # legitimately decline fusion — tested separately below)
+    ivf = IVFIndex(flat, n_clusters=4, nprobe=4, tile=16, c_max=64)
+    # tiny corpora always qualify for the exact selective path; zero the
+    # limit on BOTH paths so fused-vs-staged compare the probed kernel
+    ivf.SELECTIVE_LIMIT = 0
+    cfg = Config(testing=True, database_url=":memory:", embed_dim=64,
+                 breaker_state_path=str(tmp_path / "cb.json"))
+    eng = RAGEngine(cfg, ivf, emb, HashReranker(), mode="sequential")
+    return eng, ivf
+
+
+def test_ivf_hash_fused_matches_staged(tmp_path):
+    eng, ivf = _ivf_engine(tmp_path)
+    assert eng._fused_kind == "ivf_hash"
+    queries = ["apple services margin", "microsoft cloud growth"]
+    filters = [("AAPL", None), (None, "10-Q")]
+    fused = eng._fused_ivf_batch(
+        queries, filters, eng._fused_fn, eng._fused_kind, eng.index
+    )
+    assert fused is not None
+    staged = eng._embed_retrieve_batch(queries, filters)
+    for (f_vec, f_hits), (s_vec, s_hits) in zip(fused, staged):
+        assert f_hits and [h["row"] for h in f_hits] == [
+            h["row"] for h in s_hits
+        ]
+        np.testing.assert_allclose(
+            [h["score"] for h in f_hits], [h["score"] for h in s_hits],
+            rtol=2e-3, atol=2e-3,
+        )
+        np.testing.assert_allclose(f_vec, s_vec, rtol=1e-4, atol=1e-4)
+
+
+def test_ivf_quantized_fused_matches_staged(tmp_path):
+    import jax.numpy as jnp
+
+    eng, ivf = _ivf_engine(tmp_path, dtype=jnp.int8)
+    assert eng._fused_kind == "ivf_hash"
+    fused = eng._fused_ivf_batch(
+        ["apple margin"], [(None, None)], eng._fused_fn, eng._fused_kind,
+        eng.index,
+    )
+    staged = eng._embed_retrieve_batch(["apple margin"], [(None, None)])
+    assert [h["row"] for h in fused[0][1]] == [h["row"] for h in staged[0][1]]
+
+
+def test_ivf_fused_falls_back_on_tail_and_selective(tmp_path):
+    eng, ivf = _ivf_engine(tmp_path)
+    # selective filters (inverted list small enough) must take the exact
+    # staged path: restore the default limit and the fused batch declines
+    ivf.SELECTIVE_LIMIT = 8192
+    assert (
+        eng._fused_ivf_batch(
+            ["q"], [("AAPL", None)], eng._fused_fn, eng._fused_kind, eng.index
+        )
+        is None
+    )
+    ivf.SELECTIVE_LIMIT = 0
+    # tail rows (post-build upserts) also decline fused until rebuild()
+    ivf.upsert(
+        ["new1"], eng.embedder.encode(["brand new apple risk factor"]),
+        ["brand new apple risk factor"],
+        [{"ticker": "AAPL", "document_type": "10-K", "source_file": "fN"}],
+    )
+    assert ivf._tail_rows
+    assert (
+        eng._fused_ivf_batch(
+            ["q"], [("AAPL", None)], eng._fused_fn, eng._fused_kind, eng.index
+        )
+        is None
+    )
+    # and the dispatch path still answers correctly via staged
+    out = eng._dispatch_batch(
+        ["brand new apple risk factor"], [("AAPL", "10-K")]
+    )
+    rows = [h["row"] for h in out[0][1]]
+    assert ivf.store.id_to_row["new1"] in rows
+
+
+def test_ivf_full_fused_matches_flat_fused(tmp_path, stack):
+    """BiEncoder+CrossEncoder IVF fusion: with nprobe == n_clusters the
+    probed search is exhaustive, so rows and on-device rerank logits must
+    match the flat fused program."""
+    from financial_rag_system_tpu.index.ivf import IVFIndex
+
+    embedder, reranker, index = stack
+    eng_flat = _engine(tmp_path, stack, mode="sequential")
+    queries = ["apple services margin", "microsoft cloud growth"]
+    filters = [("AAPL", None), ("MSFT", None)]
+    flat_out = eng_flat._fused_retrieve_batch(
+        queries, filters, eng_flat._fused_fn, eng_flat._fused_kind, index
+    )
+
+    ivf = IVFIndex(index, n_clusters=2, nprobe=2, tile=16)
+    ivf.SELECTIVE_LIMIT = 0
+    cfg = Config(
+        testing=True, database_url=":memory:", embed_dim=64,
+        breaker_state_path=str(tmp_path / "cb2.json"),
+    )
+    eng = RAGEngine(cfg, ivf, embedder, reranker, mode="sequential")
+    assert eng._fused_kind == "ivf_full"
+    ivf_out = eng._fused_ivf_batch(
+        queries, filters, eng._fused_fn, eng._fused_kind, eng.index
+    )
+    assert ivf_out is not None
+    for (_fv, f_hits), (_iv, i_hits) in zip(flat_out, ivf_out):
+        assert [h["row"] for h in f_hits] == [h["row"] for h in i_hits]
+        np.testing.assert_allclose(
+            [h["rerank_score"] for h in f_hits],
+            [h["rerank_score"] for h in i_hits],
+            rtol=2e-3, atol=2e-3,
+        )

@@ -41,6 +41,7 @@ def test_two_process_coordinator_serves_and_worker_parks(tmp_path):
     coord_port = _free_port()
     worker_port = _free_port()
     dist_port = _free_port()
+    control_port = _free_port()
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
     def env(pid: int, port: int) -> dict:
@@ -48,6 +49,7 @@ def test_two_process_coordinator_serves_and_worker_parks(tmp_path):
         e.update(
             TESTING="True",
             RAG_TPU_PORT=str(port),
+            FRS_CONTROL_PORT=str(control_port),
             DATABASE_URL=str(tmp_path / "cache.db"),
             INDEX_DIR=str(tmp_path / "index"),
             JAX_COORDINATOR_ADDRESS=f"localhost:{dist_port}",
@@ -111,6 +113,115 @@ def test_two_process_coordinator_serves_and_worker_parks(tmp_path):
                 break
             time.sleep(1.0)
         assert "worker process" in logs[1].read_text()
+    finally:
+        for p in procs:
+            p.kill()
+        for p in procs:
+            p.wait(timeout=10)
+
+
+@pytest.mark.slow
+def test_two_process_sharded_corpus_built_once(tmp_path):
+    """Op-broadcast control plane (parallel/control.py): the corpus is
+    ingested ONCE through the coordinator's HTTP front, shards land on
+    BOTH processes' devices, and a query whose best row lives on the
+    worker's shard comes back — no per-host rebuild (VERDICT.md item 6).
+    """
+    coord_port = _free_port()
+    dist_port = _free_port()
+    control_port = _free_port()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    # 1 CPU device per process, 2 processes => 2-shard global mesh;
+    # capacity 32 / tile 8 => rows [16, 32) live on the WORKER's device
+    def env(pid: int) -> dict:
+        e = dict(os.environ)
+        e.update(
+            XLA_FLAGS="--xla_force_host_platform_device_count=1",
+            TESTING="True",
+            RAG_TPU_PORT=str(coord_port if pid == 0 else _free_port()),
+            FRS_CONTROL_PORT=str(control_port),
+            RAG_TPU_CORPUS_TILE="8",
+            RAG_TPU_MAX_CORPUS="32",
+            DATABASE_URL=str(tmp_path / "cache.db"),
+            INDEX_DIR=str(tmp_path / "index"),
+            JAX_COORDINATOR_ADDRESS=f"localhost:{dist_port}",
+            JAX_NUM_PROCESSES="2",
+            JAX_PROCESS_ID=str(pid),
+            PYTHONPATH=repo + os.pathsep + e.get("PYTHONPATH", ""),
+        )
+        return e
+
+    def post(path: str, body: dict, timeout: float = 60):
+        req = urllib.request.Request(
+            f"http://localhost:{coord_port}{path}",
+            data=json.dumps(body).encode(),
+            headers={"content-type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=timeout) as r:
+            return json.load(r)
+
+    procs = []
+    logs = [tmp_path / "coord.log", tmp_path / "worker.log"]
+    try:
+        for pid, logf in ((0, logs[0]), (1, logs[1])):
+            procs.append(
+                subprocess.Popen(
+                    [sys.executable, "-c", _RUNNER],
+                    env=env(pid),
+                    stdout=open(logf, "w"),
+                    stderr=subprocess.STDOUT,
+                )
+            )
+        deadline = time.time() + 120
+        up = False
+        while time.time() < deadline and all(p.poll() is None for p in procs):
+            try:
+                with urllib.request.urlopen(
+                    f"http://localhost:{coord_port}/health", timeout=2
+                ) as r:
+                    up = r.status == 200
+                    break
+            except OSError:
+                time.sleep(1.0)
+        for p, logf in zip(procs, logs):
+            assert p.poll() is None, f"process died:\n{logf.read_text()[-3000:]}"
+        assert up, f"coordinator never bound:\n{logs[0].read_text()[-3000:]}"
+
+        # ingest 24 rows ONCE via the coordinator; rows 16-23 shard to
+        # the worker's device
+        n = 24
+        body = {
+            "ids": [f"d{i}" for i in range(n)],
+            "texts": [f"filing chunk keyword{i} details" for i in range(n)],
+            "payloads": [
+                {"ticker": "AAPL", "document_type": "10-K",
+                 "source_file": f"f{i}"}
+                for i in range(n)
+            ],
+        }
+        r = post("/index/upsert", body, timeout=120)
+        assert r["indexed_chunks"] == n
+
+        # a query that only matches a row on the worker's shard
+        r = post(
+            "/ask",
+            {"query": "keyword20", "ticker": "AAPL", "top_k": 3},
+            timeout=120,
+        )
+        assert r["sources"], r
+        assert "keyword20" in r["sources"][0]["text"]
+
+        # checkpoint crosses processes (gather is a broadcast op)
+        req = urllib.request.Request(
+            f"http://localhost:{coord_port}/index/save",
+            data=b"{}", method="POST",
+            headers={"content-type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            assert resp.status == 200
+        assert (tmp_path / "index" / "sharded_index.npz").exists()
+        assert (tmp_path / "index" / "store.json").exists()
     finally:
         for p in procs:
             p.kill()
