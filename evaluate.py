@@ -49,9 +49,45 @@ def build_index(n_chunks: int, embedder, use_pallas: bool, *, hard: bool = False
     return index
 
 
+def trained_encoder(*, steps: int = 150, seed: int = 0, lr: float = 3e-4):
+    """Contrastively fine-tuned compact BERT bi-encoder.
+
+    Trains a random-init 4-layer tower on (paraphrase, positive) pairs
+    whose WORDING is disjoint from the hard eval queries
+    (data/synthetic.py TRAIN_PARAPHRASES) — the no-egress stand-in for
+    the reference's pretrained BGE weights (reference main.py:84): it
+    demonstrates a *learned* dense retriever through the full
+    train->index->serve loop rather than the lexical hash stand-in.
+    """
+    import jax
+
+    from financial_rag_system_tpu.data.synthetic import make_train_pairs
+    from financial_rag_system_tpu.models import bert
+    from financial_rag_system_tpu.models.embedder import BiEncoder
+    from financial_rag_system_tpu.models.tokenizer import Tokenizer
+    from financial_rag_system_tpu.train.contrastive import train
+
+    cfg = bert.BertConfig(
+        vocab_size=30522, hidden=128, layers=4, heads=4, intermediate=256,
+        max_positions=128, with_pooler=True,
+    )
+    params = bert.init_params(jax.random.PRNGKey(seed), cfg)
+    pairs = make_train_pairs()
+    epochs = max(1, (steps * 32) // len(pairs))
+    t0 = time.time()
+    params, losses = train(
+        params, cfg, pairs, epochs=epochs, batch_size=32, lr=lr, seed=seed,
+    )
+    print(
+        f"trained {len(losses)} steps on {len(pairs)} pairs in "
+        f"{time.time()-t0:.0f}s: loss {losses[0]:.3f} -> {losses[-1]:.3f}"
+    )
+    return BiEncoder(params, cfg, Tokenizer(), pooling="cls", max_len=64)
+
+
 def run_evaluation(
     k: int = 5, n_chunks: int = 2048, two_stage: bool = False,
-    tier: str = "flat", hard: bool = False,
+    tier: str = "flat", hard: bool = False, embedder=None,
 ):
     from financial_rag_system_tpu.data.synthetic import (
         GOLDEN_SET,
@@ -62,7 +98,7 @@ def run_evaluation(
     from financial_rag_system_tpu.index.flat import FlatIndex
 
     golden = make_hard_set() if hard else GOLDEN_SET
-    embedder = get_embedder()
+    embedder = embedder or get_embedder()
     index_dir = os.environ.get("INDEX_DIR", "")
     use_pallas = os.environ.get("JAX_PLATFORMS", "") not in ("cpu",)
     if index_dir and os.path.exists(os.path.join(index_dir, "flat_index.npz")):
@@ -160,7 +196,18 @@ if __name__ == "__main__":
     ap.add_argument("--hard", action="store_true",
                     help="56 paraphrase queries + keyword-sharing "
                          "distractors over a 64k corpus (headroom mode)")
+    ap.add_argument("--trained", action="store_true",
+                    help="contrastively fine-tune a compact BERT "
+                         "bi-encoder on paraphrase pairs (disjoint from "
+                         "the eval queries) and evaluate THAT instead of "
+                         "the default embedder; implies --hard")
+    ap.add_argument("--train-steps", type=int, default=150)
     args = ap.parse_args()
-    corpus = args.corpus or (65536 if args.hard else 2048)
+    hard = args.hard or args.trained
+    corpus = args.corpus or (65536 if hard else 2048)
+    emb = None
+    if args.trained:
+        emb = trained_encoder(steps=args.train_steps)
+        corpus = min(corpus, args.corpus or 8192)  # BERT-embeds the corpus
     run_evaluation(args.k, corpus, args.two_stage, tier=args.tier,
-                   hard=args.hard)
+                   hard=hard, embedder=emb)

@@ -407,3 +407,63 @@ def make_hard_corpus(
         add(ticker, ftype, "hard_filler", i, _distractor(rng, ticker, i))
         i += 1
     return ids, texts, payloads
+
+
+# ---------------------------------------------------------------------------
+# training paraphrases — supervision for the contrastive trainer
+# ---------------------------------------------------------------------------
+
+# Two TRAINING paraphrases per intent, deliberately disjoint in wording
+# from the intent's EVAL query (make_hard_set) and free of the scoring
+# keywords: the trainer never sees the evaluation phrasing, so hard-mode
+# lift from training is generalization, not memorization.  Counterpart of
+# the reference's cache-as-training-data idea (reference README.md:41)
+# when no production query log exists yet.
+TRAIN_PARAPHRASES: dict[str, list[str]] = {
+    "factory_risk": [
+        "Describe the manufacturing concentration risk in the supply base of {company}.",
+        "What could disrupt the external facilities where {company} devices get built?",
+    ],
+    "payout": [
+        "Summarize the capital being given back to {company} investors this fiscal year.",
+        "Total buybacks plus distributions paid out by {company} to its owners?",
+    ],
+    "climate": [
+        "Outline the sustainability and decarbonization commitments of {company}.",
+        "What steps has {company} taken toward clean power and recycled materials?",
+    ],
+    "cyber": [
+        "How does {company} defend customer data against attackers?",
+        "Describe the safeguards {company} uses after a hacking attempt on its systems.",
+    ],
+    "legal": [
+        "Summarize pending litigation and regulatory probes involving {company}.",
+        "Which legal proceedings could create material loss exposure for {company}?",
+    ],
+    "ai_strategy_hard": [
+        "Where does {company} apply generative AI and custom silicon in its lineup?",
+        "Describe the artificial intelligence investments {company} is making in its offerings.",
+    ],
+    "segment_mix": [
+        "Break down {company} sales by operating unit and how the composition changed.",
+        "Which parts of the {company} portfolio contribute the bulk of its top line?",
+    ],
+}
+
+
+def make_train_pairs(tickers: list[str] | None = None) -> list[tuple[str, str]]:
+    """(query paraphrase, positive chunk) pairs for contrastive training.
+
+    Every (ticker, intent) contributes its TRAIN_PARAPHRASES against the
+    intent's positive chunk — in-batch negatives supply the contrast
+    (train/contrastive.py info_nce_loss).
+    """
+    tickers = tickers or _TICKERS
+    pairs: list[tuple[str, str]] = []
+    for t in tickers:
+        company = _COMPANY[t]
+        for intent in HARD_INTENTS:
+            pos = intent["positive"].format(company=company)
+            for q in TRAIN_PARAPHRASES[intent["name"]]:
+                pairs.append((q.format(company=company), pos))
+    return pairs

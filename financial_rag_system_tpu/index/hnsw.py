@@ -234,7 +234,14 @@ class HNSWIndex(SearchMixin):
         self.ef_construction = ef_construction
         self.ef = ef
         self.frontier = frontier
-        self.steps = steps if steps is not None else max(4, ef // frontier)
+        # default step budget measured on a v5e (scripts/tpu_probes.py
+        # --probe hnsw, 131k clustered rows, m=16 efc=100 ef=64):
+        #   steps = ef//frontier   (16@f4) -> recall@15 0.80, ~6.0 ms/b32
+        #   steps = 2*ef//frontier (32@f4) -> recall@15 0.95, ~12.1 ms/b32
+        # (frontier=8 reaches 0.95 at 16 steps for the same ~11 ms — the
+        # step budget, not the frontier split, sets the recall).  2x is
+        # the default: recall parity with server-side HNSW defaults.
+        self.steps = steps if steps is not None else max(8, 2 * ef // frontier)
         self.entries_cap = entries_cap
         self.seed = seed
         self._tail_rows: list[int] = []

@@ -154,16 +154,160 @@ def int8_gate(rows: int) -> None:
         log(f"  pallas[0]: {np.asarray(r_p)[0]}")
         log(f"  xla[0]:    {np.asarray(r_x)[0]}")
 
+    # the probed-tiles IVF kernel through the same int8 path
+    from financial_rag_system_tpu.index.ivf import (
+        ivf_probe_pallas,
+        ivf_probe_xla,
+    )
+
+    tile = 256
+    num_tiles = n // tile
+    gids = np.arange(n, dtype=np.int32).reshape(1, n)
+    tids = np.arange(num_tiles, dtype=np.int32)  # probe everything
+    s_p2, r_p2 = ivf_probe_pallas(
+        jnp.asarray(qi), jnp.asarray(qf), jnp.asarray(vi),
+        jnp.asarray(codes), jnp.asarray(gids), jnp.asarray(tids), 10,
+        tile=tile, probe_budget=num_tiles,
+    )
+    s_x2, r_x2 = ivf_probe_xla(
+        jnp.asarray(qi), jnp.asarray(qf), jnp.asarray(vi),
+        jnp.asarray(codes), jnp.asarray(gids), jnp.asarray(tids), 10,
+        tile=tile,
+    )
+    match2 = bool(np.array_equal(np.asarray(r_p2), np.asarray(r_x2)))
+    log(f"int8 IVF pallas-vs-xla rows match: {match2}")
+    if not match2:
+        log(f"  pallas[0]: {np.asarray(r_p2)[0]}")
+        log(f"  xla[0]:    {np.asarray(r_x2)[0]}")
+
+
+def hnsw_profile(rows: int) -> None:
+    """Recall@15-vs-steps and latency for the device HNSW walk at scale,
+    against the exact flat scan — the data that sets the steps/frontier
+    defaults in index/hnsw.py (VERDICT.md round-1 item 5)."""
+    import jax
+    import jax.numpy as jnp
+
+    from financial_rag_system_tpu.index.hnsw import hnsw_walk
+    from financial_rag_system_tpu.native.hnsw_loader import build_hnsw_graph
+    from financial_rag_system_tpu.ops.topk import masked_topk_pallas
+
+    floor = rpc_floor()
+    rng = np.random.default_rng(0)
+    d, k, b = 384, 15, 32
+
+    # clustered corpus (ANN recall is only meaningful with structure).
+    # noise is scaled so |noise| ~ 0.6 against unit centers (per-dim std
+    # sigma*sqrt(d) is the vector norm): intra-cluster cosine ~0.85,
+    # cross-cluster ~0 — the geometry of real topic-clustered embeddings.
+    # (A per-dim std of 0.25 would give |noise| ~ 4.9, i.e. essentially
+    # uniform random data, where ANN recall is meaningless.)
+    n_centers = max(64, rows // 1024)
+    centers = rng.standard_normal((n_centers, d)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    v = centers[rng.integers(0, n_centers, rows)]
+    v = v + 0.03 * rng.standard_normal((rows, d)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+
+    t0 = time.time()
+    graph = build_hnsw_graph(v, m=16, ef_construction=100, seed=0,
+                             entries_cap=32)
+    if graph is None:
+        raise SystemExit("native HNSW builder unavailable (g++ missing?)")
+    adj, entries = graph
+    log(f"native build: {rows} rows in {time.time()-t0:.0f}s")
+
+    emb = jnp.asarray(v, jnp.bfloat16)
+    codes = jnp.zeros((2, rows), jnp.int32)
+    adj_np = np.where(adj < 0, rows, adj).astype(np.int32)
+    adj_pad = jnp.asarray(np.concatenate(
+        [adj_np, np.full((1, adj_np.shape[1]), rows, np.int32)]
+    ))
+    jentries = jnp.asarray(entries, jnp.int32)
+
+    # queries: perturbed corpus points (realistic same-topic lookups)
+    qrows = rng.integers(0, rows, b)
+    q = v[qrows] + 0.02 * rng.standard_normal((b, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    jq = jnp.asarray(q)
+    qf = jnp.full((b, 2), -1, jnp.int32)
+
+    # ground truth + flat-scan latency baseline (the tier to beat)
+    tile = 2048 if rows % 2048 == 0 else 1024
+    exact_s, exact_i = masked_topk_pallas(
+        jq.astype(jnp.bfloat16), emb, codes, qf, rows, k, tile=tile
+    )
+    exact = np.asarray(exact_i)
+    ts = []
+    for _ in range(6):
+        t0 = time.time()
+        np.asarray(masked_topk_pallas(
+            jq.astype(jnp.bfloat16), emb, codes, qf, rows, k, tile=tile
+        )[1])
+        ts.append((time.time() - t0) * 1e3)
+    flat_p50 = float(np.percentile(ts, 50))
+    log(f"flat scan p50 {flat_p50:.2f} ms/batch{b} "
+        f"(device ~{max(flat_p50-floor,0):.2f} ms)")
+
+    # single-query latency at the serving default (the regime HNSW is
+    # FOR — flat wins batched workloads at these scales)
+    q1, qf1 = jq[:1], qf[:1]
+    np.asarray(hnsw_walk(
+        q1, qf1, emb, codes, adj_pad, jentries, k,
+        ef=64, steps=32, frontier=4, pad_id=rows,
+    )[1])
+    ts = []
+    for _ in range(8):
+        t0 = time.time()
+        np.asarray(hnsw_walk(
+            q1, qf1, emb, codes, adj_pad, jentries, k,
+            ef=64, steps=32, frontier=4, pad_id=rows,
+        )[1])
+        ts.append((time.time() - t0) * 1e3)
+    p50_1 = float(np.percentile(ts, 50))
+    log(f"single-query walk (steps=32 frontier=4): p50 {p50_1:.2f} ms "
+        f"(device ~{max(p50_1-floor,0):.2f} ms)")
+
+    # each (steps, frontier) pair is its own jit compile (~30 s on the
+    # tunnel), so the sweep is deliberately small
+    for frontier, steps_list in ((4, (4, 8, 16, 32)), (8, (8, 16))):
+        for steps in steps_list:
+            wi = hnsw_walk(
+                jq, qf, emb, codes, adj_pad, jentries, k,
+                ef=64, steps=steps, frontier=frontier, pad_id=rows,
+            )[1]
+            np.asarray(wi)  # compile+exec before timing
+            ts = []
+            for _ in range(6):
+                t0 = time.time()
+                np.asarray(hnsw_walk(
+                    jq, qf, emb, codes, adj_pad, jentries, k,
+                    ef=64, steps=steps, frontier=frontier, pad_id=rows,
+                )[1])
+                ts.append((time.time() - t0) * 1e3)
+            got = np.asarray(wi)
+            recall = np.mean([
+                len(set(got[i]) & set(exact[i])) / k for i in range(b)
+            ])
+            p50 = float(np.percentile(ts, 50))
+            log(f"steps={steps:3d} frontier={frontier} | recall@15 "
+                f"{recall:.3f} | p50 {p50:.2f} ms/batch{b} "
+                f"(device ~{max(p50-floor,0):.2f} ms)")
+
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("--probe", choices=("floor", "scan", "int8"), default="floor")
+    ap.add_argument(
+        "--probe", choices=("floor", "scan", "int8", "hnsw"), default="floor"
+    )
     ap.add_argument("--rows", type=int, default=1_048_576)
     args = ap.parse_args()
     import jax
 
     log(f"platform: {jax.devices()[0].platform}")
-    if args.probe in ("scan", "int8") and jax.devices()[0].platform != "tpu":
+    if args.probe in ("scan", "int8", "hnsw") and (
+        jax.devices()[0].platform != "tpu"
+    ):
         raise SystemExit(
             f"--probe {args.probe} needs a real TPU (compiled Pallas); "
             "interpret-mode semantics are covered by tests/test_topk.py"
@@ -172,5 +316,7 @@ if __name__ == "__main__":
         rpc_floor()
     elif args.probe == "scan":
         scan(args.rows)
-    else:
+    elif args.probe == "int8":
         int8_gate(args.rows)
+    else:
+        hnsw_profile(args.rows)

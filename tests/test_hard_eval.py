@@ -60,3 +60,44 @@ def test_hard_mode_desaturated(tmp_path, monkeypatch):
     # the easy set stays at ceiling — that's the parity gate, not this one
     easy = evaluate.run_evaluation(k=5, n_chunks=2048, hard=False)
     assert easy["hit_rate"] == 100.0 and easy["mrr"] == 1.0
+
+
+def test_train_paraphrases_no_leakage():
+    """The contrastive trainer's supervision (evaluate.py --trained) must
+    not leak the eval surface: no scoring keyword appears in any training
+    paraphrase, and no training query equals an eval query."""
+    from financial_rag_system_tpu.data.synthetic import (
+        HARD_INTENTS,
+        TRAIN_PARAPHRASES,
+        make_hard_set,
+        make_train_pairs,
+    )
+
+    for intent in HARD_INTENTS:
+        assert len(TRAIN_PARAPHRASES[intent["name"]]) >= 2
+        for q in TRAIN_PARAPHRASES[intent["name"]]:
+            for kw in intent["keywords"]:
+                assert kw.lower() not in q.lower(), (intent["name"], kw)
+    eval_queries = {g["query"] for g in make_hard_set()}
+    pairs = make_train_pairs()
+    assert len(pairs) == 8 * len(HARD_INTENTS) * 2
+    for q, pos in pairs:
+        assert q not in eval_queries
+        assert pos  # every pair carries its intent's positive chunk
+
+
+def test_trained_encoder_learns(tmp_path):
+    """Few-step smoke of the full --trained loop: loss decreases and the
+    returned encoder is servable (encodes + searches)."""
+    from evaluate import trained_encoder
+    from financial_rag_system_tpu.index.flat import FlatIndex
+
+    enc = trained_encoder(steps=4, seed=0, lr=1e-3)
+    texts = ["alpha beta", "gamma delta"]
+    vecs = enc.encode(texts)
+    assert vecs.shape == (2, 128)
+    index = FlatIndex(dim=128, capacity=128, tile=128, use_pallas=False)
+    index.upsert(["a", "b"], vecs, texts,
+                 [{"ticker": "T", "document_type": "10-K"}] * 2)
+    hits = index.search(enc.encode(["alpha beta"]), k=1)[0]
+    assert hits and hits[0]["text"] == "alpha beta"
