@@ -118,7 +118,7 @@ def run_evaluation(
 
         index = HNSWIndex(index)
         print(f"hnsw tier: ef={index.ef}, native={index.native_built}")
-    elif tier in ("sharded", "sharded-ivf"):
+    elif tier in ("sharded", "sharded-ivf", "sharded-hnsw"):
         from financial_rag_system_tpu.index.sharded import ShardedFlatIndex
         from financial_rag_system_tpu.parallel.mesh import create_mesh
 
@@ -142,6 +142,14 @@ def run_evaluation(
             index = ShardedIVFIndex(sharded, tile=min(128, sharded.tile))
             print(f"sharded-ivf tier: {index.n_clusters} clusters x "
                   f"{index.n_shards} shards")
+        elif tier == "sharded-hnsw":
+            from financial_rag_system_tpu.index.sharded_hnsw import (
+                ShardedHNSWIndex,
+            )
+
+            index = ShardedHNSWIndex(sharded)
+            print(f"sharded-hnsw tier: {index.n_shards} graphs, "
+                  f"ef={index.ef}, steps={index.steps}")
         else:
             print(f"sharded tier: {sharded.n_shards} shards")
     reranker = get_reranker() if two_stage else None
@@ -190,7 +198,8 @@ if __name__ == "__main__":
                     help="corpus size (default 2048, 65536 in --hard mode)")
     ap.add_argument("--two-stage", action="store_true")
     ap.add_argument("--tier",
-                    choices=("flat", "ivf", "hnsw", "sharded", "sharded-ivf"),
+                    choices=("flat", "ivf", "hnsw", "sharded", "sharded-ivf",
+                             "sharded-hnsw"),
                     default="flat",
                     help="index tier under evaluation")
     ap.add_argument("--hard", action="store_true",

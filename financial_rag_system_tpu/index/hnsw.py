@@ -139,7 +139,10 @@ def hnsw_walk(
     beam_s = score(beam_ids)
     expanded = beam_ids == n  # pad slots never expand
 
-    visited = jnp.zeros((b, npad), jnp.bool_).at[:, n].set(True)
+    # visited spans one column past the embedding rows so the sentinel
+    # column is in bounds even when pad_id == emb.shape[0] (the sharded
+    # tier walks shard-local blocks with no spare slot, sharded_hnsw.py)
+    visited = jnp.zeros((b, npad + 1), jnp.bool_).at[:, n].set(True)
     visited = visited.at[jnp.arange(b)[:, None], ent].set(True)
 
     res_s = jnp.full((b, k), NEG_INF)
@@ -169,13 +172,18 @@ def hnsw_walk(
         cand = adj_pad[src].reshape(b, frontier * m0)
         seen = jnp.take_along_axis(visited, cand, axis=1)
         cand = jnp.where(seen, n, cand)
-        # within-step dedup (two frontier nodes sharing a neighbor):
-        # scatter-min each slot's position, keep only the first occurrence
-        c = cand.shape[1]
-        posi = jnp.broadcast_to(jnp.arange(c)[None, :], (b, c))
-        first = jnp.full((b, npad), c, jnp.int32).at[bidx, cand].min(posi)
-        keep = jnp.take_along_axis(first, cand, axis=1) == posi
-        cand = jnp.where(keep, cand, n)
+        # within-step dedup (two frontier nodes sharing a neighbor): sort
+        # the C-wide candidate list (C = frontier*M0, ~128) and sentinel
+        # out adjacent duplicates — O(C log C) per query with no N-sized
+        # buffer.  (A previous scatter-min-into-(B,N) dedup dominated the
+        # walk at scale: 243 ms/batch-32 at 1M rows, ~20x the rest of the
+        # step.)  Candidate order is irrelevant downstream — every
+        # consumer is a top-k merge.
+        cand = jnp.sort(cand, axis=1)
+        dup = jnp.concatenate(
+            [jnp.zeros((b, 1), bool), cand[:, 1:] == cand[:, :-1]], axis=1
+        )
+        cand = jnp.where(dup, n, cand)
         visited = visited.at[bidx, cand].set(True)
         cs = score(cand)
 

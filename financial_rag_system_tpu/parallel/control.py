@@ -107,15 +107,25 @@ class ControlServer:
         self._listener.close()
 
 
-def _rebuild_ivf(index):
-    from financial_rag_system_tpu.index.sharded import ShardedFlatIndex
+def _rebuild_tier(index, tier: str | None = None):
+    """Deterministic tier promotion/rebuild — runs identically on every
+    process (seeded builds), so the op stream keeps indexes in lockstep."""
+    from financial_rag_system_tpu.index.sharded_hnsw import ShardedHNSWIndex
     from financial_rag_system_tpu.index.sharded_ivf import ShardedIVFIndex
 
-    if isinstance(index, ShardedIVFIndex):
+    if tier == "hnsw":
+        if isinstance(index, ShardedHNSWIndex):
+            index.rebuild()
+            return index
+        return ShardedHNSWIndex(getattr(index, "flat", index))
+    if tier is None and isinstance(index, (ShardedIVFIndex, ShardedHNSWIndex)):
         index.rebuild()
         return index
-    assert isinstance(index, ShardedFlatIndex)
-    return ShardedIVFIndex(index, tile=min(index.tile, 128))
+    if tier == "ivf" and isinstance(index, ShardedIVFIndex):
+        index.rebuild()
+        return index
+    flat = getattr(index, "flat", index)
+    return ShardedIVFIndex(flat, tile=min(flat.tile, 128))
 
 
 class BroadcastIndex(SearchMixin):
@@ -176,17 +186,11 @@ class BroadcastIndex(SearchMixin):
         )
 
     def rebuild_tier(self, tier: str | None = None) -> dict[str, Any]:
-        if tier == "hnsw":
-            return {
-                "status": "error",
-                "reason": "sharded indexes support the ivf tier only",
-            }
-
         def local():
-            self.inner = _rebuild_ivf(self.inner)
+            self.inner = _rebuild_tier(self.inner, tier)
             return self.inner
 
-        inner = self.server.run("rebuild_ivf", (), local)
+        inner = self.server.run("rebuild_tier", (tier,), local)
         return {
             "status": "ok",
             "tier": f"Broadcast[{type(inner).__name__}]",
@@ -229,8 +233,10 @@ def worker_loop(index, host: str, port: int, *,
         elif op == "search":
             q, qf, k = args
             index.search_device(q, qf, k)
-        elif op == "rebuild_ivf":
-            index = _rebuild_ivf(index)
+        elif op == "rebuild_tier":
+            index = _rebuild_tier(index, *args)
+        elif op == "rebuild_ivf":  # older coordinator wire name
+            index = _rebuild_tier(index, "ivf")
         elif op == "save":
             # join the cross-process gather; process 0 (the coordinator)
             # is the one that writes files

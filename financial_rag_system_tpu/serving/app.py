@@ -131,11 +131,16 @@ def create_app(engine: RAGEngine) -> web.Application:
         from financial_rag_system_tpu.index.hnsw import HNSWIndex
         from financial_rag_system_tpu.index.ivf import IVFIndex
         from financial_rag_system_tpu.index.sharded import ShardedFlatIndex
+        from financial_rag_system_tpu.index.sharded_hnsw import (
+            ShardedHNSWIndex,
+        )
 
         sharded = isinstance(getattr(idx, "flat", idx), ShardedFlatIndex)
-        stale_files = ["sharded_index.npz"] if not sharded else [
-            "flat_index.npz", HNSWIndex.GRAPH_FILE, IVFIndex.IVF_FILE
-        ]
+        stale_files = (
+            ["sharded_index.npz", ShardedHNSWIndex.GRAPH_FILE]
+            if not sharded
+            else ["flat_index.npz", HNSWIndex.GRAPH_FILE, IVFIndex.IVF_FILE]
+        )
         if not sharded:
             for klass, fname in (
                 (HNSWIndex, HNSWIndex.GRAPH_FILE),
@@ -143,6 +148,8 @@ def create_app(engine: RAGEngine) -> web.Application:
             ):
                 if not isinstance(idx, klass):
                     stale_files.append(fname)
+        elif not isinstance(idx, ShardedHNSWIndex):
+            stale_files.append(ShardedHNSWIndex.GRAPH_FILE)
         for fname in stale_files:
             stale = os.path.join(directory, fname)
             if os.path.exists(stale):
@@ -257,6 +264,16 @@ def build_default_engine(mode: str = "batched") -> RAGEngine:
             index = ShardedFlatIndex.load(
                 cfg.index_dir, mesh, use_pallas=cfg.use_pallas
             )
+            from financial_rag_system_tpu.index.sharded_hnsw import (
+                ShardedHNSWIndex,
+            )
+
+            gf = os.path.join(cfg.index_dir, ShardedHNSWIndex.GRAPH_FILE)
+            if os.path.exists(gf):
+                try:
+                    index = ShardedHNSWIndex.load(cfg.index_dir, index)
+                except ValueError as exc:  # stale/mismatched: serve flat
+                    print(f"ignoring persisted ShardedHNSWIndex: {exc}")
         else:
             if os.path.exists(os.path.join(cfg.index_dir, "flat_index.npz")):
                 print(

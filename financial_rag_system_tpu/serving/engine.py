@@ -525,14 +525,20 @@ class RAGEngine:
             return self.index.rebuild_tier(tier)
         flat = getattr(self.index, "flat", self.index)
         if isinstance(flat, ShardedFlatIndex):
-            # mesh-sharded corpus: the sub-linear tier is sharded IVF
-            # (HNSW's graph walk is per-chip; no sharded variant yet)
+            from financial_rag_system_tpu.index.sharded_hnsw import (
+                ShardedHNSWIndex,
+            )
+
+            # mesh-sharded corpus: sub-linear tiers are sharded IVF
+            # (default) or per-shard-graph HNSW (index/sharded_hnsw.py)
             if tier == "hnsw":
-                return {
-                    "status": "error",
-                    "reason": "sharded indexes support the ivf tier only",
-                }
-            if isinstance(self.index, ShardedIVFIndex):
+                if isinstance(self.index, ShardedHNSWIndex):
+                    self.index.rebuild()
+                else:
+                    self.index = ShardedHNSWIndex(flat)
+            elif isinstance(self.index, ShardedIVFIndex):
+                self.index.rebuild()
+            elif isinstance(self.index, ShardedHNSWIndex) and tier is None:
                 self.index.rebuild()
             else:
                 self.index = ShardedIVFIndex(flat, tile=min(flat.tile, 128))
@@ -540,7 +546,7 @@ class RAGEngine:
             return {
                 "status": "ok",
                 "tier": type(self.index).__name__,
-                "clusters": self.index.n_clusters,
+                "clusters": getattr(self.index, "n_clusters", None),
                 "tail_rows": len(self.index._tail_rows),
             }
         if not isinstance(flat, FlatIndex):

@@ -209,13 +209,22 @@ def hnsw_profile(rows: int) -> None:
     v = v + 0.03 * rng.standard_normal((rows, d)).astype(np.float32)
     v /= np.linalg.norm(v, axis=1, keepdims=True)
 
-    t0 = time.time()
-    graph = build_hnsw_graph(v, m=16, ef_construction=100, seed=0,
-                             entries_cap=32)
-    if graph is None:
-        raise SystemExit("native HNSW builder unavailable (g++ missing?)")
-    adj, entries = graph
-    log(f"native build: {rows} rows in {time.time()-t0:.0f}s")
+    # the native build is single-threaded and ~35 min at 1M rows; the
+    # corpus is deterministic (seeded rng above), so cache the graph
+    cache = f"/tmp/hnsw_graph_cache_{rows}.npz"
+    if os.path.exists(cache):
+        data = np.load(cache)
+        adj, entries = data["adj"], data["entries"]
+        log(f"graph cache hit: {cache}")
+    else:
+        t0 = time.time()
+        graph = build_hnsw_graph(v, m=16, ef_construction=100, seed=0,
+                                 entries_cap=32)
+        if graph is None:
+            raise SystemExit("native HNSW builder unavailable (g++ missing?)")
+        adj, entries = graph
+        log(f"native build: {rows} rows in {time.time()-t0:.0f}s")
+        np.savez(cache, adj=adj, entries=entries)
 
     emb = jnp.asarray(v, jnp.bfloat16)
     codes = jnp.zeros((2, rows), jnp.int32)

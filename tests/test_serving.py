@@ -319,7 +319,12 @@ def test_build_default_engine_shards_on_multidevice(tmp_path, monkeypatch):
         assert out["status"] == "ok" and out["tier"] == "ShardedIVFIndex"
         assert isinstance(eng.index, ShardedIVFIndex)
         out = eng.rebuild_index("hnsw")
-        assert out["status"] == "error"
+        from financial_rag_system_tpu.index.sharded_hnsw import (
+            ShardedHNSWIndex,
+        )
+
+        assert out["status"] == "ok" and out["tier"] == "ShardedHNSWIndex"
+        assert isinstance(eng.index, ShardedHNSWIndex)
         resp = asyncio.run(eng.ask("sharded default chunk 7", "AAPL"))
         assert resp["sources"]
     finally:
