@@ -471,7 +471,7 @@ def main() -> None:
             def walk():  # serving defaults (see index/hnsw.py steps note)
                 return hnsw_walk(
                     qvw, wild, cemb, ccodes, adj_pad, jent,
-                    RETRIEVE_K, ef=64, steps=32, frontier=4,
+                    RETRIEVE_K, ef=64, steps=16, frontier=8,
                     pad_id=hnsw_n,
                 )
 
@@ -489,7 +489,7 @@ def main() -> None:
             detail["hnsw_n"] = hnsw_n
             detail["hnsw_walk_p50_ms_batch"] = round(p50, 3)
             detail["hnsw_recall15_vs_flat"] = round(recall, 4)
-            log(f"hnsw walk (steps=32 frontier=4 ef=64, {hnsw_n} rows): "
+            log(f"hnsw walk (steps=16 frontier=8 ef=64, {hnsw_n} rows): "
                 f"p50 {p50:.2f} ms/batch{BATCH} | recall@15 vs flat "
                 f"{recall:.3f}")
     except Exception as exc:

@@ -15,10 +15,12 @@ machine — so this tier splits the algorithm at the hardware boundary:
   fixed step count — compiler-friendly control flow (`lax.scan`), static
   shapes throughout.  Each step expands the best ``frontier`` unexpanded
   beam nodes *per query*, gathers their neighbors' vectors from HBM, and
-  merges with `top_k`.  Visited state is a dense (B, N+1) bool — a
-  scatter/gather, not a hash table.  All B queries of a dynamic batch
-  walk the graph in one XLA program; there is no host round-trip inside
-  the walk.
+  merges with `top_k`.  Visited state is a per-query ring of every
+  expanded candidate id (width ef + steps*frontier*2M, ~4k) with fused
+  compare/any membership — no N-sized buffer and no TPU scatter
+  anywhere in the step.  All B queries of a dynamic batch walk the
+  graph in one XLA program; there is no host round-trip inside the
+  walk.
 
 - **Filters** (ticker/document_type, reference main.py:222-231) are
   *result-side*: traversal ranks by raw similarity so graph connectivity
@@ -106,9 +108,18 @@ def hnsw_walk(
     shared flat arrays): every score at the sentinel is masked to -inf
     before it can reach the beam or the results, so no pad row copy of
     the corpus is ever materialized.
+
+    Nothing here scales with the corpus size except the HBM gathers
+    themselves.  The visited set is a per-query RING of every id that
+    ever entered the candidate list — width ef + steps*frontier*M0
+    (~4k) — and membership is one fused compare/any on the VPU.  Dense
+    (B, N) visited bitmaps are the classic formulation, but TPU scatter
+    is serialized enough that the bitmap dominated the walk at the 1M
+    tier (~218 of 243 ms/batch-32); the ring is exact (every visited
+    node entered as a candidate exactly once) and O(steps^2 * C^2)
+    compares total, independent of N.
     """
     b, d = queries.shape
-    npad = emb.shape[0]
     n = pad_id
     e = entries.shape[0]
     m0 = adj_pad.shape[1]
@@ -139,11 +150,13 @@ def hnsw_walk(
     beam_s = score(beam_ids)
     expanded = beam_ids == n  # pad slots never expand
 
-    # visited spans one column past the embedding rows so the sentinel
-    # column is in bounds even when pad_id == emb.shape[0] (the sharded
-    # tier walks shard-local blocks with no spare slot, sharded_hnsw.py)
-    visited = jnp.zeros((b, npad + 1), jnp.bool_).at[:, n].set(True)
-    visited = visited.at[jnp.arange(b)[:, None], ent].set(True)
+    # visited ring: beam init occupies the first ef slots; step t's
+    # deduped candidates land at ef + t*C.  Unfilled slots hold the
+    # sentinel, which only ever matches sentinel candidates.
+    c_w = frontier * m0
+    ring = jnp.concatenate(
+        [beam_ids, jnp.full((b, steps * c_w), n, jnp.int32)], axis=1
+    )
 
     res_s = jnp.full((b, k), NEG_INF)
     res_i = jnp.full((b, k), -1, jnp.int32)
@@ -155,10 +168,8 @@ def hnsw_walk(
     res_s, pos = jax.lax.top_k(cat_s, k)
     res_i = jnp.take_along_axis(cat_i, pos, axis=1)
 
-    bidx = jnp.arange(b)[:, None]
-
-    def step(carry, _):
-        beam_ids, beam_s, expanded, visited, res_s, res_i = carry
+    def step(carry, t):
+        beam_ids, beam_s, expanded, ring, res_s, res_i = carry
 
         # pick the best `frontier` unexpanded beam nodes per query
         sel = jnp.where(expanded, NEG_INF, beam_s)
@@ -168,23 +179,22 @@ def hnsw_walk(
         hit = slot[:, :, None] == jnp.arange(ef)[None, None, :]  # (B, F, EF)
         expanded = expanded | jnp.any(hit, axis=1)
 
-        # expand: neighbor gather, visited dedup, score
-        cand = adj_pad[src].reshape(b, frontier * m0)
-        seen = jnp.take_along_axis(visited, cand, axis=1)
+        # expand: neighbor gather, ring-membership dedup, score
+        cand = adj_pad[src].reshape(b, c_w)
+        seen = jnp.any(cand[:, :, None] == ring[:, None, :], axis=2)
         cand = jnp.where(seen, n, cand)
         # within-step dedup (two frontier nodes sharing a neighbor): sort
-        # the C-wide candidate list (C = frontier*M0, ~128) and sentinel
-        # out adjacent duplicates — O(C log C) per query with no N-sized
-        # buffer.  (A previous scatter-min-into-(B,N) dedup dominated the
-        # walk at scale: 243 ms/batch-32 at 1M rows, ~20x the rest of the
-        # step.)  Candidate order is irrelevant downstream — every
-        # consumer is a top-k merge.
+        # the C-wide candidate list and sentinel out adjacent duplicates.
+        # Candidate order is irrelevant downstream — every consumer is a
+        # top-k merge.
         cand = jnp.sort(cand, axis=1)
         dup = jnp.concatenate(
             [jnp.zeros((b, 1), bool), cand[:, 1:] == cand[:, :-1]], axis=1
         )
         cand = jnp.where(dup, n, cand)
-        visited = visited.at[bidx, cand].set(True)
+        ring = jax.lax.dynamic_update_slice(
+            ring, cand, (jnp.int32(0), ef + t * c_w)
+        )
         cs = score(cand)
 
         # result accumulation under the metadata filter
@@ -206,11 +216,11 @@ def hnsw_walk(
         beam_ids = jnp.take_along_axis(b_cat_i, pos, axis=1)
         expanded = jnp.take_along_axis(b_cat_e, pos, axis=1)
 
-        return (beam_ids, beam_s, expanded, visited, res_s, res_i), None
+        return (beam_ids, beam_s, expanded, ring, res_s, res_i), None
 
-    carry = (beam_ids, beam_s, expanded, visited, res_s, res_i)
-    (beam_ids, beam_s, expanded, visited, res_s, res_i), _ = jax.lax.scan(
-        step, carry, None, length=steps
+    carry = (beam_ids, beam_s, expanded, ring, res_s, res_i)
+    (beam_ids, beam_s, expanded, ring, res_s, res_i), _ = jax.lax.scan(
+        step, carry, jnp.arange(steps)
     )
     return res_s, res_i
 
@@ -230,7 +240,7 @@ class HNSWIndex(SearchMixin):
         m: int = 16,
         ef_construction: int = 100,
         ef: int = 64,
-        frontier: int = 4,
+        frontier: int = 8,
         steps: int | None = None,
         entries_cap: int = 32,
         seed: int = 0,
@@ -242,13 +252,15 @@ class HNSWIndex(SearchMixin):
         self.ef_construction = ef_construction
         self.ef = ef
         self.frontier = frontier
-        # default step budget measured on a v5e (scripts/tpu_probes.py
-        # --probe hnsw, 131k clustered rows, m=16 efc=100 ef=64):
-        #   steps = ef//frontier   (16@f4) -> recall@15 0.80, ~6.0 ms/b32
-        #   steps = 2*ef//frontier (32@f4) -> recall@15 0.95, ~12.1 ms/b32
-        # (frontier=8 reaches 0.95 at 16 steps for the same ~11 ms — the
-        # step budget, not the frontier split, sets the recall).  2x is
-        # the default: recall parity with server-side HNSW defaults.
+        # defaults measured on a v5e with the ring-visited walk
+        # (scripts/tpu_probes.py --probe hnsw, clustered rows, m=16
+        # efc=100 ef=64, device ms/batch-32):
+        #   131k: f8/s16 -> recall@15 0.95 @ ~3.5 ms   (f4/s32: 0.95 @ 8.0)
+        #   1M:   f8/s16 -> 0.85 @ ~5.7 ms; recall saturates at 0.92 with
+        #         ef=128/s32 — the m=16/efc=100 graph, not the search
+        #         budget, is the 1M ceiling; raise m/efc at build for more.
+        # Wider frontiers buy parallel gathers per sequential step, so
+        # f8 matches f4's recall in half the steps at lower latency.
         self.steps = steps if steps is not None else max(8, 2 * ef // frontier)
         self.entries_cap = entries_cap
         self.seed = seed

@@ -99,7 +99,7 @@ class ShardedHNSWIndex(SearchMixin):
         m: int = 16,
         ef_construction: int = 100,
         ef: int = 64,
-        frontier: int = 4,
+        frontier: int = 8,
         steps: int | None = None,
         entries_cap: int = 32,
         seed: int = 0,

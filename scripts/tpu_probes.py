@@ -55,23 +55,27 @@ def rpc_floor() -> float:
     return floor
 
 
-def _device_corpus(n: int, d: int = 384):
+def _device_corpus(n: int, d: int = 384, dtype: str = "bf16"):
     import jax
     import jax.numpy as jnp
 
     ch = min(1_310_720, n)
     # tile must divide n; scan() passes n as a multiple of its chunk
 
+    quantized = dtype == "int8"
+
     @functools.partial(jax.jit, donate_argnums=0)
     def fill(buf, key, start):
         v = jax.random.normal(key, (ch, d), jnp.float32)
         v = v / jnp.linalg.norm(v, axis=1, keepdims=True)
-        return jax.lax.dynamic_update_slice(
-            buf, v.astype(jnp.bfloat16), (start, 0)
-        )
+        if quantized:  # same symmetric scheme as FlatIndex int8 mode
+            v = jnp.clip(jnp.round(v * 127.0), -127, 127).astype(jnp.int8)
+        else:
+            v = v.astype(jnp.bfloat16)
+        return jax.lax.dynamic_update_slice(buf, v, (start, 0))
 
     assert n % ch == 0, f"rows {n} must be a multiple of chunk {ch}"
-    emb = jnp.zeros((n, d), jnp.bfloat16)
+    emb = jnp.zeros((n, d), jnp.int8 if quantized else jnp.bfloat16)
     for i in range(n // ch):
         emb = fill(emb, jax.random.PRNGKey(i), i * ch)
     codes = jnp.stack(
@@ -81,9 +85,12 @@ def _device_corpus(n: int, d: int = 384):
     return emb, codes
 
 
-def scan(rows: int) -> None:
+def scan(rows: int, dtype: str = "bf16") -> None:
     """Flat masked-top-k over `rows` corpus rows; reports device-side
-    bandwidth with the RPC floor subtracted."""
+    bandwidth with the RPC floor subtracted.  ``dtype="int8"`` streams a
+    quantized corpus through the same compiled Pallas kernel — half the
+    HBM bytes/row, so ~2x rows/chip at equal scan time (the README's
+    ~20M-chunks/chip figure)."""
     import jax.numpy as jnp
 
     from financial_rag_system_tpu.ops.topk import masked_topk_pallas
@@ -91,15 +98,20 @@ def scan(rows: int) -> None:
     floor = rpc_floor()
     ch = min(1_310_720, max(2048, rows))
     n = max(2048, (rows // ch) * ch)  # whole chunks only: no zero rows
-    emb, codes = _device_corpus(n)
-    log(f"corpus {emb.nbytes / 2**30:.2f} GiB on device")
+    emb, codes = _device_corpus(n, dtype=dtype)
+    log(f"corpus {emb.nbytes / 2**30:.2f} GiB on device ({dtype})")
     b = 32
     qs = []
     for it in range(12):
         import jax
 
         q = jax.random.normal(jax.random.PRNGKey(100 + it), (b, 384), jnp.float32)
-        qs.append((q / jnp.linalg.norm(q, axis=1, keepdims=True)).astype(jnp.bfloat16))
+        q = q / jnp.linalg.norm(q, axis=1, keepdims=True)
+        if dtype == "int8":
+            q = jnp.clip(jnp.round(q * 127.0), -127, 127).astype(jnp.int8)
+        else:
+            q = q.astype(jnp.bfloat16)
+        qs.append(q)
     qf = jnp.stack(
         [jnp.arange(b, dtype=jnp.int32) % 8, jnp.full((b,), -1, jnp.int32)],
         axis=1,
@@ -263,18 +275,18 @@ def hnsw_profile(rows: int) -> None:
     q1, qf1 = jq[:1], qf[:1]
     np.asarray(hnsw_walk(
         q1, qf1, emb, codes, adj_pad, jentries, k,
-        ef=64, steps=32, frontier=4, pad_id=rows,
+        ef=64, steps=16, frontier=8, pad_id=rows,
     )[1])
     ts = []
     for _ in range(8):
         t0 = time.time()
         np.asarray(hnsw_walk(
             q1, qf1, emb, codes, adj_pad, jentries, k,
-            ef=64, steps=32, frontier=4, pad_id=rows,
+            ef=64, steps=16, frontier=8, pad_id=rows,
         )[1])
         ts.append((time.time() - t0) * 1e3)
     p50_1 = float(np.percentile(ts, 50))
-    log(f"single-query walk (steps=32 frontier=4): p50 {p50_1:.2f} ms "
+    log(f"single-query walk (steps=16 frontier=8): p50 {p50_1:.2f} ms "
         f"(device ~{max(p50_1-floor,0):.2f} ms)")
 
     # each (steps, frontier) pair is its own jit compile (~30 s on the
@@ -310,6 +322,8 @@ if __name__ == "__main__":
         "--probe", choices=("floor", "scan", "int8", "hnsw"), default="floor"
     )
     ap.add_argument("--rows", type=int, default=1_048_576)
+    ap.add_argument("--dtype", choices=("bf16", "int8"), default="bf16",
+                    help="corpus dtype for --probe scan")
     args = ap.parse_args()
     import jax
 
@@ -324,7 +338,7 @@ if __name__ == "__main__":
     if args.probe == "floor":
         rpc_floor()
     elif args.probe == "scan":
-        scan(args.rows)
+        scan(args.rows, dtype=args.dtype)
     elif args.probe == "int8":
         int8_gate(args.rows)
     else:
