@@ -193,10 +193,11 @@ def int8_gate(rows: int) -> None:
         log(f"  xla[0]:    {np.asarray(r_x2)[0]}")
 
 
-def hnsw_profile(rows: int) -> None:
+def hnsw_profile(rows: int, m: int = 16, efc: int = 100) -> None:
     """Recall@15-vs-steps and latency for the device HNSW walk at scale,
     against the exact flat scan — the data that sets the steps/frontier
-    defaults in index/hnsw.py (VERDICT.md round-1 item 5)."""
+    defaults in index/hnsw.py (VERDICT.md round-1 item 5).  ``m``/``efc``
+    vary the GRAPH richness: the 1M recall ceiling is build-bound."""
     import jax
     import jax.numpy as jnp
 
@@ -223,14 +224,15 @@ def hnsw_profile(rows: int) -> None:
 
     # the native build is single-threaded and ~35 min at 1M rows; the
     # corpus is deterministic (seeded rng above), so cache the graph
-    cache = f"/tmp/hnsw_graph_cache_{rows}.npz"
+    cache = (f"/tmp/hnsw_graph_cache_{rows}.npz" if (m, efc) == (16, 100)
+             else f"/tmp/hnsw_graph_cache_{rows}_m{m}e{efc}.npz")
     if os.path.exists(cache):
         data = np.load(cache)
         adj, entries = data["adj"], data["entries"]
         log(f"graph cache hit: {cache}")
     else:
         t0 = time.time()
-        graph = build_hnsw_graph(v, m=16, ef_construction=100, seed=0,
+        graph = build_hnsw_graph(v, m=m, ef_construction=efc, seed=0,
                                  entries_cap=32)
         if graph is None:
             raise SystemExit("native HNSW builder unavailable (g++ missing?)")
@@ -324,6 +326,9 @@ if __name__ == "__main__":
     ap.add_argument("--rows", type=int, default=1_048_576)
     ap.add_argument("--dtype", choices=("bf16", "int8"), default="bf16",
                     help="corpus dtype for --probe scan")
+    ap.add_argument("--m", type=int, default=16, help="HNSW build degree")
+    ap.add_argument("--efc", type=int, default=100,
+                    help="HNSW build ef_construction")
     args = ap.parse_args()
     import jax
 
@@ -342,4 +347,4 @@ if __name__ == "__main__":
     elif args.probe == "int8":
         int8_gate(args.rows)
     else:
-        hnsw_profile(args.rows)
+        hnsw_profile(args.rows, m=args.m, efc=args.efc)
