@@ -75,7 +75,7 @@ def test_two_process_coordinator_serves_and_worker_parks(tmp_path):
             )
 
         # coordinator must come up and answer /ask end-to-end
-        deadline = time.time() + 120
+        deadline = time.time() + 240
         up = False
         while time.time() < deadline:
             if any(p.poll() is not None for p in procs):
@@ -173,7 +173,7 @@ def test_two_process_sharded_corpus_built_once(tmp_path):
                     stderr=subprocess.STDOUT,
                 )
             )
-        deadline = time.time() + 120
+        deadline = time.time() + 240
         up = False
         while time.time() < deadline and all(p.poll() is None for p in procs):
             try:
