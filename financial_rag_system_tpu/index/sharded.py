@@ -96,6 +96,8 @@ class ShardedFlatIndex(SearchMixin):
         tile: int = DEFAULT_TILE,
         dtype: jnp.dtype = jnp.bfloat16,
         use_pallas: bool = False,
+        token_store_len: int | None = None,
+        tokenizer=None,
     ):
         from financial_rag_system_tpu.ops.topk import pallas_available
 
@@ -123,33 +125,83 @@ class ShardedFlatIndex(SearchMixin):
         )
         self.capacity = per_shard * self.n_shards
         self.store = DocumentStore()
+        self.token_store_len = token_store_len
+        self.tokenizer = tokenizer
         self._emb_sharding = NamedSharding(mesh, P(AXIS_CORPUS, None))
         self._codes_sharding = NamedSharding(mesh, P(None, AXIS_CORPUS))
-        self._emb = jax.device_put(
-            jnp.zeros((self.capacity, dim), dtype=dtype), self._emb_sharding
-        )
-        self._codes = jax.device_put(
-            jnp.full((2, self.capacity), PAD_CODE, dtype=jnp.int32),
-            self._codes_sharding,
+        self._dtok_sharding = NamedSharding(mesh, P(AXIS_CORPUS, None))
+        # like FlatIndex: the device arrays live in ONE tuple swapped as a
+        # unit so a concurrent reader never pairs a grown emb with an
+        # ungrown codes/token-store (see flat.py _arrays comment)
+        self._arrays = (
+            jax.device_put(
+                jnp.zeros((self.capacity, dim), dtype=dtype),
+                self._emb_sharding,
+            ),
+            jax.device_put(
+                jnp.full((2, self.capacity), PAD_CODE, dtype=jnp.int32),
+                self._codes_sharding,
+            ),
+            (
+                jax.device_put(
+                    jnp.zeros((self.capacity, token_store_len), jnp.int32),
+                    self._dtok_sharding,
+                )
+                if token_store_len
+                else None
+            ),
         )
         self._search_cache: dict[int, Any] = {}
 
+    # -- device-array views (see _arrays comment) -------------------------
+    @property
+    def _emb(self):
+        return self._arrays[0]
+
+    @_emb.setter
+    def _emb(self, v):
+        self._arrays = (v, self._arrays[1], self._arrays[2])
+
+    @property
+    def _codes(self):
+        return self._arrays[1]
+
+    @_codes.setter
+    def _codes(self, v):
+        self._arrays = (self._arrays[0], v, self._arrays[2])
+
+    @property
+    def _doc_tok(self):
+        return self._arrays[2]
+
+    # ------------------------------------------------------------------
     @property
     def n_valid(self) -> int:
         return len(self.store)
 
-    def _grow(self, needed: int) -> None:
+    def _grown(self, arrays, needed: int):
+        """Grown copies of ``arrays`` (no attribute mutation — the caller
+        swaps the full tuple once)."""
         per_shard = self.capacity // self.n_shards
         while per_shard * self.n_shards < needed:
             per_shard *= 2
         new_cap = per_shard * self.n_shards
+        old_emb, old_codes, old_dtok = arrays
         emb = np.zeros((new_cap, self.dim), np.float32)
         codes = np.full((2, new_cap), PAD_CODE, np.int32)
-        emb[: self.capacity] = np.asarray(self._emb, np.float32)
-        codes[:, : self.capacity] = np.asarray(self._codes)
+        emb[: self.capacity] = np.asarray(old_emb, np.float32)
+        codes[:, : self.capacity] = np.asarray(old_codes)
+        dtok = None
+        if old_dtok is not None:
+            dtok = np.zeros((new_cap, self.token_store_len), np.int32)
+            dtok[: self.capacity] = np.asarray(old_dtok)
+            dtok = jax.device_put(jnp.asarray(dtok), self._dtok_sharding)
         self.capacity = new_cap
-        self._emb = jax.device_put(jnp.asarray(emb, self.dtype), self._emb_sharding)
-        self._codes = jax.device_put(jnp.asarray(codes), self._codes_sharding)
+        return (
+            jax.device_put(jnp.asarray(emb, self.dtype), self._emb_sharding),
+            jax.device_put(jnp.asarray(codes), self._codes_sharding),
+            dtok,
+        )
 
     def upsert(
         self,
@@ -170,20 +222,35 @@ class ShardedFlatIndex(SearchMixin):
             new_count += is_new
             rows.append(row)
             code_rows.append(self.store.codes_for(payload))
+        arrays = self._arrays
         if len(self.store) > self.capacity:
-            self._grow(len(self.store))
+            arrays = self._grown(arrays, len(self.store))
+        emb, codes, dtok = arrays
         rows_a = np.asarray(rows)
         # scattered device update keeping the sharding
-        self._emb = jax.device_put(
-            self._emb.at[rows_a].set(jnp.asarray(vecs, self.dtype)),
+        emb = jax.device_put(
+            emb.at[rows_a].set(jnp.asarray(vecs, self.dtype)),
             self._emb_sharding,
         )
-        self._codes = jax.device_put(
-            self._codes.at[:, rows_a].set(
+        codes = jax.device_put(
+            codes.at[:, rows_a].set(
                 jnp.asarray(np.asarray(code_rows, np.int32).T)
             ),
             self._codes_sharding,
         )
+        if dtok is not None:
+            from financial_rag_system_tpu.models.tokenizer import SEP_ID
+
+            dlen = self.token_store_len
+            tok_rows = np.zeros((len(texts), dlen), np.int32)
+            for i, text in enumerate(texts):
+                tids = self.tokenizer.tokenize_ids(text)[: dlen - 1] + [SEP_ID]
+                tok_rows[i, : len(tids)] = tids
+            dtok = jax.device_put(
+                dtok.at[rows_a].set(jnp.asarray(tok_rows)),
+                self._dtok_sharding,
+            )
+        self._arrays = (emb, codes, dtok)  # one swap
         return new_count
 
     def search_device(
@@ -196,12 +263,13 @@ class ShardedFlatIndex(SearchMixin):
                 self.mesh, k=k, tile=self.tile, use_pallas=self.use_pallas
             )
             self._search_cache[k] = fn
+        emb, codes, _ = self._arrays  # one snapshot (see _arrays comment)
         return fn(
             self.prep_queries(query_vecs),
-            self._emb,
-            self._codes,
+            emb,
+            codes,
             query_filter,
-            jnp.asarray(self.n_valid, jnp.int32),
+            jnp.asarray(min(self.n_valid, emb.shape[0]), jnp.int32),
         )
 
     def prep_queries(self, query_vecs):
@@ -233,18 +301,25 @@ class ShardedFlatIndex(SearchMixin):
         writes the files."""
         import os
 
-        emb = self._host_copy(self._emb)
-        codes = self._host_copy(self._codes)
+        arrays = self._arrays  # one snapshot
+        emb = self._host_copy(arrays[0])
+        codes = self._host_copy(arrays[1])
+        dtok = (
+            self._host_copy(arrays[2]) if arrays[2] is not None else None
+        )
         if jax.process_index() != 0:
             return
         os.makedirs(directory, exist_ok=True)
+        extra = {"dtok": dtok} if dtok is not None else {}
         np.savez_compressed(
             os.path.join(directory, "sharded_index.npz"),
             emb=np.asarray(emb, np.float32),
             codes=codes,
             meta=np.asarray(
-                [self.dim, self.tile, self.capacity, int(self.quantized)]
+                [self.dim, self.tile, self.capacity, int(self.quantized),
+                 self.token_store_len or 0]
             ),
+            **extra,
         )
         self.store.save(os.path.join(directory, "store.json"))
 
@@ -254,6 +329,7 @@ class ShardedFlatIndex(SearchMixin):
         mesh: Mesh,
         *,
         use_pallas: bool = False,
+        tokenizer=None,
     ) -> "ShardedFlatIndex":
         import os
 
@@ -261,18 +337,34 @@ class ShardedFlatIndex(SearchMixin):
         meta = [int(x) for x in data["meta"]]
         dim, tile, capacity = meta[:3]
         quantized = bool(meta[3]) if len(meta) > 3 else False
+        dlen = meta[4] if len(meta) > 4 else 0
+        has_dtok = dlen > 0 and "dtok" in data
         idx = ShardedFlatIndex(
             mesh, dim, capacity=capacity, tile=tile, use_pallas=use_pallas,
             dtype=jnp.int8 if quantized else jnp.bfloat16,
+            token_store_len=dlen if has_dtok else None,
+            tokenizer=tokenizer if has_dtok else None,
         )
         if idx.capacity != capacity:  # mesh shape changed; re-pad per shard
             emb = np.zeros((idx.capacity, dim), np.float32)
             codes = np.full((2, idx.capacity), PAD_CODE, np.int32)
             emb[:capacity] = data["emb"]
             codes[:, :capacity] = data["codes"]
+            dtok = None
+            if has_dtok:
+                dtok = np.zeros((idx.capacity, dlen), np.int32)
+                dtok[:capacity] = data["dtok"]
         else:
             emb, codes = data["emb"], data["codes"]
-        idx._emb = jax.device_put(jnp.asarray(emb, idx.dtype), idx._emb_sharding)
-        idx._codes = jax.device_put(jnp.asarray(codes), idx._codes_sharding)
+            dtok = data["dtok"] if has_dtok else None
+        idx._arrays = (  # one swap
+            jax.device_put(jnp.asarray(emb, idx.dtype), idx._emb_sharding),
+            jax.device_put(jnp.asarray(codes), idx._codes_sharding),
+            (
+                jax.device_put(jnp.asarray(dtok), idx._dtok_sharding)
+                if dtok is not None
+                else None
+            ),
+        )
         idx.store = DocumentStore.load(os.path.join(directory, "store.json"))
         return idx

@@ -388,6 +388,7 @@ def make_sharded_fused_query(
     k: int,
     tile: int = 1024,
     use_pallas: bool = False,
+    quantized: bool = False,
 ):
     """The fused two-stage pipeline over a corpus-sharded mesh.
 
@@ -419,7 +420,7 @@ def make_sharded_fused_query(
             embed_params, rerank_params, q_ids, q_types, q_mask, qf,
             emb_shard, codes_shard, dtok_shard, local_valid,
             embed_cfg=embed_cfg, rerank_cfg=rerank_cfg,
-            k=k, tile=tile, use_pallas=use_pallas,
+            k=k, tile=tile, use_pallas=use_pallas, quantized=quantized,
         )
         rows_g = jnp.where(jnp.isfinite(bi_l), rows_l + base, -1)
         all_rows = jax.lax.all_gather(rows_g, AXIS_CORPUS, axis=1, tiled=True)

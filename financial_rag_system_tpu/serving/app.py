@@ -243,12 +243,22 @@ def build_default_engine(mode: str = "batched") -> RAGEngine:
     embedder = get_embedder(cfg.embed_dim)
     reranker = get_reranker(testing=cfg.testing)
 
+    # full model stack => keep a device token store so the fused
+    # single-program pipeline can rerank without host round trips
+    # (applies to the single-chip AND the mesh-sharded engines)
+    fused_capable = isinstance(embedder, BiEncoder) and isinstance(
+        reranker, CrossEncoderReranker
+    )
+    tok = embedder.tokenizer if fused_capable else None
+    dlen = cfg.token_store_len if fused_capable else None
+
     import jax
 
     if len(jax.devices()) > 1:
-        # multi-device serving: shard the corpus over the mesh (the fused
-        # single-program path is per-chip — the sharded engine uses the
-        # staged shard_map pipeline instead).  Multi-PROCESS serving
+        # multi-device serving: shard the corpus over the mesh.  With the
+        # full model stack each shard runs the complete fused program on
+        # its rows (make_sharded_fused_query) — 1 sync/batch; otherwise
+        # the staged shard_map pipeline serves.  Multi-PROCESS serving
         # builds the SAME global-mesh index on every process; main()
         # wraps the coordinator's in a BroadcastIndex and runs workers
         # through the op-broadcast loop (parallel/control.py), so every
@@ -262,7 +272,7 @@ def build_default_engine(mode: str = "batched") -> RAGEngine:
         mesh = create_mesh(cfg.mesh_shape)
         if os.path.exists(os.path.join(cfg.index_dir, "sharded_index.npz")):
             index = ShardedFlatIndex.load(
-                cfg.index_dir, mesh, use_pallas=cfg.use_pallas
+                cfg.index_dir, mesh, use_pallas=cfg.use_pallas, tokenizer=tok
             )
             from financial_rag_system_tpu.index.sharded_hnsw import (
                 ShardedHNSWIndex,
@@ -285,18 +295,10 @@ def build_default_engine(mode: str = "batched") -> RAGEngine:
                 mesh, cfg.embed_dim, capacity=cfg.max_corpus,
                 tile=cfg.corpus_tile,
                 use_pallas=cfg.use_pallas,
-                # int8 asserts loudly in ShardedFlatIndex until wired in —
-                # never silently ignore the operator's dtype request
                 dtype=jnp.dtype(cfg.index_dtype),
+                token_store_len=dlen, tokenizer=tok,
             )
         return RAGEngine(cfg, index, embedder, reranker, mode=mode)
-    # full model stack => keep a device token store so the fused
-    # single-program pipeline can rerank without host round trips
-    fused_capable = isinstance(embedder, BiEncoder) and isinstance(
-        reranker, CrossEncoderReranker
-    )
-    tok = embedder.tokenizer if fused_capable else None
-    dlen = cfg.token_store_len if fused_capable else None
     if os.path.exists(os.path.join(cfg.index_dir, "flat_index.npz")):
         index = FlatIndex.load(
             cfg.index_dir, use_pallas=cfg.use_pallas, tokenizer=tok

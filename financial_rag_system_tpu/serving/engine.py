@@ -90,9 +90,12 @@ class RAGEngine:
         """
         from financial_rag_system_tpu.index.flat import FlatIndex
         from financial_rag_system_tpu.index.ivf import IVFIndex
+        from financial_rag_system_tpu.index.sharded import ShardedFlatIndex
 
         fused, kind, index = self._fused_fn, self._fused_kind, self.index
-        if fused is not None and isinstance(index, FlatIndex):
+        if fused is not None and isinstance(
+            index, (FlatIndex, ShardedFlatIndex)
+        ):
             return self._fused_retrieve_batch(queries, filters, fused, kind, index)
         if (
             fused is not None
@@ -163,6 +166,35 @@ class RAGEngine:
 
                 self._fused_kind = "ivf_hash"
                 return make_fused_ivf_hash_query(**common)
+            return None
+        from financial_rag_system_tpu.index.sharded import ShardedFlatIndex
+
+        if isinstance(self.index, ShardedFlatIndex):
+            # mesh-sharded corpus with the full model stack + device token
+            # store: each shard runs the complete fused program on its
+            # rows and (B,k) partials all-gather — same 1 sync/batch as
+            # the single-chip path (ops/fused_query.py
+            # make_sharded_fused_query).  No tail/selective fallback
+            # conditions exist: the sharded flat search is exact.
+            if (
+                isinstance(self.embedder, BiEncoder)
+                and isinstance(self.reranker, CrossEncoderReranker)
+                and self.index._doc_tok is not None
+            ):
+                from financial_rag_system_tpu.ops.fused_query import (
+                    make_sharded_fused_query,
+                )
+
+                self._fused_kind = "full"
+                return make_sharded_fused_query(
+                    self.index.mesh,
+                    self.embedder.cfg,
+                    self.reranker.cfg,
+                    k=self.cfg.retrieve_k,
+                    tile=self.index.tile,
+                    use_pallas=self.index.use_pallas,
+                    quantized=self.index.quantized,
+                )
             return None
         if not isinstance(self.index, FlatIndex):
             return None

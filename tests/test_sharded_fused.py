@@ -70,3 +70,114 @@ def test_sharded_fused_matches_single():
         np.asarray(ce_s)[gap_ok], np.asarray(ce_1)[gap_ok],
         rtol=2e-2, atol=2e-2,
     )
+
+
+# ---------------------------------------------------------------------------
+# engine-level: multi-device serving fuses when the full stack is present
+# ---------------------------------------------------------------------------
+
+
+def _sharded_engine(tmp_path, *, dtype=None):
+    from financial_rag_system_tpu.index.sharded import ShardedFlatIndex
+    from financial_rag_system_tpu.models.embedder import BiEncoder
+    from financial_rag_system_tpu.models.reranker import CrossEncoderReranker
+    from financial_rag_system_tpu.models.tokenizer import Tokenizer
+    from financial_rag_system_tpu.serving.engine import RAGEngine
+    from financial_rag_system_tpu.utils.config import Config
+
+    docs = [
+        ("Apple revenue grew 8 percent on iphone demand", "AAPL"),
+        ("Apple services margin expanded again this quarter", "AAPL"),
+        ("Microsoft cloud revenue grew 24 percent", "MSFT"),
+        ("Microsoft operating income rose on azure", "MSFT"),
+        ("Apple supply chain concentration remains a risk", "AAPL"),
+        ("Nvidia data center revenue tripled", "NVDA"),
+    ]
+    tok = Tokenizer()
+    import jax
+
+    embedder = BiEncoder(
+        bert.init_params(jax.random.PRNGKey(0), TINY_EMBED),
+        TINY_EMBED, tok, pooling="cls", max_len=64,
+    )
+    reranker = CrossEncoderReranker(
+        bert.init_params(jax.random.PRNGKey(1), TINY_CROSS),
+        TINY_CROSS, tok, max_len=160,
+    )
+    mesh = create_mesh()
+    kw = {"dtype": dtype} if dtype is not None else {}
+    index = ShardedFlatIndex(
+        mesh, 32, capacity=512, tile=64, token_store_len=96, tokenizer=tok,
+        **kw,
+    )
+    vecs = embedder.encode([d for d, _ in docs])
+    index.upsert(
+        [f"d{i}" for i in range(len(docs))], vecs, [d for d, _ in docs],
+        [
+            {"ticker": t, "document_type": "10-Q", "source_file": f"f{i}"}
+            for i, (_, t) in enumerate(docs)
+        ],
+    )
+    cfg = Config(
+        testing=True, database_url=":memory:", batch_window_s=0.01,
+        breaker_state_path=str(tmp_path / "cb.json"), embed_dim=32,
+    )
+    return RAGEngine(cfg, index, embedder, reranker, mode="sequential")
+
+
+def test_sharded_engine_fused_matches_staged(tmp_path):
+    eng = _sharded_engine(tmp_path)
+    assert eng._fused_fn is not None and eng._fused_kind == "full"
+    queries = ["apple services margin", "microsoft cloud growth"]
+    filters = [("AAPL", None), ("MSFT", None)]
+    fused = eng._fused_retrieve_batch(
+        queries, filters, eng._fused_fn, eng._fused_kind, eng.index
+    )
+    staged = eng._embed_retrieve_batch(queries, filters)
+    for (_fv, f_hits), (_sv, s_hits) in zip(fused, staged):
+        assert [h["row"] for h in f_hits] == [h["row"] for h in s_hits]
+        assert all("rerank_score" in h for h in f_hits)
+        assert all(h["ticker"] in ("AAPL", "MSFT") for h in f_hits)
+
+
+def test_sharded_engine_fused_quantized(tmp_path):
+    import jax.numpy as jnp
+
+    eng = _sharded_engine(tmp_path, dtype=jnp.int8)
+    assert eng.index.quantized
+    assert eng._fused_fn is not None and eng._fused_kind == "full"
+    fused = eng._fused_retrieve_batch(
+        ["apple supply chain risk"], [("AAPL", None)],
+        eng._fused_fn, eng._fused_kind, eng.index,
+    )
+    staged = eng._embed_retrieve_batch(
+        ["apple supply chain risk"], [("AAPL", None)]
+    )
+    assert [h["row"] for h in fused[0][1]] == [
+        h["row"] for h in staged[0][1]
+    ]
+
+
+def test_sharded_fused_via_ask(tmp_path):
+    import asyncio
+
+    eng = _sharded_engine(tmp_path)
+    resp = asyncio.run(eng.ask("microsoft cloud growth", "MSFT"))
+    assert resp["sources"]
+    assert all(s["document_type"] == "10-Q" for s in resp["sources"])
+
+
+def test_sharded_save_load_keeps_token_store(tmp_path):
+    from financial_rag_system_tpu.index.sharded import ShardedFlatIndex
+    from financial_rag_system_tpu.models.tokenizer import Tokenizer
+
+    eng = _sharded_engine(tmp_path)
+    eng.index.save(str(tmp_path))
+    loaded = ShardedFlatIndex.load(
+        str(tmp_path), eng.index.mesh, tokenizer=Tokenizer()
+    )
+    assert loaded._doc_tok is not None
+    assert loaded.token_store_len == eng.index.token_store_len
+    np.testing.assert_array_equal(
+        np.asarray(loaded._doc_tok), np.asarray(eng.index._doc_tok)
+    )
