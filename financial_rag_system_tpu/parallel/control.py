@@ -107,6 +107,14 @@ class ControlServer:
         self._listener.close()
 
 
+def _save(index, directory: str) -> None:
+    """Tier-aware checkpoint: the tier's own save when it has one (flat,
+    sharded HNSW write files), else the underlying flat's (IVF packings
+    rebuild deterministically on restore)."""
+    target = index if hasattr(index, "save") else getattr(index, "flat", index)
+    target.save(directory)
+
+
 def _rebuild_tier(index, tier: str | None = None):
     """Deterministic tier promotion/rebuild — runs identically on every
     process (seeded builds), so the op stream keeps indexes in lockstep."""
@@ -180,10 +188,10 @@ class BroadcastIndex(SearchMixin):
 
     def save(self, directory: str) -> None:
         """Checkpoint via a broadcast op: the cross-process gather inside
-        ShardedFlatIndex.save needs every process; process 0 writes."""
-        self.server.run(
-            "save", (directory,), lambda: self.flat.save(directory)
-        )
+        ShardedFlatIndex.save needs every process; process 0 writes.
+        Tiers with their own save (sharded HNSW graph stack) persist it
+        alongside the flat arrays."""
+        self.server.run("save", (directory,), lambda: _save(self.inner, directory))
 
     def rebuild_tier(self, tier: str | None = None) -> dict[str, Any]:
         def local():
@@ -240,6 +248,6 @@ def worker_loop(index, host: str, port: int, *,
         elif op == "save":
             # join the cross-process gather; process 0 (the coordinator)
             # is the one that writes files
-            getattr(index, "flat", index).save(*args)
+            _save(index, *args)
         else:  # pragma: no cover — version-skew guard
             raise ValueError(f"unknown control op {op!r}")
