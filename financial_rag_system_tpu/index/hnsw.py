@@ -256,9 +256,10 @@ class HNSWIndex(SearchMixin):
         # (scripts/tpu_probes.py --probe hnsw, clustered rows, m=16
         # efc=100 ef=64, device ms/batch-32):
         #   131k: f8/s16 -> recall@15 0.95 @ ~3.5 ms   (f4/s32: 0.95 @ 8.0)
-        #   1M:   f8/s16 -> 0.85 @ ~5.7 ms; recall saturates at 0.92 with
-        #         ef=128/s32 — the m=16/efc=100 graph, not the search
-        #         budget, is the 1M ceiling; raise m/efc at build for more.
+        #   1M:   f8/s16 -> 0.85 @ ~5.7 ms; saturates at 0.92 regardless
+        #         of budget — the m=16/efc=100 graph is the 1M ceiling.
+        #         A m=24/efc=200 build lifts f8/s16 to 0.956 @ ~5.7 ms
+        #         (build cost ~2.7x: 96 vs 35 min at 1M, single-threaded).
         # Wider frontiers buy parallel gathers per sequential step, so
         # f8 matches f4's recall in half the steps at lower latency.
         self.steps = steps if steps is not None else max(8, 2 * ef // frontier)
