@@ -423,30 +423,44 @@ TRAIN_PARAPHRASES: dict[str, list[str]] = {
     "factory_risk": [
         "Describe the manufacturing concentration risk in the supply base of {company}.",
         "What could disrupt the external facilities where {company} devices get built?",
+        "Which outside contractors build {company} hardware, and why is that fragile?",
+        "Explain how dependent {company} is on a few component makers abroad.",
     ],
     "payout": [
         "Summarize the capital being given back to {company} investors this fiscal year.",
         "Total buybacks plus distributions paid out by {company} to its owners?",
+        "What sum went into repurchasing {company} stock and paying its investors?",
+        "Describe the buyback and distribution program {company} ran this period.",
     ],
     "climate": [
         "Outline the sustainability and decarbonization commitments of {company}.",
         "What steps has {company} taken toward clean power and recycled materials?",
+        "Summarize the green targets {company} set for its plants and devices.",
+        "How does {company} plan to cut its climate impact?",
     ],
     "cyber": [
         "How does {company} defend customer data against attackers?",
         "Describe the safeguards {company} uses after a hacking attempt on its systems.",
+        "What defenses does {company} maintain for its networks and user records?",
+        "Explain how {company} handles intrusions and data theft attempts.",
     ],
     "legal": [
         "Summarize pending litigation and regulatory probes involving {company}.",
         "Which legal proceedings could create material loss exposure for {company}?",
+        "Which courtroom disputes and official inquiries involve {company} today?",
+        "Describe the regulatory scrutiny {company} is under in major markets.",
     ],
     "ai_strategy_hard": [
         "Where does {company} apply generative AI and custom silicon in its lineup?",
         "Describe the artificial intelligence investments {company} is making in its offerings.",
+        "How does {company} put smart algorithms into the things it sells?",
+        "What chips and models power the intelligent features {company} ships?",
     ],
     "segment_mix": [
         "Break down {company} sales by operating unit and how the composition changed.",
         "Which parts of the {company} portfolio contribute the bulk of its top line?",
+        "How do {company} sales divide across its operating units?",
+        "Describe the hardware-versus-subscription split in {company} results.",
     ],
 }
 

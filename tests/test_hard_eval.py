@@ -73,14 +73,33 @@ def test_train_paraphrases_no_leakage():
         make_train_pairs,
     )
 
+    stop = {
+        "the", "a", "an", "is", "are", "do", "does", "did", "of", "to",
+        "in", "on", "for", "its", "it", "and", "or", "how", "what",
+        "which", "who", "why", "has", "have", "with", "at", "by",
+        "company", "describe", "explain", "summarize", "outline",
+    }
+
+    def content(q: str) -> set[str]:
+        return {
+            w.strip("?.,{}").lower() for w in q.split()
+        } - stop - {""}
+
     for intent in HARD_INTENTS:
         assert len(TRAIN_PARAPHRASES[intent["name"]]) >= 2
+        ev = content(intent["query"])
         for q in TRAIN_PARAPHRASES[intent["name"]]:
             for kw in intent["keywords"]:
                 assert kw.lower() not in q.lower(), (intent["name"], kw)
+            # near-verbatim paraphrases would turn "generalization" into
+            # memorization of the eval phrasing: cap the content-word
+            # overlap with the intent's eval query
+            shared = content(q) & ev
+            assert len(shared) <= 2, (intent["name"], q, sorted(shared))
     eval_queries = {g["query"] for g in make_hard_set()}
     pairs = make_train_pairs()
-    assert len(pairs) == 8 * len(HARD_INTENTS) * 2
+    expected = 8 * sum(len(TRAIN_PARAPHRASES[i["name"]]) for i in HARD_INTENTS)
+    assert len(pairs) == expected
     for q, pos in pairs:
         assert q not in eval_queries
         assert pos  # every pair carries its intent's positive chunk
