@@ -443,3 +443,96 @@ def make_sharded_fused_query(
         check_vma=False,
     )
     return jax.jit(fn)
+
+
+def make_sharded_fused_ivf_query(
+    mesh,
+    embed_cfg: bert.BertConfig,
+    rerank_cfg: bert.BertConfig,
+    *,
+    k: int,
+    tile: int,
+    nprobe: int,
+    tiles_per_cluster: int,
+    rows_per_shard: int,
+    use_pallas: bool = False,
+    quantized: bool = False,
+):
+    """The sub-linear fused pipeline over a corpus-sharded mesh: the
+    composition of :func:`make_sharded_fused_query` (per-shard full fused
+    program + (B,k) all-gather) and :func:`fused_ivf_two_stage` (centroid
+    probing + probed-tiles kernel instead of the flat scan).
+
+    The codebook is global/replicated and the packing is shard-local
+    (index/sharded_ivf.py), so the probe list computed from the
+    replicated centroids indexes every shard's packing identically —
+    each shard probes only its top-nprobe cluster tiles, gathers ITS
+    token-store rows (``packed_gids`` hold global flat ids; a shard's
+    packed rows all live in its block of ``rows_per_shard`` flat rows),
+    cross-encodes locally, and only (B, k) triplets cross ICI.
+
+    ``rows_per_shard`` is captured at build; a capacity-growing upsert
+    registers tail rows, which makes the engine fall back to the staged
+    path until rebuild() re-derives the geometry AND the fused program.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from financial_rag_system_tpu.index.ivf import (
+        ivf_probe_pallas,
+        ivf_probe_xla,
+    )
+    from financial_rag_system_tpu.parallel.mesh import AXIS_CORPUS
+
+    def local_fn(
+        embed_params, rerank_params, q_ids, q_types, q_mask, qf,
+        centroids, p_emb, p_codes, p_gids, dtok,
+    ):
+        h = bert.encode(embed_params, q_ids, q_types, q_mask, embed_cfg)
+        cls = h[:, 0, :]
+        qv = cls / jnp.linalg.norm(cls, axis=-1, keepdims=True).clip(1e-12)
+        q = _prep_queries(qv, p_emb.dtype, quantized)
+        num_tiles = p_emb.shape[0] // tile
+        tile_ids = _probe_tiles(
+            q, centroids, nprobe=nprobe,
+            tiles_per_cluster=tiles_per_cluster, num_tiles=num_tiles,
+        )
+        if use_pallas:
+            bi, rows = ivf_probe_pallas(
+                q, qf, p_emb, p_codes, p_gids, tile_ids, k,
+                tile=tile, probe_budget=tile_ids.shape[0],
+            )
+        else:
+            bi, rows = ivf_probe_xla(
+                q, qf, p_emb, p_codes, p_gids, tile_ids, k, tile=tile,
+            )
+        # rows are GLOBAL flat ids; this shard's token-store block covers
+        # [sid*rows_per_shard, (sid+1)*rows_per_shard)
+        sid = jax.lax.axis_index(AXIS_CORPUS)
+        local_rows = jnp.where(rows >= 0, rows - sid * rows_per_shard, -1)
+        ce = _cross_rerank(
+            rerank_params, q_ids, local_rows, bi, dtok,
+            rerank_cfg=rerank_cfg,
+        )
+        rows_g = jnp.where(jnp.isfinite(bi), rows, -1)
+        all_rows = jax.lax.all_gather(rows_g, AXIS_CORPUS, axis=1, tiled=True)
+        all_bi = jax.lax.all_gather(bi, AXIS_CORPUS, axis=1, tiled=True)
+        all_ce = jax.lax.all_gather(ce, AXIS_CORPUS, axis=1, tiled=True)
+        top_bi, pos = jax.lax.top_k(all_bi, k)
+        return (
+            jnp.take_along_axis(all_rows, pos, axis=1),
+            top_bi,
+            jnp.take_along_axis(all_ce, pos, axis=1),
+        )
+
+    fn = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(
+            P(), P(), P(), P(), P(), P(),
+            P(), P(AXIS_CORPUS, None), P(None, AXIS_CORPUS),
+            P(None, AXIS_CORPUS), P(AXIS_CORPUS, None),
+        ),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)

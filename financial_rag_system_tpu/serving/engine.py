@@ -91,6 +91,7 @@ class RAGEngine:
         from financial_rag_system_tpu.index.flat import FlatIndex
         from financial_rag_system_tpu.index.ivf import IVFIndex
         from financial_rag_system_tpu.index.sharded import ShardedFlatIndex
+        from financial_rag_system_tpu.index.sharded_ivf import ShardedIVFIndex
 
         fused, kind, index = self._fused_fn, self._fused_kind, self.index
         if fused is not None and isinstance(
@@ -99,7 +100,7 @@ class RAGEngine:
             return self._fused_retrieve_batch(queries, filters, fused, kind, index)
         if (
             fused is not None
-            and isinstance(index, IVFIndex)
+            and isinstance(index, (IVFIndex, ShardedIVFIndex))
             and kind in ("ivf_full", "ivf_hash")
         ):
             out = self._fused_ivf_batch(queries, filters, fused, kind, index)
@@ -168,7 +169,33 @@ class RAGEngine:
                 return make_fused_ivf_hash_query(**common)
             return None
         from financial_rag_system_tpu.index.sharded import ShardedFlatIndex
+        from financial_rag_system_tpu.index.sharded_ivf import ShardedIVFIndex
 
+        if isinstance(self.index, ShardedIVFIndex):
+            flat = self.index.flat
+            if (
+                isinstance(self.embedder, BiEncoder)
+                and isinstance(self.reranker, CrossEncoderReranker)
+                and flat._doc_tok is not None
+            ):
+                from financial_rag_system_tpu.ops.fused_query import (
+                    make_sharded_fused_ivf_query,
+                )
+
+                self._fused_kind = "ivf_full"
+                return make_sharded_fused_ivf_query(
+                    flat.mesh,
+                    self.embedder.cfg,
+                    self.reranker.cfg,
+                    k=self.cfg.retrieve_k,
+                    tile=self.index.tile,
+                    nprobe=self.index.nprobe,
+                    tiles_per_cluster=self.index.tiles_per_cluster,
+                    rows_per_shard=flat.capacity // flat.n_shards,
+                    use_pallas=flat.use_pallas,
+                    quantized=flat.quantized,
+                )
+            return None
         if isinstance(self.index, ShardedFlatIndex):
             # mesh-sharded corpus with the full model stack + device token
             # store: each shard runs the complete fused program on its

@@ -181,3 +181,69 @@ def test_sharded_save_load_keeps_token_store(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(loaded._doc_tok), np.asarray(eng.index._doc_tok)
     )
+
+
+def _many_docs(n=96):
+    topics = ["revenue growth", "dividend payout", "cloud computing",
+              "supply chain", "cyber security", "artificial intelligence"]
+    tick = ["AAPL", "MSFT", "NVDA"]
+    return [
+        (f"filing chunk {i} discussing {topics[i % len(topics)]} details",
+         tick[i % len(tick)])
+        for i in range(n)
+    ]
+
+
+def test_sharded_ivf_engine_fused_matches_staged(tmp_path):
+    from financial_rag_system_tpu.index.sharded_ivf import ShardedIVFIndex
+
+    eng = _sharded_engine(tmp_path)
+    docs = _many_docs()
+    vecs = eng.embedder.encode([d for d, _ in docs])
+    eng.index.upsert(
+        [f"m{i}" for i in range(len(docs))], vecs, [d for d, _ in docs],
+        [
+            {"ticker": t, "document_type": "10-K", "source_file": f"m{i}"}
+            for i, (_, t) in enumerate(docs)
+        ],
+    )
+    out = eng.rebuild_index("ivf")
+    assert out["status"] == "ok" and isinstance(eng.index, ShardedIVFIndex)
+    assert eng._fused_fn is not None and eng._fused_kind == "ivf_full"
+
+    # tiny corpora make every ticker list "selective" (exact-scored via
+    # the staged path); drop the limit so the fused program itself runs
+    eng.index.SELECTIVE_LIMIT = 0
+    queries = ["cloud computing details", "dividend payout details"]
+    filters = [("MSFT", None), (None, None)]
+    fused = eng._fused_ivf_batch(
+        queries, filters, eng._fused_fn, eng._fused_kind, eng.index
+    )
+    assert fused is not None
+    staged = eng._embed_retrieve_batch(queries, filters)
+    for (_fv, f_hits), (_sv, s_hits) in zip(fused, staged):
+        assert {h["row"] for h in f_hits} == {h["row"] for h in s_hits}
+        assert all("rerank_score" in h for h in f_hits)
+    assert all(h["ticker"] == "MSFT" for h in fused[0][1])
+
+
+def test_sharded_ivf_fused_tail_falls_back(tmp_path):
+    eng = _sharded_engine(tmp_path)
+    docs = _many_docs()
+    vecs = eng.embedder.encode([d for d, _ in docs])
+    eng.index.upsert(
+        [f"m{i}" for i in range(len(docs))], vecs, [d for d, _ in docs],
+        [{"ticker": t, "document_type": "10-K"} for _, t in docs],
+    )
+    eng.rebuild_index("ivf")
+    # tail row => the fused program would miss it; dispatch must fall back
+    nv = eng.embedder.encode(["fresh tail chunk on buyback plans"])
+    eng.index.upsert(["tail0"], nv, ["fresh tail chunk on buyback plans"],
+                     [{"ticker": "AMZN", "document_type": "10-K"}])
+    assert eng._fused_ivf_batch(
+        ["buyback plans"], [("AMZN", None)],
+        eng._fused_fn, eng._fused_kind, eng.index,
+    ) is None
+    out = eng._dispatch_batch(["buyback plans"], [("AMZN", None)])
+    hits = out[0][1]
+    assert hits and hits[0]["ticker"] == "AMZN"
