@@ -645,6 +645,10 @@ class RAGEngine:
         return {
             "mode": self.mode,
             "queue_size": self.batcher.queue_size if self.batcher else 0,
+            # ops visibility: which index tier serves and whether the
+            # single-program fused pipeline is active (and which kind)
+            "index_tier": type(self.index).__name__,
+            "fused_kind": self._fused_kind,
         }
 
     def ready(self) -> dict[str, Any]:
