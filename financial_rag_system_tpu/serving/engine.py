@@ -135,7 +135,7 @@ class RAGEngine:
         if isinstance(self.index, IVFIndex):
             flat = self.index.flat
             if not isinstance(flat, FlatIndex):
-                return None  # sharded IVF uses the shard_map pipeline
+                return None  # IVF over a non-flat base has no fused path
             quantized = flat.quantized
             common = dict(
                 k=self.cfg.retrieve_k,

@@ -123,6 +123,8 @@ def test_queue_status_sequential(tmp_path):
         r = await (await client.get("/queue_status")).json()
         assert r["mode"] == "sequential"
         assert r["queue_size"] == 0
+        assert r["index_tier"] == "FlatIndex"
+        assert "fused_kind" in r
 
     with_client(tmp_path, t, mode="sequential")
 
