@@ -536,3 +536,113 @@ def make_sharded_fused_ivf_query(
         check_vma=False,
     )
     return jax.jit(fn)
+
+
+# ---------------------------------------------------------------------------
+# fused HNSW tier: embed -> device graph walk -> gather -> rerank
+# ---------------------------------------------------------------------------
+
+
+def make_fused_hnsw_query(
+    embed_cfg: bert.BertConfig,
+    rerank_cfg: bert.BertConfig,
+    *,
+    k: int,
+    ef: int,
+    steps: int,
+    frontier: int,
+    pad_id: int,
+    quantized: bool = False,
+):
+    """The graph-tier member of the fused family: embed -> ring-visited
+    beam walk (index/hnsw.py ``hnsw_walk``) -> HBM token gather ->
+    cross-encoder, one program.  ``pad_id`` is the walk's sentinel (graph
+    row count) captured at build — the engine falls back to the staged
+    path whenever the live graph snapshot disagrees (rebuild raced) or
+    tail/selective merging is needed.
+    """
+    from financial_rag_system_tpu.index.hnsw import hnsw_walk
+
+    def fn(
+        embed_params, rerank_params, q_ids, q_types, q_mask, qf,
+        emb, codes, adj_pad, entries, doc_tokens,
+    ):
+        h = bert.encode(embed_params, q_ids, q_types, q_mask, embed_cfg)
+        cls = h[:, 0, :]
+        qv = cls / jnp.linalg.norm(cls, axis=-1, keepdims=True).clip(1e-12)
+        q = _prep_queries(qv, emb.dtype, quantized) if quantized else qv
+        bi, rows = hnsw_walk(
+            q, qf, emb, codes, adj_pad, entries, k,
+            ef=ef, steps=steps, frontier=frontier, pad_id=pad_id,
+        )
+        ce = _cross_rerank(
+            rerank_params, q_ids, rows, bi, doc_tokens, rerank_cfg=rerank_cfg
+        )
+        return rows, bi, ce
+
+    return jax.jit(fn)
+
+
+def make_sharded_fused_hnsw_query(
+    mesh,
+    embed_cfg: bert.BertConfig,
+    rerank_cfg: bert.BertConfig,
+    *,
+    k: int,
+    ef: int,
+    steps: int,
+    frontier: int,
+    per_shard: int,
+    quantized: bool = False,
+):
+    """Sharded twin: each shard walks ITS graph (index/sharded_hnsw.py),
+    gathers its token-store rows (walk ids are shard-local, same block as
+    the local dtok shard) and cross-encodes locally; only (B, k) triplets
+    all-gather."""
+    from jax.sharding import PartitionSpec as P
+
+    from financial_rag_system_tpu.index.hnsw import hnsw_walk
+    from financial_rag_system_tpu.parallel.mesh import AXIS_CORPUS
+
+    def local_fn(
+        embed_params, rerank_params, q_ids, q_types, q_mask, qf,
+        emb, codes, adj, entries, dtok,
+    ):
+        h = bert.encode(embed_params, q_ids, q_types, q_mask, embed_cfg)
+        cls = h[:, 0, :]
+        qv = cls / jnp.linalg.norm(cls, axis=-1, keepdims=True).clip(1e-12)
+        q = _prep_queries(qv, emb.dtype, quantized) if quantized else qv
+        bi, rows = hnsw_walk(
+            q, qf, emb, codes, adj[0], entries[0], k,
+            ef=ef, steps=steps, frontier=frontier, pad_id=per_shard,
+        )
+        ce = _cross_rerank(
+            rerank_params, q_ids, rows, bi, dtok, rerank_cfg=rerank_cfg
+        )
+        sid = jax.lax.axis_index(AXIS_CORPUS)
+        rows_g = jnp.where(
+            (rows >= 0) & jnp.isfinite(bi), rows + sid * per_shard, -1
+        )
+        all_rows = jax.lax.all_gather(rows_g, AXIS_CORPUS, axis=1, tiled=True)
+        all_bi = jax.lax.all_gather(bi, AXIS_CORPUS, axis=1, tiled=True)
+        all_ce = jax.lax.all_gather(ce, AXIS_CORPUS, axis=1, tiled=True)
+        top_bi, pos = jax.lax.top_k(all_bi, k)
+        return (
+            jnp.take_along_axis(all_rows, pos, axis=1),
+            top_bi,
+            jnp.take_along_axis(all_ce, pos, axis=1),
+        )
+
+    fn = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(
+            P(), P(), P(), P(), P(), P(),
+            P(AXIS_CORPUS, None), P(None, AXIS_CORPUS),
+            P(AXIS_CORPUS, None, None), P(AXIS_CORPUS, None),
+            P(AXIS_CORPUS, None),
+        ),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)

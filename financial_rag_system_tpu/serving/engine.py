@@ -106,6 +106,18 @@ class RAGEngine:
             out = self._fused_ivf_batch(queries, filters, fused, kind, index)
             if out is not None:
                 return out
+        if fused is not None and kind == "hnsw_full":
+            from financial_rag_system_tpu.index.hnsw import HNSWIndex
+            from financial_rag_system_tpu.index.sharded_hnsw import (
+                ShardedHNSWIndex,
+            )
+
+            if isinstance(index, (HNSWIndex, ShardedHNSWIndex)):
+                out = self._fused_hnsw_batch(
+                    queries, filters, fused, kind, index
+                )
+                if out is not None:
+                    return out
         return self._embed_retrieve_batch(queries, filters)
 
     def _maybe_build_fused(self):
@@ -168,9 +180,65 @@ class RAGEngine:
                 self._fused_kind = "ivf_hash"
                 return make_fused_ivf_hash_query(**common)
             return None
+        from financial_rag_system_tpu.index.hnsw import HNSWIndex
         from financial_rag_system_tpu.index.sharded import ShardedFlatIndex
+        from financial_rag_system_tpu.index.sharded_hnsw import (
+            ShardedHNSWIndex,
+        )
         from financial_rag_system_tpu.index.sharded_ivf import ShardedIVFIndex
 
+        full_stack = isinstance(self.embedder, BiEncoder) and isinstance(
+            self.reranker, CrossEncoderReranker
+        )
+        if isinstance(self.index, HNSWIndex):
+            flat = self.index.flat
+            if (
+                isinstance(flat, FlatIndex)
+                and full_stack
+                and flat._doc_tok is not None
+            ):
+                from financial_rag_system_tpu.ops.fused_query import (
+                    make_fused_hnsw_query,
+                )
+
+                state = self.index._graph_state
+                self._fused_kind = "hnsw_full"
+                # geometry captured at build; _fused_hnsw_batch compares
+                # against the live snapshot and falls back on mismatch
+                self._fused_hnsw_geom = state[2]
+                return make_fused_hnsw_query(
+                    self.embedder.cfg,
+                    self.reranker.cfg,
+                    k=self.cfg.retrieve_k,
+                    ef=state[3],
+                    steps=self.index.steps,
+                    frontier=self.index.frontier,
+                    pad_id=state[2],
+                    quantized=flat.quantized,
+                )
+            return None
+        if isinstance(self.index, ShardedHNSWIndex):
+            flat = self.index.flat
+            if full_stack and flat._doc_tok is not None:
+                from financial_rag_system_tpu.ops.fused_query import (
+                    make_sharded_fused_hnsw_query,
+                )
+
+                state = self.index._graph_state
+                self._fused_kind = "hnsw_full"
+                self._fused_hnsw_geom = (state[2], state[4])
+                return make_sharded_fused_hnsw_query(
+                    flat.mesh,
+                    self.embedder.cfg,
+                    self.reranker.cfg,
+                    k=self.cfg.retrieve_k,
+                    ef=max(self.index.ef, self.index.entries_cap),
+                    steps=self.index.steps,
+                    frontier=self.index.frontier,
+                    per_shard=state[2],
+                    quantized=flat.quantized,
+                )
+            return None
         if isinstance(self.index, ShardedIVFIndex):
             flat = self.index.flat
             if (
@@ -411,6 +479,73 @@ class RAGEngine:
                 payload["rerank_score"] = float(c)
                 hits.append(payload)
             out.append((vecs[i], hits))
+        return out
+
+    def _fused_hnsw_batch(
+        self,
+        queries: list[str],
+        filters: list[tuple[str | None, str | None]],
+        fused_fn,
+        fused_kind: str,
+        index,
+    ) -> list[tuple[Any, list[dict[str, Any]]]] | None:
+        """Single-program graph-tier batch: embed -> device walk ->
+        gather+rerank.  None (staged fallback) whenever the batch needs
+        host-side merging (tail rows, selective filters) or the live
+        graph snapshot disagrees with the fused program's geometry
+        (rebuild/grow raced)."""
+        import jax
+        import jax.numpy as jnp
+
+        from financial_rag_system_tpu.index.base import selective_rows
+        from financial_rag_system_tpu.index.sharded_hnsw import (
+            ShardedHNSWIndex,
+        )
+        from financial_rag_system_tpu.models.tokenizer import pad_batch
+
+        if index._tail_rows:
+            return None
+        state = index._graph_state  # one atomic read
+        if isinstance(index, ShardedHNSWIndex):
+            adj, entries, per_shard, _n, built_cap, rbt = state
+            if (per_shard, built_cap) != self._fused_hnsw_geom:
+                return None
+            if index.flat.capacity != built_cap:
+                return None
+        else:
+            adj, entries, pad_id, _ef, rbt = state
+            if pad_id != self._fused_hnsw_geom:
+                return None
+        b = len(queries)
+        codes = [index.store.query_codes(t, d) for t, d in filters]
+        if selective_rows(rbt, codes, index.SELECTIVE_LIMIT) is not None:
+            return None
+
+        tok = self.embedder.tokenizer
+        encs = [tok.encode(q, 64) for q in queries]
+        ids, types, mask = pad_batch(encs)
+        bpad = ids.shape[0]
+        codes += [(-3, -3)] * (bpad - b)
+        qf = jnp.asarray(codes, jnp.int32)
+        emb, idx_codes, doc_tok = index.flat._arrays
+        rows, bi, ce = fused_fn(
+            self.embedder.params, self.reranker.params,
+            jnp.asarray(ids), jnp.asarray(types), jnp.asarray(mask), qf,
+            emb, idx_codes, adj, entries, doc_tok,
+        )
+        rows, bi, ce = jax.device_get((rows, bi, ce))
+        out = []
+        for i in range(b):
+            hits = []
+            for r, s, c in zip(rows[i], bi[i], ce[i]):
+                if r < 0 or not np.isfinite(s):
+                    continue
+                payload = index.store.get(int(r))
+                payload["score"] = float(s)
+                payload["row"] = int(r)
+                payload["rerank_score"] = float(c)
+                hits.append(payload)
+            out.append((None, hits))
         return out
 
     # -- public API -----------------------------------------------------------

@@ -338,3 +338,30 @@ def test_ivf_full_fused_matches_flat_fused(tmp_path, stack):
             [h["rerank_score"] for h in i_hits],
             rtol=2e-3, atol=2e-3,
         )
+
+
+def test_hnsw_fused_matches_staged(tmp_path, stack):
+    from financial_rag_system_tpu.index.hnsw import HNSWIndex
+
+    eng = _engine(tmp_path, stack, mode="sequential")
+    out = eng.rebuild_index("hnsw")
+    assert out["status"] == "ok" and isinstance(eng.index, HNSWIndex)
+    assert eng._fused_fn is not None and eng._fused_kind == "hnsw_full"
+    eng.index.SELECTIVE_LIMIT = 0  # tiny corpus: every ticker is selective
+    queries = ["apple services margin", "microsoft cloud growth"]
+    filters = [("AAPL", None), (None, None)]
+    fused = eng._fused_hnsw_batch(
+        queries, filters, eng._fused_fn, eng._fused_kind, eng.index
+    )
+    assert fused is not None
+    staged = eng._embed_retrieve_batch(queries, filters)
+    for (_fv, f_hits), (_sv, s_hits) in zip(fused, staged):
+        assert {h["row"] for h in f_hits} == {h["row"] for h in s_hits}
+        assert all("rerank_score" in h for h in f_hits)
+    assert all(h["ticker"] == "AAPL" for h in fused[0][1])
+    # tail row => staged fallback until rebuild
+    vecs = eng.embedder.encode(["fresh doc"])
+    eng.index.upsert(["fresh"], vecs, ["fresh doc"], [{"ticker": "NEW"}])
+    assert eng._fused_hnsw_batch(
+        queries, filters, eng._fused_fn, eng._fused_kind, eng.index
+    ) is None

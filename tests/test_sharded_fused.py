@@ -247,3 +247,29 @@ def test_sharded_ivf_fused_tail_falls_back(tmp_path):
     out = eng._dispatch_batch(["buyback plans"], [("AMZN", None)])
     hits = out[0][1]
     assert hits and hits[0]["ticker"] == "AMZN"
+
+
+def test_sharded_hnsw_engine_fused_matches_staged(tmp_path):
+    from financial_rag_system_tpu.index.sharded_hnsw import ShardedHNSWIndex
+
+    eng = _sharded_engine(tmp_path)
+    docs = _many_docs()
+    vecs = eng.embedder.encode([d for d, _ in docs])
+    eng.index.upsert(
+        [f"m{i}" for i in range(len(docs))], vecs, [d for d, _ in docs],
+        [{"ticker": t, "document_type": "10-K"} for _, t in docs],
+    )
+    out = eng.rebuild_index("hnsw")
+    assert out["status"] == "ok" and isinstance(eng.index, ShardedHNSWIndex)
+    assert eng._fused_fn is not None and eng._fused_kind == "hnsw_full"
+    eng.index.SELECTIVE_LIMIT = 0
+    queries = ["cloud computing details", "supply chain details"]
+    filters = [("MSFT", None), (None, None)]
+    fused = eng._fused_hnsw_batch(
+        queries, filters, eng._fused_fn, eng._fused_kind, eng.index
+    )
+    assert fused is not None
+    staged = eng._embed_retrieve_batch(queries, filters)
+    for (_fv, f_hits), (_sv, s_hits) in zip(fused, staged):
+        assert {h["row"] for h in f_hits} == {h["row"] for h in s_hits}
+    assert all(h["ticker"] == "MSFT" for h in fused[0][1])
