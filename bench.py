@@ -559,6 +559,43 @@ def main() -> None:
             log(f"hnsw walk (steps=16 frontier=8 ef=64, {hnsw_n} rows): "
                 f"p50 {p50:.2f} ms/batch{BATCH} | recall@15 vs flat "
                 f"{recall:.3f}")
+
+            # fused graph-tier serving: embed -> walk -> gather -> rerank
+            # in ONE program (the hnsw_full engine kind).  Token rows are
+            # borrowed from the main corpus store — FLOPs are identical
+            # whether or not texts match the clustered embeddings.
+            from financial_rag_system_tpu.ops.fused_query import (
+                make_fused_hnsw_query,
+            )
+
+            fused_h = make_fused_hnsw_query(
+                bert.BGE_SMALL, bert.MINILM_L6_CROSS,
+                k=RETRIEVE_K, ef=64, steps=16, frontier=8, pad_id=hnsw_n,
+            )
+            dtok_h = doc_tokens[:hnsw_n]
+
+            def hcall():
+                return fused_h(
+                    embedder.params, reranker.params, jqi, jqt, jqm,
+                    wild, cemb, ccodes, adj_pad, jent, dtok_h,
+                )
+
+            jax.block_until_ready(hcall())
+            ts = []
+            for _ in range(max(6, n_iters // 3)):
+                t0 = time.time()
+                rows_h, bi_h, ce_h = hcall()
+                np.asarray(ce_h)
+                ts.append((time.time() - t0) * 1e3)
+            p50f = float(np.percentile(ts, 50))
+            sus_h = _cms(hcall, workers=workers, reps=reps)
+            detail["hnsw_fused_p50_ms_batch"] = round(p50f, 3)
+            detail["hnsw_fused_sustained_ms_per_query"] = round(
+                sus_h / BATCH, 4
+            )
+            log(f"fused HNSW (1 sync/batch{BATCH}): p50 {p50f:.2f} ms/batch"
+                f" | sustained {sus_h/BATCH:.3f} ms/query "
+                f"({BATCH*1000/sus_h:.0f} QPS)")
     except Exception as exc:
         log(f"hnsw stage skipped: {exc}")
     save_detail()
