@@ -365,3 +365,24 @@ def test_hnsw_fused_matches_staged(tmp_path, stack):
     assert eng._fused_hnsw_batch(
         queries, filters, eng._fused_fn, eng._fused_kind, eng.index
     ) is None
+
+
+def test_hnsw_fused_geometry_guard(tmp_path, stack):
+    """A rebuild that races the fused program's captured pad_id must
+    force the staged path, never walk mismatched geometry."""
+    eng = _engine(tmp_path, stack, mode="sequential")
+    eng.rebuild_index("hnsw")
+    assert eng._fused_kind == "hnsw_full"
+    eng.index.SELECTIVE_LIMIT = 0
+    state = eng.index._graph_state
+    # simulate a snapshot swap with different geometry (pad_id + 1)
+    eng.index._graph_state = state[:2] + (state[2] + 1,) + state[3:]
+    assert eng._fused_hnsw_batch(
+        ["apple services margin"], [(None, None)],
+        eng._fused_fn, eng._fused_kind, eng.index,
+    ) is None
+    eng.index._graph_state = state
+    assert eng._fused_hnsw_batch(
+        ["apple services margin"], [(None, None)],
+        eng._fused_fn, eng._fused_kind, eng.index,
+    ) is not None
