@@ -251,6 +251,14 @@ class RAGEngine:
                 )
 
                 self._fused_kind = "ivf_full"
+                # geometry captured at build; _fused_ivf_batch compares
+                # against the live snapshot (a rebuild can change the
+                # sharded packing; single-chip c_max is fixed at init)
+                self._fused_ivf_geom = (
+                    self.index.tiles_per_cluster,
+                    self.index.packed_local,
+                    flat.capacity,
+                )
                 return make_sharded_fused_ivf_query(
                     flat.mesh,
                     self.embedder.cfg,
@@ -439,6 +447,16 @@ class RAGEngine:
         # array tuple (rows in packed_gids stay valid across flat appends)
         state = index._state
         centroids, packed_emb, packed_codes, packed_gids, rbt = state[:5]
+        from financial_rag_system_tpu.index.sharded_ivf import ShardedIVFIndex
+
+        if isinstance(index, ShardedIVFIndex):
+            # a rebuild can change the sharded packing geometry out from
+            # under the fused program's captured tile math; on mismatch
+            # the staged path serves until _maybe_build_fused re-runs
+            geom = state[5]  # (c_max, tiles_per_cluster, packed_local, _)
+            live = (geom[1], geom[2], index.flat.capacity)
+            if live != self._fused_ivf_geom:
+                return None
         b = len(queries)
         codes = [index.store.query_codes(t, d) for t, d in filters]
         if selective_rows(rbt, codes, index.SELECTIVE_LIMIT) is not None:

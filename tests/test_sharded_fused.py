@@ -273,3 +273,27 @@ def test_sharded_hnsw_engine_fused_matches_staged(tmp_path):
     for (_fv, f_hits), (_sv, s_hits) in zip(fused, staged):
         assert {h["row"] for h in f_hits} == {h["row"] for h in s_hits}
     assert all(h["ticker"] == "MSFT" for h in fused[0][1])
+
+
+def test_sharded_ivf_fused_geometry_guard(tmp_path):
+    """A repacking that races the fused program's captured tile math must
+    force the staged path."""
+    eng = _sharded_engine(tmp_path)
+    docs = _many_docs()
+    vecs = eng.embedder.encode([d for d, _ in docs])
+    eng.index.upsert(
+        [f"m{i}" for i in range(len(docs))], vecs, [d for d, _ in docs],
+        [{"ticker": t, "document_type": "10-K"} for _, t in docs],
+    )
+    eng.rebuild_index("ivf")
+    eng.index.SELECTIVE_LIMIT = 0
+    args = (["cloud computing details"], [(None, None)],
+            eng._fused_fn, eng._fused_kind, eng.index)
+    assert eng._fused_ivf_batch(*args) is not None
+    state = eng.index._state
+    geom = state[5]
+    bad = (geom[0], geom[1] + 1, geom[2], geom[3])  # tiles_per_cluster drift
+    eng.index._state = state[:5] + (bad,) + state[6:]
+    assert eng._fused_ivf_batch(*args) is None
+    eng.index._state = state
+    assert eng._fused_ivf_batch(*args) is not None
