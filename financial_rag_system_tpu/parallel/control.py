@@ -179,11 +179,17 @@ class BroadcastIndex(SearchMixin):
     def search_device(self, query_vecs, query_filter, k, *, host_codes=None):
         q = np.asarray(query_vecs, np.float32)
         qf = np.asarray(query_filter, np.int32)
+        # host_codes MUST travel with the op: the ANN tiers branch on it
+        # (selective-filter exact scoring), and a worker skipping a device
+        # program the coordinator runs would break collective lockstep
+        hc = (
+            [tuple(int(x) for x in c) for c in host_codes]
+            if host_codes is not None
+            else None
+        )
         return self.server.run(
-            "search", (q, qf, int(k)),
-            lambda: self.inner.search_device(
-                q, qf, k, host_codes=host_codes
-            ),
+            "search", (q, qf, int(k), hc),
+            lambda: self.inner.search_device(q, qf, k, host_codes=hc),
         )
 
     def save(self, directory: str) -> None:
@@ -239,8 +245,10 @@ def worker_loop(index, host: str, port: int, *,
         if op == "upsert":
             index.upsert(*args)
         elif op == "search":
-            q, qf, k = args
-            index.search_device(q, qf, k)
+            q, qf, k, *rest = args
+            index.search_device(
+                q, qf, k, host_codes=rest[0] if rest else None
+            )
         elif op == "rebuild_tier":
             index = _rebuild_tier(index, *args)
         elif op == "rebuild_ivf":  # older coordinator wire name

@@ -135,6 +135,10 @@ def create_app(engine: RAGEngine) -> web.Application:
             ShardedHNSWIndex,
         )
 
+        # multi-process serving wraps the tier in a BroadcastIndex; tier
+        # identity lives on .inner (else the sweep would delete the graph
+        # file the save just wrote)
+        tier_obj = getattr(idx, "inner", idx)
         sharded = isinstance(getattr(idx, "flat", idx), ShardedFlatIndex)
         stale_files = (
             ["sharded_index.npz", ShardedHNSWIndex.GRAPH_FILE]
@@ -146,9 +150,9 @@ def create_app(engine: RAGEngine) -> web.Application:
                 (HNSWIndex, HNSWIndex.GRAPH_FILE),
                 (IVFIndex, IVFIndex.IVF_FILE),
             ):
-                if not isinstance(idx, klass):
+                if not isinstance(tier_obj, klass):
                     stale_files.append(fname)
-        elif not isinstance(idx, ShardedHNSWIndex):
+        elif not isinstance(tier_obj, ShardedHNSWIndex):
             stale_files.append(ShardedHNSWIndex.GRAPH_FILE)
         for fname in stale_files:
             stale = os.path.join(directory, fname)

@@ -222,6 +222,24 @@ def test_two_process_sharded_corpus_built_once(tmp_path):
             assert resp.status == 200
         assert (tmp_path / "index" / "sharded_index.npz").exists()
         assert (tmp_path / "index" / "store.json").exists()
+
+        # tier promotion is itself a broadcast op: both processes build
+        # their shard's graph and the walk's collectives line up
+        r = post("/index/rebuild", {"tier": "hnsw"}, timeout=240)
+        assert r["tier"] == "Broadcast[ShardedHNSWIndex]", r
+        r = post(
+            "/ask",
+            {"query": "keyword21", "ticker": "AAPL", "top_k": 3},
+            timeout=120,
+        )
+        assert r["sources"], r
+        assert "keyword21" in r["sources"][0]["text"]
+        # tier-aware checkpoint: the graph stack persists alongside the
+        # gathered flat arrays (and the sweep must not delete it)
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            assert resp.status == 200
+        assert (tmp_path / "index" / "sharded_hnsw_graph.npz").exists()
+        assert (tmp_path / "index" / "sharded_index.npz").exists()
     finally:
         for p in procs:
             p.kill()
