@@ -117,7 +117,7 @@ class ShardedHNSWIndex(SearchMixin):
         self.steps = steps if steps is not None else max(8, 2 * ef // frontier)
         self.entries_cap = entries_cap
         self.seed = seed
-        self._walk_cache: dict[int, Any] = {}
+        self._walk_cache: dict[tuple[int, int], Any] = {}
         self._tail_rows: list[int] = []
         assert sharded_flat.n_valid > 0, "populate the sharded index first"
         self._graph_state = self._build(graphs)
@@ -240,14 +240,19 @@ class ShardedHNSWIndex(SearchMixin):
             if getattr(self.flat, "quantized", False)
             else query_vecs.astype(jnp.float32)
         )
-        fn = self._walk_cache.get(k)
+        # keyed by (k, per_shard): make_sharded_walk bakes per_shard in as a
+        # Python constant (global id stride AND the pad sentinel), so a
+        # rebuild() after a capacity-growing upsert must not reuse a program
+        # traced for the old geometry — retrace would not fire because the
+        # array shapes can coincide.
+        fn = self._walk_cache.get((k, per_shard))
         if fn is None:
             fn = make_sharded_walk(
                 self.mesh, k=k, ef=max(self.ef, self.entries_cap),
                 steps=self.steps, frontier=self.frontier,
                 per_shard=per_shard,
             )
-            self._walk_cache[k] = fn
+            self._walk_cache[(k, per_shard)] = fn
         s, i = fn(
             qp, query_filter, self.flat._emb, self.flat._codes,
             adj_dev, ent_dev,

@@ -124,7 +124,17 @@ def try_live_export(tracer, *, n: int | None = None) -> bool:
         )
         spans = tracer.recent_traces(n or 10**9)
         for trace in to_mlflow_traces(spans):
-            for sp in trace["data"]["spans"]:
+            # replay preserving the recorded hierarchy: children open
+            # inside their parent's context manager so MLflow nests them
+            # under the active span (timestamps are live — recorded
+            # start/end ride along as attributes; export_jsonl keeps the
+            # faithful originals)
+            all_spans = trace["data"]["spans"]
+            children: dict = {}
+            for sp in all_spans:
+                children.setdefault(sp.get("parent_id"), []).append(sp)
+
+            def replay(sp) -> None:
                 attrs = sp["attributes"]
                 with mlflow.start_span(
                     name=sp["name"],
@@ -132,6 +142,17 @@ def try_live_export(tracer, *, n: int | None = None) -> bool:
                 ) as live:
                     live.set_inputs(attrs.get("mlflow.spanInputs"))
                     live.set_outputs(attrs.get("mlflow.spanOutputs"))
+                    live.set_attributes(
+                        {
+                            "recorded.start": sp.get("start_time"),
+                            "recorded.end": sp.get("end_time"),
+                        }
+                    )
+                    for child in children.get(sp["context"]["span_id"], []):
+                        replay(child)
+
+            for root in children.get(None, []):
+                replay(root)
         return True
     except Exception:
         return False

@@ -30,30 +30,40 @@ import time
 from typing import Any
 
 # dialect-templated migrations: {pk} = autoincrement primary key,
-# {float} = 8-byte float column
-MIGRATIONS: list[tuple[int, str]] = [
+# {float} = 8-byte float column.  Statements are a LIST per migration
+# (never split on ";" at runtime — a ";" inside a string literal or a
+# PL/pgSQL body would mis-split), and each migration commits atomically
+# with its schema_version row so a mid-script failure never leaves a
+# half-applied prefix that re-runs on the next startup.
+MIGRATIONS: list[tuple[int, tuple[str, ...]]] = [
     (
         1,
-        """
-        CREATE TABLE IF NOT EXISTS query_cache (
-            id {pk},
-            query_hash TEXT NOT NULL UNIQUE,
-            ticker TEXT NOT NULL,
-            query_text TEXT NOT NULL,
-            response TEXT NOT NULL,
-            provider TEXT,
-            created_at {float} NOT NULL
-        );
-        CREATE INDEX IF NOT EXISTS ix_cache_ticker ON query_cache (ticker);
-        CREATE INDEX IF NOT EXISTS ix_cache_ticker_hash ON query_cache (ticker, query_hash);
-        CREATE TABLE IF NOT EXISTS user_feedback (
-            id {pk},
-            query_hash TEXT NOT NULL,
-            rating INTEGER NOT NULL,
-            created_at {float} NOT NULL
-        );
-        CREATE INDEX IF NOT EXISTS ix_feedback_hash ON user_feedback (query_hash);
-        """,
+        (
+            """
+            CREATE TABLE IF NOT EXISTS query_cache (
+                id {pk},
+                query_hash TEXT NOT NULL UNIQUE,
+                ticker TEXT NOT NULL,
+                query_text TEXT NOT NULL,
+                response TEXT NOT NULL,
+                provider TEXT,
+                created_at {float} NOT NULL
+            )
+            """,
+            "CREATE INDEX IF NOT EXISTS ix_cache_ticker ON query_cache (ticker)",
+            "CREATE INDEX IF NOT EXISTS ix_cache_ticker_hash"
+            " ON query_cache (ticker, query_hash)",
+            """
+            CREATE TABLE IF NOT EXISTS user_feedback (
+                id {pk},
+                query_hash TEXT NOT NULL,
+                rating INTEGER NOT NULL,
+                created_at {float} NOT NULL
+            )
+            """,
+            "CREATE INDEX IF NOT EXISTS ix_feedback_hash"
+            " ON user_feedback (query_hash)",
+        ),
     ),
 ]
 
@@ -74,8 +84,13 @@ class _SqliteBackend:
     def __init__(self, path: str):
         if path not in (":memory:",) and os.path.dirname(path):
             os.makedirs(os.path.dirname(path), exist_ok=True)
-        self._conn = sqlite3.connect(path, check_same_thread=False)
+        # timeout + busy_timeout: multi-process serving opens the same
+        # file from the coordinator AND workers, and their startup
+        # migrations race — the 5 s default lock wait loses under 1-CPU
+        # contention ("database is locked" on a cold 2-process start).
+        self._conn = sqlite3.connect(path, check_same_thread=False, timeout=30)
         self._conn.execute("PRAGMA journal_mode=WAL")
+        self._conn.execute("PRAGMA busy_timeout=30000")
 
     def execute(self, sql: str, params: tuple = ()):
         return self._conn.execute(sql, params)
@@ -182,16 +197,17 @@ class CacheDB:
             db.commit()
             row = db.execute("SELECT MAX(version) FROM schema_version").fetchone()
             current = row[0] or 0
-            for version, sql in MIGRATIONS:
+            for version, statements in MIGRATIONS:
                 if version > current:
-                    script = sql.format(pk=db.pk_sql, float=db.float_sql)
-                    for stmt in script.split(";"):
-                        if stmt.strip():
-                            db.execute(stmt)
+                    for stmt in statements:
+                        db.execute(stmt.format(pk=db.pk_sql, float=db.float_sql))
                     db.execute(
                         f"INSERT INTO schema_version (version) VALUES ({self._p})",
                         (version,),
                     )
+                    # one commit per migration, after its version row: the
+                    # migration and its version record land atomically
+                    db.commit()
             db.commit()
 
     # -- cache ---------------------------------------------------------

@@ -24,11 +24,10 @@ from financial_rag_system_tpu.utils.retry import retry_async
 
 MOCK_ANSWER = "Mock financial analysis response."
 
-SYSTEM_PROMPT = (
-    "You are a financial analyst answering questions about SEC filings. "
-    "Use ONLY the provided context; if the context does not contain the "
-    "answer, say so explicitly."
-)
+# the reference's exact prompt wording (main.py:396): the context rides
+# in the system message, the raw query is the user message — preserved
+# verbatim as part of the behavioral surface
+SYSTEM_PROMPT_PREFIX = "You are a Wall Street analyst. Use ONLY this context:"
 
 
 class LLMClient:
@@ -101,9 +100,9 @@ async def generate_answer(
     if not breaker.is_healthy:
         return DEGRADED_ANSWER, "System Degraded"
     model = client.model_for(complexity)
-    user = f"Context:\n{context}\n\nQuestion: {query}"
+    system = f"{SYSTEM_PROMPT_PREFIX}\n{context}"
     try:
-        answer = await client.chat(model, SYSTEM_PROMPT, user)
+        answer = await client.chat(model, system, query)
         return answer, f"Groq ({model})"
     except Exception:
         breaker.trip()

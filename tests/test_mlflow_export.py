@@ -76,6 +76,57 @@ def test_live_export_guarded(monkeypatch):
     assert try_live_export(_traced()) is False
 
 
+def test_live_export_preserves_hierarchy(monkeypatch):
+    """Replay must open children INSIDE their parent's span context so a
+    live MLflow server shows the recorded tree, not a flat list."""
+    import contextlib
+    import sys
+    import types
+
+    events: list[tuple[str, str, int]] = []  # (op, name, depth)
+    depth = [0]
+
+    class _FakeSpan:
+        def __init__(self, name):
+            self.name = name
+
+        def set_inputs(self, _):
+            pass
+
+        def set_outputs(self, _):
+            pass
+
+        def set_attributes(self, _):
+            pass
+
+    fake = types.ModuleType("mlflow")
+    fake.set_tracking_uri = lambda uri: None
+    fake.set_experiment = lambda name: None
+
+    @contextlib.contextmanager
+    def start_span(name, span_type="TOOL"):
+        events.append(("open", name, depth[0]))
+        depth[0] += 1
+        try:
+            yield _FakeSpan(name)
+        finally:
+            depth[0] -= 1
+            events.append(("close", name, depth[0]))
+
+    fake.start_span = start_span
+    monkeypatch.setitem(sys.modules, "mlflow", fake)
+    monkeypatch.setenv("MLFLOW_TRACKING_URI", "http://fake:5000")
+
+    assert try_live_export(_traced()) is True
+    opens = {(n, d) for op, n, d in events if op == "open"}
+    # the request trace: root at depth 0, its two children at depth 1
+    assert ("RAG_Workflow", 0) in opens
+    assert ("1_Query_Routing", 1) in opens
+    assert ("LLM_Generation", 1) in opens
+    # the standalone batcher span is its own root
+    assert ("Batch_Embedding", 0) in opens
+
+
 def test_http_surface(tmp_path):
     import asyncio
 

@@ -147,6 +147,45 @@ def test_capacity_growth_falls_back_to_exact(mesh):
     assert rec >= 0.9, rec
 
 
+def test_walk_cache_keyed_by_geometry(mesh):
+    """Regression (ADVICE r2 high): make_sharded_walk bakes per_shard in
+    as a Python constant (global-id stride AND pad sentinel).  After a
+    capacity-growing upsert + rebuild(), a search with a previously-used
+    k must NOT reuse the program traced for the old geometry — row ids
+    would silently alias."""
+    rng = np.random.default_rng(11)
+    n = 1024
+    flat, _ = _populated(mesh, rng, n=n)
+    hnsw = ShardedHNSWIndex(flat)
+    q = _clustered(rng, 4)
+    hnsw.search_batch(q, [(None, None)] * 4, k=10)  # caches (10, old geom)
+    per_shard0 = hnsw._graph_state[2]
+    assert (10, per_shard0) in hnsw._walk_cache
+
+    extra = _clustered(rng, n + 64)
+    hnsw.upsert(
+        [f"g{i}" for i in range(n + 64)], extra,
+        [f"grown {i}" for i in range(n + 64)],
+        [{"ticker": "GROW", "document_type": "10-K"}] * (n + 64),
+    )
+    hnsw.rebuild()
+    per_shard1 = hnsw._graph_state[2]
+    assert per_shard1 != per_shard0  # geometry really changed
+
+    fh = flat.search_batch(q, [(None, None)] * 4, k=10)
+    hh = hnsw.search_batch(q, [(None, None)] * 4, k=10)  # same k as before
+    assert (10, per_shard1) in hnsw._walk_cache
+    for hl in hh:
+        assert all(0 <= h["row"] < flat.n_valid for h in hl)
+    rec = np.mean(
+        [
+            len({h["row"] for h in hh[i]} & {h["row"] for h in fh[i]}) / 10
+            for i in range(4)
+        ]
+    )
+    assert rec >= 0.85, rec
+
+
 def test_partial_and_empty_shards(mesh):
     """Block layout fills shard 0 first: a small corpus leaves most
     shards empty — they must contribute nothing, not garbage."""
