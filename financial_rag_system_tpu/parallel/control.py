@@ -12,27 +12,50 @@ the same op stream:
 
 - the coordinator binds a control socket and wraps its index in
   :class:`BroadcastIndex`: every state-mutating or device-program op
-  (upsert / search / rebuild) is pickled, length-prefix-broadcast to
-  all workers, acked, and only then executed locally — one lock holds
-  across broadcast+local-execute so the op order is identical on every
-  process (two interleaved collective programs would cross-rendezvous
-  and hang);
+  (upsert / search / fused batch / rebuild) is pickled,
+  length-prefix-broadcast to all workers, acked, and only then executed
+  locally — one lock holds across broadcast+local-execute so the op
+  order is identical on every process (two interleaved collective
+  programs would cross-rendezvous and hang);
 - workers run :func:`worker_loop`: receive an op, ack, execute it on
-  their identically-constructed index.  Collective programs inside the
-  op synchronize the processes; host-side stores stay identical because
-  the op stream is identical.
+  their identically-constructed index/engine.  Collective programs
+  inside the op synchronize the processes; host-side stores stay
+  identical because the op stream is identical.
 
 The transport is a plain TCP socket (length-prefixed pickle), not an
 XLA collective: workers idle between requests, and an idle participant
 must not sit inside a collective rendezvous with a 40 s timeout.
-Trust model: the control port carries pickled payloads, so it must only
-be reachable from the pod's own hosts (same trust domain as
-JAX_COORDINATOR_ADDRESS, which carries equivalent authority).
+
+Trust model + authentication: the channel carries pickled payloads
+(arbitrary code execution for whoever can speak it), so it must only be
+reachable inside the pod's own trust domain — the same domain as
+JAX_COORDINATOR_ADDRESS, which carries equivalent authority.  Two
+enforcement layers exist:
+
+- set ``FRS_CONTROL_TOKEN`` (any shared secret string) and both sides
+  perform a mutual HMAC-SHA256 challenge-response before any pickle
+  crosses the wire: a connecting peer that cannot prove knowledge of
+  the token is dropped, and a spoofed coordinator fails the worker's
+  check before the worker deserializes anything;
+- bind the listener to a pod-internal interface via
+  ``FRS_CONTROL_HOST`` instead of inheriting the HTTP 0.0.0.0 default
+  (serving/app.py main()).
+
+Failure handling: workers ack every op on receipt.  The ack wait uses a
+short deadline (``FRS_CONTROL_ACK_TIMEOUT_S``, default 30 s) — a dead
+or wedged worker turns into an immediate ConnectionError on the
+coordinator instead of a 600 s stall holding the op lock, and the
+server poisons itself so subsequent ops fail fast too (cache hits keep
+serving; device collectives cannot proceed with a dead participant).
 """
 
 from __future__ import annotations
 
+import hashlib
+import hmac
+import os
 import pickle
+import secrets
 import socket
 import struct
 import threading
@@ -45,6 +68,21 @@ from financial_rag_system_tpu.index.base import SearchMixin
 _LEN = struct.Struct("!Q")
 ACK = b"\x06"
 DEFAULT_TIMEOUT_S = 600.0
+_NONCE_LEN = 16
+_MAC_LEN = 32  # sha256 digest size
+
+
+def control_token() -> bytes | None:
+    tok = os.environ.get("FRS_CONTROL_TOKEN", "")
+    return tok.encode() if tok else None
+
+
+def ack_timeout_s() -> float:
+    return float(os.environ.get("FRS_CONTROL_ACK_TIMEOUT_S", "30"))
+
+
+def _mac(key: bytes, *parts: bytes) -> bytes:
+    return hmac.new(key, b"".join(parts), hashlib.sha256).digest()
 
 
 def _send_msg(sock: socket.socket, payload: bytes) -> None:
@@ -66,19 +104,62 @@ def _recv_msg(sock: socket.socket) -> bytes:
     return _recv_exact(sock, n)
 
 
+def _server_handshake(conn: socket.socket, key: bytes) -> bool:
+    """Mutual challenge-response, coordinator side.
+
+    worker -> nonce_w; server -> nonce_s + HMAC(key, "coord"|nonce_w|nonce_s)
+    (proves the coordinator knows the token before the worker trusts the
+    op stream); worker -> HMAC(key, "worker"|nonce_s|nonce_w) (proves the
+    worker may occupy a slot and receive corpus data).
+    """
+    try:
+        nonce_w = _recv_exact(conn, _NONCE_LEN)
+        nonce_s = secrets.token_bytes(_NONCE_LEN)
+        conn.sendall(nonce_s + _mac(key, b"coord", nonce_w, nonce_s))
+        proof = _recv_exact(conn, _MAC_LEN)
+        return hmac.compare_digest(proof, _mac(key, b"worker", nonce_s, nonce_w))
+    except (OSError, ConnectionError):
+        return False
+
+
+def _client_handshake(sock: socket.socket, key: bytes) -> None:
+    """Worker side of the mutual handshake (see _server_handshake)."""
+    nonce_w = secrets.token_bytes(_NONCE_LEN)
+    sock.sendall(nonce_w)
+    nonce_s = _recv_exact(sock, _NONCE_LEN)
+    proof = _recv_exact(sock, _MAC_LEN)
+    if not hmac.compare_digest(proof, _mac(key, b"coord", nonce_w, nonce_s)):
+        raise ConnectionError(
+            "control-plane coordinator failed authentication — refusing to "
+            "execute its op stream (FRS_CONTROL_TOKEN mismatch or spoofed peer)"
+        )
+    sock.sendall(_mac(key, b"worker", nonce_s, nonce_w))
+
+
 class ControlServer:
     """Coordinator side: accept ``n_workers`` connections, broadcast ops."""
 
     def __init__(self, host: str, port: int, n_workers: int,
-                 accept_timeout_s: float = DEFAULT_TIMEOUT_S):
+                 accept_timeout_s: float = DEFAULT_TIMEOUT_S,
+                 ack_deadline_s: float | None = None):
         self._lock = threading.Lock()
+        self._failed: Exception | None = None
+        self._ack_deadline = (
+            ack_deadline_s if ack_deadline_s is not None else ack_timeout_s()
+        )
+        key = control_token()
         self._listener = socket.create_server((host, port))
         self._listener.settimeout(accept_timeout_s)
         self._conns: list[socket.socket] = []
-        for _ in range(n_workers):
+        while len(self._conns) < n_workers:
             conn, _addr = self._listener.accept()
-            conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+            # timeout BEFORE the handshake: a silent peer must not be able
+            # to park the accept loop and lock real workers out
             conn.settimeout(accept_timeout_s)
+            if key is not None and not _server_handshake(conn, key):
+                conn.close()  # unauthenticated peer: drop, keep listening
+                continue
+            conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
             self._conns.append(conn)
 
     def run(self, op: str, args: tuple, local: Callable[[], Any]) -> Any:
@@ -86,15 +167,40 @@ class ControlServer:
 
         The lock spans broadcast AND local execution: op N+1 cannot start
         broadcasting until op N's local (collective) program finished, so
-        every process enters collectives in the same order.
+        every process enters collectives in the same order.  ``local``
+        therefore runs at a point where every process's index state is
+        identical — re-derive any device inputs INSIDE it, never capture
+        them before the lock (a racing op could change array shapes and
+        de-synchronize the compiled programs across processes).
         """
         payload = pickle.dumps((op, args), protocol=pickle.HIGHEST_PROTOCOL)
         with self._lock:
-            for conn in self._conns:
-                _send_msg(conn, payload)
-            for conn in self._conns:
-                if _recv_exact(conn, 1) != ACK:
-                    raise ConnectionError(f"bad ack for op {op!r}")
+            if self._failed is not None:
+                raise ConnectionError(
+                    f"control plane is down (a worker died: {self._failed}); "
+                    "multi-process device ops cannot proceed"
+                ) from self._failed
+            try:
+                for conn in self._conns:
+                    _send_msg(conn, payload)
+                # acks are sent on receipt (before the worker executes), so
+                # a short deadline detects dead peers without bounding op
+                # execution time
+                for conn in self._conns:
+                    conn.settimeout(self._ack_deadline)
+                    try:
+                        if _recv_exact(conn, 1) != ACK:
+                            raise ConnectionError(f"bad ack for op {op!r}")
+                    finally:
+                        conn.settimeout(DEFAULT_TIMEOUT_S)
+            except (OSError, ConnectionError) as exc:
+                if isinstance(exc, socket.timeout):
+                    exc = ConnectionError(
+                        f"worker did not ack op {op!r} within "
+                        f"{self._ack_deadline:.0f}s — peer dead or wedged"
+                    )
+                self._failed = exc
+                raise exc
             return local()
 
     def shutdown(self) -> None:
@@ -139,10 +245,10 @@ def _rebuild_tier(index, tier: str | None = None):
 class BroadcastIndex(SearchMixin):
     """Coordinator's view of a multi-process sharded index.
 
-    Wraps the inner (ShardedFlat/ShardedIVF) index; every op that runs a
-    device program goes through :meth:`ControlServer.run` so workers
-    execute the same program.  Host-only reads (store lookups, n_valid)
-    are served locally — every process's store is identical by
+    Wraps the inner (ShardedFlat/ShardedIVF/ShardedHNSW) index; every op
+    that runs a device program goes through :meth:`ControlServer.run` so
+    workers execute the same program.  Host-only reads (store lookups,
+    n_valid) are served locally — every process's store is identical by
     construction.
     """
 
@@ -192,6 +298,20 @@ class BroadcastIndex(SearchMixin):
             lambda: self.inner.search_device(q, qf, k, host_codes=hc),
         )
 
+    def fused_batch(self, ids, types, mask, codes, local: Callable[[], Any]):
+        """One broadcast per BATCH: workers run the engine's fused device
+        program (engine._fused_exec) on the same tokenized inputs; the
+        coordinator runs ``local`` (its own _fused_exec) under the op
+        lock.  Every input that varies per batch travels in the op; all
+        corpus-side state is lockstep-identical by construction.
+        """
+        args = (
+            np.asarray(ids, np.int32), np.asarray(types, np.int32),
+            np.asarray(mask, np.int32),
+            [tuple(int(x) for x in c) for c in codes],
+        )
+        return self.server.run("fused", args, local)
+
     def save(self, directory: str) -> None:
         """Checkpoint via a broadcast op: the cross-process gather inside
         ShardedFlatIndex.save needs every process; process 0 writes.
@@ -214,12 +334,17 @@ class BroadcastIndex(SearchMixin):
 
 
 def worker_loop(index, host: str, port: int, *,
+                engine=None,
                 timeout_s: float = DEFAULT_TIMEOUT_S,
                 connect_retries: int = 60) -> None:
     """Worker side: execute the coordinator's op stream until shutdown.
 
     ``index`` is this process's identically-constructed sharded index
-    (same build path as the coordinator's inner index).
+    (same build path as the coordinator's inner index).  ``engine`` is
+    the worker's identically-constructed RAGEngine — required for the
+    "fused" op (the fused program needs the model params and the jitted
+    pipeline, both of which live on the engine) and kept in sync across
+    tier rebuilds so its fused program matches the coordinator's.
     """
     import time
 
@@ -233,6 +358,9 @@ def worker_loop(index, host: str, port: int, *,
             time.sleep(0.5)
     else:
         raise ConnectionError(f"control plane never came up: {last}")
+    key = control_token()
+    if key is not None:
+        _client_handshake(sock, key)
     sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
     sock.settimeout(None)  # idle between ops indefinitely
 
@@ -249,10 +377,25 @@ def worker_loop(index, host: str, port: int, *,
             index.search_device(
                 q, qf, k, host_codes=rest[0] if rest else None
             )
+        elif op == "fused":
+            if engine is None:  # pragma: no cover — version-skew guard
+                raise RuntimeError(
+                    "coordinator broadcast a fused batch but this worker "
+                    "has no engine; start workers through serving/app.main"
+                )
+            engine._fused_exec(*args)
         elif op == "rebuild_tier":
             index = _rebuild_tier(index, *args)
+            if engine is not None:
+                # keep the worker's engine in lockstep with the
+                # coordinator's: same tier object, same fused program
+                engine.index = index
+                engine._fused_fn = engine._maybe_build_fused()
         elif op == "rebuild_ivf":  # older coordinator wire name
             index = _rebuild_tier(index, "ivf")
+            if engine is not None:
+                engine.index = index
+                engine._fused_fn = engine._maybe_build_fused()
         elif op == "save":
             # join the cross-process gather; process 0 (the coordinator)
             # is the one that writes files

@@ -240,21 +240,18 @@ def build_default_engine(mode: str = "batched") -> RAGEngine:
     from financial_rag_system_tpu.models.reranker import get_reranker
     from financial_rag_system_tpu.utils.config import get_config
 
-    from financial_rag_system_tpu.models.embedder import BiEncoder
-    from financial_rag_system_tpu.models.reranker import CrossEncoderReranker
-
     cfg = get_config()
     embedder = get_embedder(cfg.embed_dim)
     reranker = get_reranker(testing=cfg.testing)
 
-    # full model stack => keep a device token store so the fused
-    # single-program pipeline can rerank without host round trips
-    # (applies to the single-chip AND the mesh-sharded engines)
-    fused_capable = isinstance(embedder, BiEncoder) and isinstance(
-        reranker, CrossEncoderReranker
-    )
-    tok = embedder.tokenizer if fused_capable else None
-    dlen = cfg.token_store_len if fused_capable else None
+    # keep a device token store so the fused single-program pipeline can
+    # rerank without host round trips (applies to the single-chip AND
+    # the mesh-sharded engines).  Both model stacks use it: the full
+    # stack's cross-encoder gathers candidate token ids from HBM, and
+    # the hermetic hash stack's DE-ALIASED hash rerank does the same
+    # (ops/fused_query.fused_hash_rerank_query).
+    tok = getattr(embedder, "tokenizer", None)
+    dlen = cfg.token_store_len if tok is not None else None
 
     import jax
 
@@ -357,10 +354,19 @@ def main() -> None:  # pragma: no cover — exercised by tests/test_multihost.py
             "JAX_COORDINATOR_ADDRESS", "localhost:0"
         ).rsplit(":", 1)[0]
         if is_coordinator():
+            # the control channel carries pickled ops: bind it to the
+            # pod-internal interface (FRS_CONTROL_HOST), not the public
+            # HTTP host; FRS_CONTROL_TOKEN adds the HMAC handshake
+            # (parallel/control.py trust model)
+            control_host = os.environ.get("FRS_CONTROL_HOST", cfg.host)
             server = ControlServer(
-                cfg.host, cfg.control_port, jax.process_count() - 1
+                control_host, cfg.control_port, jax.process_count() - 1
             )
             engine.index = BroadcastIndex(server, engine.index)
+            # re-evaluate fusion now that the index is wrapped: the fused
+            # program targets the INNER index and batches become one
+            # broadcast op each (engine._fused_batch)
+            engine._fused_fn = engine._maybe_build_fused()
             try:
                 web.run_app(create_app(engine), host=cfg.host, port=cfg.port)
             finally:
@@ -368,10 +374,14 @@ def main() -> None:  # pragma: no cover — exercised by tests/test_multihost.py
             return
         else:
             # workers execute the coordinator's op stream so global-mesh
-            # device programs (upsert scatter, sharded search, rebuild)
-            # run on every process; no HTTP port is bound here
+            # device programs (upsert scatter, sharded search, fused
+            # batches, rebuild) run on every process; no HTTP port is
+            # bound here.  The engine travels too: the "fused" op needs
+            # its model params + jitted pipeline.
             print("worker process: serving handled by the coordinator")
-            worker_loop(engine.index, coord_host, cfg.control_port)
+            worker_loop(
+                engine.index, coord_host, cfg.control_port, engine=engine
+            )
             return
     web.run_app(create_app(engine), host=cfg.host, port=cfg.port)
 

@@ -23,6 +23,7 @@ main2.py:207-263.
 from __future__ import annotations
 
 import asyncio
+import threading
 import time
 from typing import Any
 
@@ -61,7 +62,12 @@ class RAGEngine:
         self.embedder = embedder
         self.reranker = reranker
         self.mode = mode
-        self.cache = cache or CacheDB(cfg.database_url)
+        # lazy: multi-process serving constructs a full engine on worker
+        # processes that never answer HTTP — opening the shared cache DB
+        # there adds a concurrent migration race (SQLite "database is
+        # locked" on a contended 2-process cold start) for no reason
+        self._cache = cache
+        self._cache_lock = threading.Lock()
         self.breaker = breaker or CircuitBreaker(
             cfg.breaker_state_path, cfg.breaker_cooldown_s
         )
@@ -81,43 +87,22 @@ class RAGEngine:
                 max_batch=cfg.max_batch_size,
             )
 
+    @property
+    def cache(self) -> CacheDB:
+        if self._cache is None:
+            with self._cache_lock:
+                if self._cache is None:
+                    self._cache = CacheDB(self.cfg.database_url)
+        return self._cache
+
     def _dispatch_batch(self, queries, filters):
-        """Late-bound batch fn so index/fusion swaps take effect live.
-
-        fused fn and index are captured together: a concurrent tier
-        promotion must not pair last tier's fused program with the new
-        index (or vice versa) mid-batch.
-        """
-        from financial_rag_system_tpu.index.flat import FlatIndex
-        from financial_rag_system_tpu.index.ivf import IVFIndex
-        from financial_rag_system_tpu.index.sharded import ShardedFlatIndex
-        from financial_rag_system_tpu.index.sharded_ivf import ShardedIVFIndex
-
-        fused, kind, index = self._fused_fn, self._fused_kind, self.index
-        if fused is not None and isinstance(
-            index, (FlatIndex, ShardedFlatIndex)
-        ):
-            return self._fused_retrieve_batch(queries, filters, fused, kind, index)
-        if (
-            fused is not None
-            and isinstance(index, (IVFIndex, ShardedIVFIndex))
-            and kind in ("ivf_full", "ivf_hash")
-        ):
-            out = self._fused_ivf_batch(queries, filters, fused, kind, index)
-            if out is not None:
-                return out
-        if fused is not None and kind == "hnsw_full":
-            from financial_rag_system_tpu.index.hnsw import HNSWIndex
-            from financial_rag_system_tpu.index.sharded_hnsw import (
-                ShardedHNSWIndex,
-            )
-
-            if isinstance(index, (HNSWIndex, ShardedHNSWIndex)):
-                out = self._fused_hnsw_batch(
-                    queries, filters, fused, kind, index
-                )
-                if out is not None:
-                    return out
+        """Late-bound batch fn so index/fusion swaps take effect live:
+        try the fused single-program path, fall back to the staged
+        pipeline whenever the batch is ineligible (no fused program,
+        tail rows, selective filters, geometry race)."""
+        out = self._fused_batch(queries, filters)
+        if out is not None:
+            return out
         return self._embed_retrieve_batch(queries, filters)
 
     def _maybe_build_fused(self):
@@ -125,12 +110,19 @@ class RAGEngine:
 
         - full model stack + device token store => embed+search+rerank
           fused ("full" kind);
-        - hermetic hash stack => embed+search fused, rerank scores equal
-          the bi-encoder cosines by construction ("hash" kind);
+        - hermetic hash stack => embed+search fused ("hash" kind); with
+          a device token store and a non-identity HashReranker the
+          DE-ALIASED hash rerank fuses too (``self._fused_hash_rerank``);
+          with the identity reranker rerank order equals retrieval order
+          by definition, so ce == bi is exact;
         - IVF tier => same two stacks with the flat scan replaced by
           centroid probing + the probed-tiles kernel ("ivf_full" /
           "ivf_hash"); the staged path keeps handling batches that need
-          tail or selective-filter merging (see _fused_ivf_batch).
+          tail or selective-filter merging (see _fused_exec);
+        - multi-process serving wraps the tier in a BroadcastIndex: the
+          fused program is built for the INNER index (every process
+          builds the identical program; the batch becomes one broadcast
+          op — parallel/control.py fused_batch).
 
         int8 corpora fuse too: the programs quantize query vectors
         in-graph (ops/fused_query.py _prep_queries).
@@ -144,16 +136,21 @@ class RAGEngine:
         )
 
         self._fused_kind = None
-        if isinstance(self.index, IVFIndex):
-            flat = self.index.flat
+        self._fused_hash_rerank = False
+        index = getattr(self.index, "inner", self.index)
+        hash_stack = isinstance(self.embedder, HashEmbedder) and isinstance(
+            self.reranker, HashReranker
+        )
+        if isinstance(index, IVFIndex):
+            flat = index.flat
             if not isinstance(flat, FlatIndex):
                 return None  # IVF over a non-flat base has no fused path
             quantized = flat.quantized
             common = dict(
                 k=self.cfg.retrieve_k,
-                tile=self.index.tile,
-                nprobe=self.index.nprobe,
-                tiles_per_cluster=self.index.tiles_per_cluster,
+                tile=index.tile,
+                nprobe=index.nprobe,
+                tiles_per_cluster=index.tiles_per_cluster,
                 use_pallas=flat.use_pallas,
                 quantized=quantized,
             )
@@ -170,15 +167,18 @@ class RAGEngine:
                 return make_fused_ivf_query(
                     self.embedder.cfg, self.reranker.cfg, **common
                 )
-            if isinstance(self.embedder, HashEmbedder) and isinstance(
-                self.reranker, HashReranker
-            ):
+            if hash_stack:
                 from financial_rag_system_tpu.ops.fused_query import (
                     make_fused_ivf_hash_query,
                 )
 
                 self._fused_kind = "ivf_hash"
-                return make_fused_ivf_hash_query(**common)
+                self._fused_hash_rerank = (
+                    not self.reranker.identity and flat._doc_tok is not None
+                )
+                return make_fused_ivf_hash_query(
+                    **common, rerank=self._fused_hash_rerank
+                )
             return None
         from financial_rag_system_tpu.index.hnsw import HNSWIndex
         from financial_rag_system_tpu.index.sharded import ShardedFlatIndex
@@ -190,8 +190,8 @@ class RAGEngine:
         full_stack = isinstance(self.embedder, BiEncoder) and isinstance(
             self.reranker, CrossEncoderReranker
         )
-        if isinstance(self.index, HNSWIndex):
-            flat = self.index.flat
+        if isinstance(index, HNSWIndex):
+            flat = index.flat
             if (
                 isinstance(flat, FlatIndex)
                 and full_stack
@@ -201,9 +201,9 @@ class RAGEngine:
                     make_fused_hnsw_query,
                 )
 
-                state = self.index._graph_state
+                state = index._graph_state
                 self._fused_kind = "hnsw_full"
-                # geometry captured at build; _fused_hnsw_batch compares
+                # geometry captured at build; _fused_exec compares
                 # against the live snapshot and falls back on mismatch
                 self._fused_hnsw_geom = state[2]
                 return make_fused_hnsw_query(
@@ -211,20 +211,20 @@ class RAGEngine:
                     self.reranker.cfg,
                     k=self.cfg.retrieve_k,
                     ef=state[3],
-                    steps=self.index.steps,
-                    frontier=self.index.frontier,
+                    steps=index.steps,
+                    frontier=index.frontier,
                     pad_id=state[2],
                     quantized=flat.quantized,
                 )
             return None
-        if isinstance(self.index, ShardedHNSWIndex):
-            flat = self.index.flat
+        if isinstance(index, ShardedHNSWIndex):
+            flat = index.flat
             if full_stack and flat._doc_tok is not None:
                 from financial_rag_system_tpu.ops.fused_query import (
                     make_sharded_fused_hnsw_query,
                 )
 
-                state = self.index._graph_state
+                state = index._graph_state
                 self._fused_kind = "hnsw_full"
                 self._fused_hnsw_geom = (state[2], state[4])
                 return make_sharded_fused_hnsw_query(
@@ -232,15 +232,15 @@ class RAGEngine:
                     self.embedder.cfg,
                     self.reranker.cfg,
                     k=self.cfg.retrieve_k,
-                    ef=max(self.index.ef, self.index.entries_cap),
-                    steps=self.index.steps,
-                    frontier=self.index.frontier,
+                    ef=max(index.ef, index.entries_cap),
+                    steps=index.steps,
+                    frontier=index.frontier,
                     per_shard=state[2],
                     quantized=flat.quantized,
                 )
             return None
-        if isinstance(self.index, ShardedIVFIndex):
-            flat = self.index.flat
+        if isinstance(index, ShardedIVFIndex):
+            flat = index.flat
             if (
                 isinstance(self.embedder, BiEncoder)
                 and isinstance(self.reranker, CrossEncoderReranker)
@@ -251,12 +251,12 @@ class RAGEngine:
                 )
 
                 self._fused_kind = "ivf_full"
-                # geometry captured at build; _fused_ivf_batch compares
+                # geometry captured at build; _fused_exec compares
                 # against the live snapshot (a rebuild can change the
                 # sharded packing; single-chip c_max is fixed at init)
                 self._fused_ivf_geom = (
-                    self.index.tiles_per_cluster,
-                    self.index.packed_local,
+                    index.tiles_per_cluster,
+                    index.packed_local,
                     flat.capacity,
                 )
                 return make_sharded_fused_ivf_query(
@@ -264,49 +264,56 @@ class RAGEngine:
                     self.embedder.cfg,
                     self.reranker.cfg,
                     k=self.cfg.retrieve_k,
-                    tile=self.index.tile,
-                    nprobe=self.index.nprobe,
-                    tiles_per_cluster=self.index.tiles_per_cluster,
+                    tile=index.tile,
+                    nprobe=index.nprobe,
+                    tiles_per_cluster=index.tiles_per_cluster,
                     rows_per_shard=flat.capacity // flat.n_shards,
                     use_pallas=flat.use_pallas,
                     quantized=flat.quantized,
                 )
             return None
-        if isinstance(self.index, ShardedFlatIndex):
-            # mesh-sharded corpus with the full model stack + device token
-            # store: each shard runs the complete fused program on its
-            # rows and (B,k) partials all-gather — same 1 sync/batch as
-            # the single-chip path (ops/fused_query.py
-            # make_sharded_fused_query).  No tail/selective fallback
-            # conditions exist: the sharded flat search is exact.
-            if (
-                isinstance(self.embedder, BiEncoder)
-                and isinstance(self.reranker, CrossEncoderReranker)
-                and self.index._doc_tok is not None
-            ):
+        if isinstance(index, ShardedFlatIndex):
+            # mesh-sharded corpus: each shard runs the complete fused
+            # program on its rows and (B,k) partials all-gather — same
+            # 1 sync/batch as the single-chip path.  No tail/selective
+            # fallback conditions exist: the sharded flat search is exact.
+            if full_stack and index._doc_tok is not None:
                 from financial_rag_system_tpu.ops.fused_query import (
                     make_sharded_fused_query,
                 )
 
                 self._fused_kind = "full"
                 return make_sharded_fused_query(
-                    self.index.mesh,
+                    index.mesh,
                     self.embedder.cfg,
                     self.reranker.cfg,
                     k=self.cfg.retrieve_k,
-                    tile=self.index.tile,
-                    use_pallas=self.index.use_pallas,
-                    quantized=self.index.quantized,
+                    tile=index.tile,
+                    use_pallas=index.use_pallas,
+                    quantized=index.quantized,
+                )
+            if hash_stack:
+                from financial_rag_system_tpu.ops.fused_query import (
+                    make_sharded_fused_hash_query,
+                )
+
+                self._fused_kind = "hash"
+                self._fused_hash_rerank = (
+                    not self.reranker.identity and index._doc_tok is not None
+                )
+                return make_sharded_fused_hash_query(
+                    index.mesh,
+                    k=self.cfg.retrieve_k,
+                    tile=index.tile,
+                    use_pallas=index.use_pallas,
+                    quantized=index.quantized,
+                    rerank=self._fused_hash_rerank,
                 )
             return None
-        if not isinstance(self.index, FlatIndex):
+        if not isinstance(index, FlatIndex):
             return None
-        quantized = self.index.quantized
-        if (
-            isinstance(self.embedder, BiEncoder)
-            and isinstance(self.reranker, CrossEncoderReranker)
-            and self.index._doc_tok is not None
-        ):
+        quantized = index.quantized
+        if full_stack and index._doc_tok is not None:
             from financial_rag_system_tpu.ops.fused_query import make_fused_query
 
             self._fused_kind = "full"
@@ -314,23 +321,25 @@ class RAGEngine:
                 self.embedder.cfg,
                 self.reranker.cfg,
                 k=self.cfg.retrieve_k,
-                tile=self.index.tile,
-                use_pallas=self.index.use_pallas,
+                tile=index.tile,
+                use_pallas=index.use_pallas,
                 quantized=quantized,
             )
-        if isinstance(self.embedder, HashEmbedder) and isinstance(
-            self.reranker, HashReranker
-        ):
+        if hash_stack:
             from financial_rag_system_tpu.ops.fused_query import (
                 make_fused_hash_query,
             )
 
             self._fused_kind = "hash"
+            self._fused_hash_rerank = (
+                not self.reranker.identity and index._doc_tok is not None
+            )
             return make_fused_hash_query(
                 k=self.cfg.retrieve_k,
-                tile=self.index.tile,
-                use_pallas=self.index.use_pallas,
+                tile=index.tile,
+                use_pallas=index.use_pallas,
                 quantized=quantized,
+                rerank=self._fused_hash_rerank,
             )
         return None
 
@@ -357,214 +366,210 @@ class RAGEngine:
         hits = self.index.search_batch(vecs, filters, k=self.cfg.retrieve_k)
         return list(zip(vecs, hits))
 
-    def _fused_retrieve_batch(
+    def _fused_batch(
         self,
         queries: list[str],
         filters: list[tuple[str | None, str | None]],
-        fused_fn,
-        fused_kind: str,
-        index,
-    ) -> list[tuple[None, list[dict[str, Any]]]]:
-        """Single-program batch: one device sync for embed+search+rerank.
-
-        Returned hits carry ``rerank_score`` already (cross-encoder logits
-        computed on device), so the per-request rerank stage reduces to a
-        sort + slice.
-        """
-        import jax
-        import jax.numpy as jnp
-
-        from financial_rag_system_tpu.models.tokenizer import pad_batch
-
-        tok = self.embedder.tokenizer
-        encs = [tok.encode(q, 64) for q in queries]
-        ids, types, mask = pad_batch(encs)
-        b = len(queries)
-        bpad = ids.shape[0]
-        codes = [index.store.query_codes(t, d) for t, d in filters]
-        codes += [(-3, -3)] * (bpad - b)
-        qf = jnp.asarray(codes, jnp.int32)
-        # one read of the array tuple: a concurrent upsert/grow must not
-        # pair a new emb with old codes/token-store mid-batch
-        emb, idx_codes, doc_tok = index._arrays
-        nv = jnp.asarray(min(index.n_valid, emb.shape[0]), jnp.int32)
-        if fused_kind == "full":
-            rows, bi, ce = fused_fn(
-                self.embedder.params,
-                self.reranker.params,
-                jnp.asarray(ids), jnp.asarray(types), jnp.asarray(mask), qf,
-                emb, idx_codes, doc_tok, nv,
-            )
-            vecs = [None] * b
-        else:  # hash: rerank score == bi-encoder cosine by construction
-            qv, bi, rows = fused_fn(
-                self.embedder._table,
-                jnp.asarray(ids), jnp.asarray(mask), qf,
-                emb, idx_codes, nv,
-            )
-            ce = bi
-            vecs = list(np.asarray(qv)[:b])
-        rows, bi, ce = jax.device_get((rows, bi, ce))
-        out = []
-        for i in range(b):
-            hits = []
-            for r, s, c in zip(rows[i], bi[i], ce[i]):
-                if not np.isfinite(s):
-                    continue
-                payload = index.store.get(int(r))
-                payload["score"] = float(s)
-                payload["row"] = int(r)
-                payload["rerank_score"] = float(c)
-                hits.append(payload)
-            out.append((vecs[i], hits))
-        return out
-
-    def _fused_ivf_batch(
-        self,
-        queries: list[str],
-        filters: list[tuple[str | None, str | None]],
-        fused_fn,
-        fused_kind: str,
-        index,
     ) -> list[tuple[Any, list[dict[str, Any]]]] | None:
-        """Single-program IVF batch: embed -> centroid probe ->
-        probed-tiles kernel -> (gather+rerank), one device sync.
+        """Single-program batch: one device sync for embed+search(+rerank).
 
-        Returns None when the batch needs host-side candidate merging —
-        unfolded tail rows or a selective filter whose inverted list is
-        scored exactly (index/ivf.py search_device) — so the staged path
-        keeps those semantics.
+        Host wrapper around :meth:`_fused_exec`: tokenize the batch,
+        execute the fused device program (as ONE broadcast op when the
+        index is a multi-process BroadcastIndex — every per-batch input
+        travels in the op; corpus state is lockstep-identical), then
+        assemble payload hits.  Returns None when no fused program
+        exists or the batch is ineligible (staged fallback).
         """
-        import jax
-        import jax.numpy as jnp
-
-        from financial_rag_system_tpu.index.base import selective_rows
+        if self._fused_fn is None:
+            return None
         from financial_rag_system_tpu.models.tokenizer import pad_batch
+        from financial_rag_system_tpu.parallel.control import BroadcastIndex
 
-        if index._tail_rows:
-            return None
-        # one atomic read each: the IVF packing snapshot and the flat
-        # array tuple (rows in packed_gids stay valid across flat appends)
-        state = index._state
-        centroids, packed_emb, packed_codes, packed_gids, rbt = state[:5]
-        from financial_rag_system_tpu.index.sharded_ivf import ShardedIVFIndex
-
-        if isinstance(index, ShardedIVFIndex):
-            # a rebuild can change the sharded packing geometry out from
-            # under the fused program's captured tile math; on mismatch
-            # the staged path serves until _maybe_build_fused re-runs
-            geom = state[5]  # (c_max, tiles_per_cluster, packed_local, _)
-            live = (geom[1], geom[2], index.flat.capacity)
-            if live != self._fused_ivf_geom:
-                return None
-        b = len(queries)
-        codes = [index.store.query_codes(t, d) for t, d in filters]
-        if selective_rows(rbt, codes, index.SELECTIVE_LIMIT) is not None:
-            return None
-
+        index = self.index
         tok = self.embedder.tokenizer
         encs = [tok.encode(q, 64) for q in queries]
         ids, types, mask = pad_batch(encs)
-        bpad = ids.shape[0]
-        codes += [(-3, -3)] * (bpad - b)
-        qf = jnp.asarray(codes, jnp.int32)
-        if fused_kind == "ivf_full":
-            doc_tok = index.flat._arrays[2]
-            rows, bi, ce = fused_fn(
-                self.embedder.params, self.reranker.params,
-                jnp.asarray(ids), jnp.asarray(types), jnp.asarray(mask), qf,
-                centroids, packed_emb, packed_codes, packed_gids, doc_tok,
+        codes = [index.store.query_codes(t, d) for t, d in filters]
+        if isinstance(index, BroadcastIndex):
+            # one broadcast per batch; eligibility + state reads happen
+            # INSIDE the op lock (identically on every process)
+            res = index.fused_batch(
+                ids, types, mask, codes,
+                lambda: self._fused_exec(ids, types, mask, codes),
             )
-            vecs = [None] * b
-        else:  # ivf_hash: rerank score == bi-encoder cosine
-            qv, bi, rows = fused_fn(
-                self.embedder._table,
-                jnp.asarray(ids), jnp.asarray(mask), qf,
-                centroids, packed_emb, packed_codes, packed_gids,
-            )
-            ce = bi
-            vecs = list(np.asarray(qv)[:b])
+        else:
+            res = self._fused_exec(ids, types, mask, codes)
+        if res is None:
+            return None
+        rows, bi, ce, qv, with_ce = res
+        import jax
+
         rows, bi, ce = jax.device_get((rows, bi, ce))
+        b = len(queries)
+        vecs = list(np.asarray(qv)[:b]) if qv is not None else [None] * b
+        store = index.store
         out = []
         for i in range(b):
             hits = []
             for r, s, c in zip(rows[i], bi[i], ce[i]):
                 if r < 0 or not np.isfinite(s):
                     continue
-                payload = index.store.get(int(r))
+                payload = store.get(int(r))
                 payload["score"] = float(s)
                 payload["row"] = int(r)
-                payload["rerank_score"] = float(c)
+                if with_ce:
+                    # device-computed stage-2 score: the per-request
+                    # rerank reduces to a sort + slice
+                    payload["rerank_score"] = float(c)
                 hits.append(payload)
             out.append((vecs[i], hits))
         return out
 
-    def _fused_hnsw_batch(
-        self,
-        queries: list[str],
-        filters: list[tuple[str | None, str | None]],
-        fused_fn,
-        fused_kind: str,
-        index,
-    ) -> list[tuple[Any, list[dict[str, Any]]]] | None:
-        """Single-program graph-tier batch: embed -> device walk ->
-        gather+rerank.  None (staged fallback) whenever the batch needs
-        host-side merging (tail rows, selective filters) or the live
-        graph snapshot disagrees with the fused program's geometry
-        (rebuild/grow raced)."""
-        import jax
+    def _fused_exec(self, ids, types, mask, codes):
+        """Device portion of the fused batch — deterministic given the
+        tokenized inputs + engine state, and therefore safe to run as a
+        broadcast op on every process of a multi-process deployment
+        (parallel/control.py worker_loop "fused").
+
+        Captures (fused_fn, kind, index) together, re-reads every state
+        snapshot at call time, and verifies kind <-> index-type
+        consistency and geometry — a concurrent tier promotion or
+        rebuild makes this return None (staged fallback) identically on
+        every process rather than running a mismatched program.
+
+        Returns (rows, bi, ce, qv, with_ce) device arrays (qv None for
+        full kinds; with_ce False when rerank must run host-side), or
+        None when the batch is ineligible.
+        """
         import jax.numpy as jnp
 
         from financial_rag_system_tpu.index.base import selective_rows
+        from financial_rag_system_tpu.index.flat import FlatIndex
+        from financial_rag_system_tpu.index.hnsw import HNSWIndex
+        from financial_rag_system_tpu.index.ivf import IVFIndex
+        from financial_rag_system_tpu.index.sharded import ShardedFlatIndex
         from financial_rag_system_tpu.index.sharded_hnsw import (
             ShardedHNSWIndex,
         )
-        from financial_rag_system_tpu.models.tokenizer import pad_batch
+        from financial_rag_system_tpu.index.sharded_ivf import ShardedIVFIndex
 
-        if index._tail_rows:
-            return None
-        state = index._graph_state  # one atomic read
-        if isinstance(index, ShardedHNSWIndex):
-            adj, entries, per_shard, _n, built_cap, rbt = state
-            if (per_shard, built_cap) != self._fused_hnsw_geom:
-                return None
-            if index.flat.capacity != built_cap:
-                return None
-        else:
-            adj, entries, pad_id, _ef, rbt = state
-            if pad_id != self._fused_hnsw_geom:
-                return None
-        b = len(queries)
-        codes = [index.store.query_codes(t, d) for t, d in filters]
-        if selective_rows(rbt, codes, index.SELECTIVE_LIMIT) is not None:
-            return None
-
-        tok = self.embedder.tokenizer
-        encs = [tok.encode(q, 64) for q in queries]
-        ids, types, mask = pad_batch(encs)
-        bpad = ids.shape[0]
-        codes += [(-3, -3)] * (bpad - b)
-        qf = jnp.asarray(codes, jnp.int32)
-        emb, idx_codes, doc_tok = index.flat._arrays
-        rows, bi, ce = fused_fn(
-            self.embedder.params, self.reranker.params,
-            jnp.asarray(ids), jnp.asarray(types), jnp.asarray(mask), qf,
-            emb, idx_codes, adj, entries, doc_tok,
+        fused, kind, hash_rerank = (
+            self._fused_fn, self._fused_kind, self._fused_hash_rerank,
         )
-        rows, bi, ce = jax.device_get((rows, bi, ce))
-        out = []
-        for i in range(b):
-            hits = []
-            for r, s, c in zip(rows[i], bi[i], ce[i]):
-                if r < 0 or not np.isfinite(s):
-                    continue
-                payload = index.store.get(int(r))
-                payload["score"] = float(s)
-                payload["row"] = int(r)
-                payload["rerank_score"] = float(c)
-                hits.append(payload)
-            out.append((None, hits))
-        return out
+        index = getattr(self.index, "inner", self.index)
+        if fused is None or kind is None:
+            return None
+        b = len(codes)
+        bpad = ids.shape[0]
+        qf = jnp.asarray(list(codes) + [(-3, -3)] * (bpad - b), jnp.int32)
+        j_ids, j_types, j_mask = (
+            jnp.asarray(ids), jnp.asarray(types), jnp.asarray(mask),
+        )
+
+        if kind in ("full", "hash"):
+            if not isinstance(index, (FlatIndex, ShardedFlatIndex)):
+                return None  # tier promotion raced the program swap
+            # one read of the array tuple: a concurrent upsert/grow must
+            # not pair a new emb with old codes/token-store mid-batch
+            emb, idx_codes, doc_tok = index._arrays
+            nv = jnp.asarray(min(index.n_valid, emb.shape[0]), jnp.int32)
+            if kind == "full":
+                rows, bi, ce = fused(
+                    self.embedder.params, self.reranker.params,
+                    j_ids, j_types, j_mask, qf, emb, idx_codes, doc_tok, nv,
+                )
+                return rows, bi, ce, None, True
+            identity = getattr(self.reranker, "identity", False)
+            if isinstance(index, ShardedFlatIndex):
+                qv, rows, bi, ce = fused(
+                    self.embedder._table, self.reranker.table,
+                    j_ids, j_mask, qf, emb, idx_codes,
+                    # dtok is only consumed when the de-aliased rerank is
+                    # fused; emb stands in to satisfy the fixed sharded
+                    # signature otherwise
+                    doc_tok if doc_tok is not None else emb, nv,
+                )
+            elif hash_rerank:
+                qv, bi, rows, ce = fused(
+                    self.embedder._table, self.reranker.table,
+                    j_ids, j_mask, qf, emb, idx_codes, doc_tok, nv,
+                )
+            else:
+                qv, bi, rows = fused(
+                    self.embedder._table, j_ids, j_mask, qf,
+                    emb, idx_codes, nv,
+                )
+                ce = bi
+            return rows, bi, ce, qv, (hash_rerank or identity)
+
+        if kind in ("ivf_full", "ivf_hash"):
+            if not isinstance(index, (IVFIndex, ShardedIVFIndex)):
+                return None
+            if index._tail_rows:
+                return None
+            # one atomic read each: the IVF packing snapshot and the flat
+            # array tuple (rows in packed_gids stay valid across appends)
+            state = index._state
+            centroids, packed_emb, packed_codes, packed_gids, rbt = state[:5]
+            if isinstance(index, ShardedIVFIndex):
+                # a rebuild can change the sharded packing geometry out
+                # from under the fused program's captured tile math
+                geom = state[5]  # (c_max, tiles_per_cluster, packed_local, _)
+                live = (geom[1], geom[2], index.flat.capacity)
+                if live != self._fused_ivf_geom:
+                    return None
+            if selective_rows(rbt, codes, index.SELECTIVE_LIMIT) is not None:
+                return None
+            if kind == "ivf_full":
+                doc_tok = index.flat._arrays[2]
+                rows, bi, ce = fused(
+                    self.embedder.params, self.reranker.params,
+                    j_ids, j_types, j_mask, qf,
+                    centroids, packed_emb, packed_codes, packed_gids, doc_tok,
+                )
+                return rows, bi, ce, None, True
+            identity = getattr(self.reranker, "identity", False)
+            if hash_rerank:
+                doc_tok = index.flat._arrays[2]
+                qv, bi, rows, ce = fused(
+                    self.embedder._table, self.reranker.table,
+                    j_ids, j_mask, qf,
+                    centroids, packed_emb, packed_codes, packed_gids, doc_tok,
+                )
+            else:
+                qv, bi, rows = fused(
+                    self.embedder._table, j_ids, j_mask, qf,
+                    centroids, packed_emb, packed_codes, packed_gids,
+                )
+                ce = bi
+            return rows, bi, ce, qv, (hash_rerank or identity)
+
+        if kind == "hnsw_full":
+            if not isinstance(index, (HNSWIndex, ShardedHNSWIndex)):
+                return None
+            if index._tail_rows:
+                return None
+            state = index._graph_state  # one atomic read
+            if isinstance(index, ShardedHNSWIndex):
+                adj, entries, per_shard, _n, built_cap, rbt = state
+                if (per_shard, built_cap) != self._fused_hnsw_geom:
+                    return None
+                if index.flat.capacity != built_cap:
+                    return None
+            else:
+                adj, entries, pad_id, _ef, rbt, _n = state
+                if pad_id != self._fused_hnsw_geom:
+                    return None
+            if selective_rows(rbt, codes, index.SELECTIVE_LIMIT) is not None:
+                return None
+            emb, idx_codes, doc_tok = index.flat._arrays
+            rows, bi, ce = fused(
+                self.embedder.params, self.reranker.params,
+                j_ids, j_types, j_mask, qf,
+                emb, idx_codes, adj, entries, doc_tok,
+            )
+            return rows, bi, ce, None, True
+        return None  # pragma: no cover — unknown kind
 
     # -- public API -----------------------------------------------------------
 
@@ -733,8 +738,11 @@ class RAGEngine:
 
         if isinstance(self.index, BroadcastIndex):
             # multi-process: the rebuild is itself a broadcast op so every
-            # process runs the same collective build program
-            return self.index.rebuild_tier(tier)
+            # process runs the same collective build program; workers
+            # re-fuse inside worker_loop, the coordinator re-fuses here
+            out = self.index.rebuild_tier(tier)
+            self._fused_fn = self._maybe_build_fused()
+            return out
         flat = getattr(self.index, "flat", self.index)
         if isinstance(flat, ShardedFlatIndex):
             from financial_rag_system_tpu.index.sharded_hnsw import (
@@ -795,13 +803,22 @@ class RAGEngine:
         return self.cache.clear_ticker(ticker)
 
     def queue_status(self) -> dict[str, Any]:
+        inner = getattr(self.index, "inner", None)
+        tier = (
+            f"Broadcast[{type(inner).__name__}]"
+            if inner is not None
+            else type(self.index).__name__
+        )
         return {
             "mode": self.mode,
             "queue_size": self.batcher.queue_size if self.batcher else 0,
             # ops visibility: which index tier serves and whether the
             # single-program fused pipeline is active (and which kind)
-            "index_tier": type(self.index).__name__,
+            "index_tier": tier,
             "fused_kind": self._fused_kind,
+            # hash stack only: whether the de-aliased stage-2 hash rerank
+            # runs inside the fused program (vs host-side)
+            "fused_hash_rerank": self._fused_hash_rerank,
         }
 
     def ready(self) -> dict[str, Any]:

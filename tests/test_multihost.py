@@ -141,6 +141,8 @@ def test_two_process_sharded_corpus_built_once(tmp_path):
             TESTING="True",
             RAG_TPU_PORT=str(coord_port if pid == 0 else _free_port()),
             FRS_CONTROL_PORT=str(control_port),
+            # exercise the mutual HMAC handshake on the op channel
+            FRS_CONTROL_TOKEN="multihost-test-secret",
             RAG_TPU_CORPUS_TILE="8",
             RAG_TPU_MAX_CORPUS="32",
             DATABASE_URL=str(tmp_path / "cache.db"),
@@ -202,6 +204,16 @@ def test_two_process_sharded_corpus_built_once(tmp_path):
         }
         r = post("/index/upsert", body, timeout=120)
         assert r["indexed_chunks"] == n
+
+        # multi-process serving keeps the FUSED batch path: the TESTING
+        # hash stack + device token store fuse on the sharded mesh, and
+        # each batch is ONE broadcast op (VERDICT r2 item 4)
+        with urllib.request.urlopen(
+            f"http://localhost:{coord_port}/queue_status", timeout=30
+        ) as resp:
+            qs = json.load(resp)
+        assert qs["index_tier"] == "Broadcast[ShardedFlatIndex]", qs
+        assert qs["fused_kind"] == "hash", qs
 
         # a query that only matches a row on the worker's shard
         r = post(

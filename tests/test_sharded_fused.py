@@ -130,9 +130,7 @@ def test_sharded_engine_fused_matches_staged(tmp_path):
     assert eng._fused_fn is not None and eng._fused_kind == "full"
     queries = ["apple services margin", "microsoft cloud growth"]
     filters = [("AAPL", None), ("MSFT", None)]
-    fused = eng._fused_retrieve_batch(
-        queries, filters, eng._fused_fn, eng._fused_kind, eng.index
-    )
+    fused = eng._fused_batch(queries, filters)
     staged = eng._embed_retrieve_batch(queries, filters)
     for (_fv, f_hits), (_sv, s_hits) in zip(fused, staged):
         assert [h["row"] for h in f_hits] == [h["row"] for h in s_hits]
@@ -146,9 +144,8 @@ def test_sharded_engine_fused_quantized(tmp_path):
     eng = _sharded_engine(tmp_path, dtype=jnp.int8)
     assert eng.index.quantized
     assert eng._fused_fn is not None and eng._fused_kind == "full"
-    fused = eng._fused_retrieve_batch(
-        ["apple supply chain risk"], [("AAPL", None)],
-        eng._fused_fn, eng._fused_kind, eng.index,
+    fused = eng._fused_batch(
+        ["apple supply chain risk"], [("AAPL", None)]
     )
     staged = eng._embed_retrieve_batch(
         ["apple supply chain risk"], [("AAPL", None)]
@@ -181,6 +178,80 @@ def test_sharded_save_load_keeps_token_store(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(loaded._doc_tok), np.asarray(eng.index._doc_tok)
     )
+
+
+def _sharded_hash_engine(tmp_path, *, identity=False, store=True):
+    from financial_rag_system_tpu.index.sharded import ShardedFlatIndex
+    from financial_rag_system_tpu.models.embedder import HashEmbedder
+    from financial_rag_system_tpu.models.reranker import HashReranker
+    from financial_rag_system_tpu.serving.engine import RAGEngine
+    from financial_rag_system_tpu.utils.config import Config
+
+    emb = HashEmbedder(dim=64)
+    mesh = create_mesh()
+    index = ShardedFlatIndex(
+        mesh, 64, capacity=512, tile=64,
+        token_store_len=96 if store else None,
+        tokenizer=emb.tokenizer if store else None,
+    )
+    docs = [
+        ("Apple revenue grew 8 percent on iphone demand", "AAPL"),
+        ("Apple services margin expanded again this quarter", "AAPL"),
+        ("Microsoft cloud revenue grew 24 percent", "MSFT"),
+        ("Microsoft operating income rose on azure", "MSFT"),
+        ("Apple supply chain concentration remains a risk", "AAPL"),
+        ("Nvidia data center revenue tripled", "NVDA"),
+    ] * 3
+    vecs = emb.encode([d for d, _ in docs])
+    index.upsert(
+        [f"d{i}" for i in range(len(docs))], vecs,
+        [f"{d} clause {i}" for i, (d, _) in enumerate(docs)],
+        [
+            {"ticker": t, "document_type": "10-Q", "source_file": f"f{i}"}
+            for i, (_, t) in enumerate(docs)
+        ],
+    )
+    cfg = Config(testing=True, database_url=":memory:", embed_dim=64,
+                 breaker_state_path=str(tmp_path / "cbh.json"))
+    return RAGEngine(
+        cfg, index, emb, HashReranker(identity=identity), mode="sequential"
+    ), emb
+
+
+def test_sharded_hash_fused_matches_staged(tmp_path):
+    """The hash stack fuses on a sharded mesh too (the multi-process
+    TESTING deployment's batch path): rows/scores match the staged
+    sharded scan, and the de-aliased rerank matches the host reranker."""
+    eng, emb = _sharded_hash_engine(tmp_path)
+    assert eng._fused_kind == "hash" and eng._fused_hash_rerank
+    queries = ["apple services margin", "microsoft cloud growth"]
+    filters = [("AAPL", None), (None, None)]
+    fused = eng._fused_batch(queries, filters)
+    assert fused is not None
+    staged = eng._embed_retrieve_batch(queries, filters)
+    for q, (f_vec, f_hits), (s_vec, s_hits) in zip(queries, fused, staged):
+        assert [h["row"] for h in f_hits] == [h["row"] for h in s_hits]
+        np.testing.assert_allclose(
+            [h["score"] for h in f_hits], [h["score"] for h in s_hits],
+            rtol=2e-3, atol=2e-3,
+        )
+        np.testing.assert_allclose(f_vec, s_vec, rtol=1e-4, atol=1e-4)
+        host = eng.reranker.score(q, [h["text"] for h in f_hits])
+        np.testing.assert_allclose(
+            [h["rerank_score"] for h in f_hits], host, rtol=1e-4, atol=1e-4
+        )
+    assert all(h["ticker"] == "AAPL" for h in fused[0][1])
+
+
+def test_sharded_hash_fused_identity_testing_mode(tmp_path):
+    """TESTING uses the identity reranker: fused still runs (ce == bi,
+    order-consistent with identity) without a fused hash rerank."""
+    eng, _ = _sharded_hash_engine(tmp_path, identity=True)
+    assert eng._fused_kind == "hash" and not eng._fused_hash_rerank
+    fused = eng._fused_batch(["apple supply chain"], [("AAPL", None)])
+    assert fused is not None
+    _v, hits = fused[0]
+    assert hits and all("rerank_score" in h for h in hits)
 
 
 def _many_docs(n=96):
@@ -216,9 +287,7 @@ def test_sharded_ivf_engine_fused_matches_staged(tmp_path):
     eng.index.SELECTIVE_LIMIT = 0
     queries = ["cloud computing details", "dividend payout details"]
     filters = [("MSFT", None), (None, None)]
-    fused = eng._fused_ivf_batch(
-        queries, filters, eng._fused_fn, eng._fused_kind, eng.index
-    )
+    fused = eng._fused_batch(queries, filters)
     assert fused is not None
     staged = eng._embed_retrieve_batch(queries, filters)
     for (_fv, f_hits), (_sv, s_hits) in zip(fused, staged):
@@ -240,10 +309,7 @@ def test_sharded_ivf_fused_tail_falls_back(tmp_path):
     nv = eng.embedder.encode(["fresh tail chunk on buyback plans"])
     eng.index.upsert(["tail0"], nv, ["fresh tail chunk on buyback plans"],
                      [{"ticker": "AMZN", "document_type": "10-K"}])
-    assert eng._fused_ivf_batch(
-        ["buyback plans"], [("AMZN", None)],
-        eng._fused_fn, eng._fused_kind, eng.index,
-    ) is None
+    assert eng._fused_batch(["buyback plans"], [("AMZN", None)]) is None
     out = eng._dispatch_batch(["buyback plans"], [("AMZN", None)])
     hits = out[0][1]
     assert hits and hits[0]["ticker"] == "AMZN"
@@ -265,9 +331,7 @@ def test_sharded_hnsw_engine_fused_matches_staged(tmp_path):
     eng.index.SELECTIVE_LIMIT = 0
     queries = ["cloud computing details", "supply chain details"]
     filters = [("MSFT", None), (None, None)]
-    fused = eng._fused_hnsw_batch(
-        queries, filters, eng._fused_fn, eng._fused_kind, eng.index
-    )
+    fused = eng._fused_batch(queries, filters)
     assert fused is not None
     staged = eng._embed_retrieve_batch(queries, filters)
     for (_fv, f_hits), (_sv, s_hits) in zip(fused, staged):
@@ -287,13 +351,12 @@ def test_sharded_ivf_fused_geometry_guard(tmp_path):
     )
     eng.rebuild_index("ivf")
     eng.index.SELECTIVE_LIMIT = 0
-    args = (["cloud computing details"], [(None, None)],
-            eng._fused_fn, eng._fused_kind, eng.index)
-    assert eng._fused_ivf_batch(*args) is not None
+    args = (["cloud computing details"], [(None, None)])
+    assert eng._fused_batch(*args) is not None
     state = eng.index._state
     geom = state[5]
     bad = (geom[0], geom[1] + 1, geom[2], geom[3])  # tiles_per_cluster drift
     eng.index._state = state[:5] + (bad,) + state[6:]
-    assert eng._fused_ivf_batch(*args) is None
+    assert eng._fused_batch(*args) is None
     eng.index._state = state
-    assert eng._fused_ivf_batch(*args) is not None
+    assert eng._fused_batch(*args) is not None
