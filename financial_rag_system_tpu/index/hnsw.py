@@ -28,15 +28,24 @@ machine — so this tier splits the algorithm at the hardware boundary:
   candidates — the same semantics as Qdrant's filtered search at
   moderate selectivity.
 
-Upserts after build land in a brute-forced tail (merged at query time),
-and ``rebuild()`` folds them into a fresh graph — mirroring the IVF
-tier's contract (index/ivf.py).
+- **Upserts** enter the graph ONLINE when the native builder is live:
+  the build retains its handle (native/hnsw_loader.NativeHnswGraph) and
+  new rows insert in O(log N) via the same concurrent machinery as the
+  build (hnsw.cpp frs_hnsw_add); only the level-0 rows whose neighbor
+  lists changed are re-shipped to the device adjacency (dirty-row
+  export), and the adjacency is pre-padded to the flat capacity so the
+  jitted walk's static ``pad_id`` never changes — no retrace, no fused
+  fallback.  This matches Qdrant's online upsert semantics (reference
+  ingest.py:171-175).  Loaded-from-disk graphs and the no-native
+  fallback keep the old contract: upserts land in a brute-forced tail
+  (merged at query time) until ``rebuild()`` folds them in.
 """
 
 from __future__ import annotations
 
 import functools
 import os
+import threading
 from typing import Any
 
 import numpy as np
@@ -266,6 +275,9 @@ class HNSWIndex(SearchMixin):
         self.entries_cap = entries_cap
         self.seed = seed
         self._tail_rows: list[int] = []
+        # live native handle (incremental insert); None => tail contract
+        self._native = None
+        self._native_lock = threading.Lock()
         assert flat.n_valid > 0, "build the flat index first"
         self._graph_state = self._build(graph)
 
@@ -277,34 +289,44 @@ class HNSWIndex(SearchMixin):
 
     def _build(self, graph=None) -> None:
         flat = self.flat
+        old_native = self._native
         if graph is None:
             n = flat.n_valid
             vecs = np.asarray(flat._emb[:n], np.float32)
+            if getattr(flat, "quantized", False):
+                vecs = vecs / 127.0
             from financial_rag_system_tpu.native.hnsw_loader import (
-                build_hnsw_graph,
+                build_hnsw_graph_handle,
             )
 
-            graph = build_hnsw_graph(
+            native = build_hnsw_graph_handle(
                 vecs, m=self.m, ef_construction=self.ef_construction,
-                seed=self.seed, entries_cap=self.entries_cap,
+                seed=self.seed,
             )
-            self.native_built = graph is not None
-            if graph is None:
-                if n > self.MAX_FALLBACK_ROWS:
-                    raise RuntimeError(
-                        f"native HNSW builder unavailable and the exact-kNN "
-                        f"fallback is O(N^2) — refusing at {n} rows "
-                        f"(> {self.MAX_FALLBACK_ROWS}); install g++ or use "
-                        f"the IVF tier"
-                    )
-                graph = build_knn_graph(
-                    vecs, m=self.m, entries_cap=self.entries_cap,
-                    seed=self.seed,
+            self.native_built = native is not None
+            if native is not None:
+                state = self._native_state(native, n)
+                self._native = native
+                if old_native is not None and old_native is not native:
+                    old_native.close()
+                return state
+            self._native = None
+            if n > self.MAX_FALLBACK_ROWS:
+                raise RuntimeError(
+                    f"native HNSW builder unavailable and the exact-kNN "
+                    f"fallback is O(N^2) — refusing at {n} rows "
+                    f"(> {self.MAX_FALLBACK_ROWS}); install g++ or use "
+                    f"the IVF tier"
                 )
+            graph = build_knn_graph(
+                vecs, m=self.m, entries_cap=self.entries_cap,
+                seed=self.seed,
+            )
         else:
             # loaded graph: it covers the first adj.shape[0] rows; any
             # rows upserted after the save become the brute-forced tail
             self.native_built = None
+            self._native = None
             n = graph[0].shape[0]
         adj, entries = graph
         # the walk reads the flat index's HBM arrays directly — sentinel
@@ -322,8 +344,38 @@ class HNSWIndex(SearchMixin):
         # standard fix for filtered-ANN recall collapse at low selectivity
         rows_by_ticker = build_ticker_lists(flat, n)
         # one-tuple snapshot: concurrent searches read a consistent
-        # (adjacency, entries, sentinel, ef, inverted-lists) state
-        return (adj_pad, jnp.asarray(entries, jnp.int32), n, ef, rows_by_ticker)
+        # (adjacency, entries, sentinel, ef, inverted-lists, row-count)
+        # state
+        return (
+            adj_pad, jnp.asarray(entries, jnp.int32), n, ef, rows_by_ticker, n,
+        )
+
+    def _native_state(self, native, n: int):
+        """Snapshot for a LIVE native graph: the device adjacency is
+        pre-padded to the flat capacity so the sentinel (== capacity)
+        and the array shape stay constant across incremental inserts —
+        the jitted walk and the fused hnsw program never retrace or fall
+        back on an upsert.  Rows in [n, capacity) are all-sentinel and
+        unreachable until an insert patches them."""
+        flat = self.flat
+        cap = flat.capacity
+        w = 2 * self.m
+        adj_np = np.full((cap + 1, w), cap, np.int32)
+        full = native.adjacency()  # (n, w), -1 padded
+        adj_np[:n] = np.where(full < 0, cap, full)
+        adj_pad = jnp.asarray(adj_np)
+        ent = native.entries(self.entries_cap)
+        # fixed-width entries: sentinel-padded so re-exports after inserts
+        # keep the device shape static (sentinel seeds score -inf and
+        # never expand)
+        ent_np = np.full(self.entries_cap, cap, np.int32)
+        ent_np[: len(ent)] = ent
+        ef = max(self.ef, self.entries_cap)
+        self._host_graph = (np.asarray(full, np.int32), np.asarray(ent))
+        from financial_rag_system_tpu.index.base import build_ticker_lists
+
+        rows_by_ticker = build_ticker_lists(flat, n)
+        return (adj_pad, jnp.asarray(ent_np), cap, ef, rows_by_ticker, n)
 
     # attribute views over the atomic snapshot
     @property
@@ -336,7 +388,7 @@ class HNSWIndex(SearchMixin):
 
     @property
     def n_graph(self) -> int:
-        return self._graph_state[2]
+        return self._graph_state[5]
 
     def rebuild(self) -> None:
         """Fold tail/new rows into a fresh graph.
@@ -344,10 +396,12 @@ class HNSWIndex(SearchMixin):
         The old graph + tail keep serving while the build runs (it can
         take minutes at scale, off the GIL in the native library); the
         swap is a single snapshot assignment, and rows upserted *during*
-        the build land in the fresh tail.
+        the build land in the fresh tail.  With the live native handle
+        rebuild() is optional compaction — online inserts keep the graph
+        current — but still re-runs heuristic selection from scratch.
         """
         state = self._build()
-        new_tail = list(range(state[2], self.flat.n_valid))
+        new_tail = list(range(state[5], self.flat.n_valid))
         self._graph_state, self._tail_rows = state, new_tail
 
     @property
@@ -372,7 +426,7 @@ class HNSWIndex(SearchMixin):
         host_codes=None,
     ) -> tuple[jax.Array, jax.Array]:
         state = self._graph_state  # one atomic read
-        adj_pad, entries, pad_id, ef, rows_by_ticker = state
+        adj_pad, entries, pad_id, ef, rows_by_ticker, _n = state
         # quantized corpora need quantized queries so walk scores and the
         # tail's scores share one scale (cos * 127^2) and merge correctly
         qp = (
@@ -414,13 +468,72 @@ class HNSWIndex(SearchMixin):
             )
         return merge_candidates(s, i, extras, k)
 
-    # -- upserts go to the flat tail until rebuild -----------------------
+    # -- upserts: online insert with a live native graph, else the tail --
 
     def upsert(self, ids, vectors, texts, payloads) -> int:
         start = self.flat.n_valid
         added = self.flat.upsert(ids, vectors, texts, payloads)
-        self._tail_rows.extend(range(start, self.flat.n_valid))
+        end = self.flat.n_valid
+        if end == start:
+            # pure re-upserts: flat arrays updated in place; the walk
+            # reads them live, so results are fresh immediately
+            return added
+        if self._online_insert(start, end):
+            return added
+        self._tail_rows.extend(range(start, end))
         return added
+
+    def _online_insert(self, start: int, end: int) -> bool:
+        """Insert rows [start, end) into the live native graph and patch
+        ONLY the changed device adjacency rows.  False => caller tails.
+
+        Eligibility: a live handle whose node count equals ``start``
+        (ids must stay aligned with flat rows) and a flat capacity that
+        still matches the snapshot's sentinel (a capacity-growing upsert
+        would alias the sentinel with a real row — those rows tail until
+        rebuild()).
+        """
+        native = self._native
+        if native is None:
+            return False
+        with self._native_lock:
+            state = self._graph_state
+            adj_pad, entries_dev, pad_id, ef, rbt, n_graph = state
+            if self._tail_rows or n_graph != start or end > pad_id:
+                return False
+            if self.flat.capacity != pad_id:
+                return False
+            if native.size != start:
+                return False
+            vecs = np.asarray(self.flat._emb[start:end], np.float32)
+            if getattr(self.flat, "quantized", False):
+                vecs = vecs / 127.0
+            native.add(vecs)
+            rows, adj_rows = native.drain_dirty()
+            ent = native.entries(self.entries_cap)
+            # patch the pre-padded device adjacency in place (functional
+            # update: concurrent searches keep their snapshot)
+            adj_new = adj_pad.at[jnp.asarray(rows)].set(
+                jnp.asarray(np.where(adj_rows < 0, pad_id, adj_rows))
+            )
+            ent_np = np.full(self.entries_cap, pad_id, np.int32)
+            ent_np[: len(ent)] = ent
+            # extend the inverted ticker lists with the new rows
+            new_codes = np.asarray(self.flat._codes[0, start:end])
+            rbt2 = dict(rbt)
+            for code in np.unique(new_codes):
+                add_rows = (start + np.where(new_codes == code)[0]).astype(
+                    np.int32
+                )
+                old = rbt2.get(int(code))
+                rbt2[int(code)] = (
+                    add_rows if old is None
+                    else np.concatenate([old, add_rows]).astype(np.int32)
+                )
+            self._graph_state = (
+                adj_new, jnp.asarray(ent_np), pad_id, ef, rbt2, end,
+            )
+        return True
 
     # -- persistence -----------------------------------------------------
 
@@ -428,7 +541,14 @@ class HNSWIndex(SearchMixin):
 
     def save(self, directory: str) -> None:
         self.flat.save(directory)
-        adj, entries = self._host_graph
+        if self._native is not None:
+            # the host copy from build time goes stale under online
+            # inserts: export the live graph
+            with self._native_lock:
+                adj = self._native.adjacency()
+                entries = self._native.entries(self.entries_cap)
+        else:
+            adj, entries = self._host_graph
         np.savez(
             os.path.join(directory, self.GRAPH_FILE),
             adj=adj, entries=entries, m=self.m, n_graph=self.n_graph,

@@ -18,8 +18,14 @@ scheduling:
   the tile list — only probed tiles are ever DMA'd from HBM.  The
   union-of-probes design means every query sees at least its own probed
   clusters (extra tiles only improve recall).
-- Upserts after build append to the tail; ``rebuild()`` folds the tail
-  back in.  Search merges IVF hits with tail hits.
+- **Upserts** after build are ONLINE: each new row is assigned to its
+  nearest centroid and scattered into that cluster's packed block while
+  free slots remain (the packing over-allocates to C_max per cluster),
+  so the probed search sees it immediately — Qdrant's immediate-upsert
+  semantics (reference ingest.py:171-175).  Only when a cluster's block
+  is full does the row spill to the brute-forced tail; ``rebuild()``
+  folds spills back in and re-balances.  Search merges IVF hits with
+  tail hits either way.
 
 Replaces: Qdrant HNSW build+query (reference ingest.py:171-175,
 main.py:215-239) at the 1M-chunk tier of BASELINE.json config 3.
@@ -28,6 +34,7 @@ main.py:215-239) at the 1M-chunk tier of BASELINE.json config 3.
 from __future__ import annotations
 
 import functools
+import threading
 from typing import Any
 
 import numpy as np
@@ -258,6 +265,7 @@ class IVFIndex(SearchMixin):
         self.c_max = ((want + tile - 1) // tile) * tile
         self.tiles_per_cluster = self.c_max // tile
         self.kmeans_iters = kmeans_iters
+        self._upsert_lock = threading.Lock()
         self._state, self._tail_rows = self._build()
 
     # -- build ----------------------------------------------------------
@@ -356,9 +364,12 @@ class IVFIndex(SearchMixin):
             .at[0, pos]
             .set(rows_kept.astype(jnp.int32))
         )
+        # per-cluster fill counts: how many packed slots each cluster
+        # block already uses — the free-slot map for online upserts
+        fill = np.minimum(counts, self.c_max).astype(np.int32)
         state = (
             centroids, packed_emb, packed_codes, packed_gids,
-            rows_by_ticker, assign, row_to_pos,
+            rows_by_ticker, assign, row_to_pos, fill,
         )
         return state, tail
 
@@ -468,7 +479,7 @@ class IVFIndex(SearchMixin):
             )
         return merge_candidates(s, i, extras, k)
 
-    # -- upserts go to the flat tail until rebuild -------------------------
+    # -- upserts: online cluster placement, tail only on overflow ----------
 
     def upsert(self, ids, vectors, texts, payloads) -> int:
         existing = [
@@ -476,25 +487,99 @@ class IVFIndex(SearchMixin):
         ]
         start = self.flat.n_valid
         added = self.flat.upsert(ids, vectors, texts, payloads)
-        self._tail_rows.extend(range(start, self.flat.n_valid))
-        if existing:
-            # re-upserted rows: flat arrays are fresh but the packed IVF
-            # copy is stale — mask the packed slot (one-tuple state swap)
-            # and serve the row from the brute-forced tail until rebuild()
-            # (mirrors Qdrant's immediate-upsert semantics)
-            state = self._state
-            row_to_pos = state[6]
-            masked = [
-                r for r in existing
-                if r < len(row_to_pos) and row_to_pos[r] >= 0
-            ]
-            if masked:
-                gids = state[3].at[0, jnp.asarray(row_to_pos[masked])].set(-1)
-                rtp = row_to_pos.copy()
-                rtp[masked] = -1
-                self._state = state[:3] + (gids,) + state[4:6] + (rtp,)
-                self._tail_rows.extend(masked)
+        end = self.flat.n_valid
+        with self._upsert_lock:
+            if existing:
+                # re-upserted rows: flat arrays are fresh but the packed
+                # IVF copy is stale — mask the packed slot (one-tuple
+                # state swap) and serve the row from the brute-forced
+                # tail until rebuild()
+                state = self._state
+                row_to_pos = state[6]
+                masked = [
+                    r for r in existing
+                    if r < len(row_to_pos) and row_to_pos[r] >= 0
+                ]
+                if masked:
+                    gids = state[3].at[0, jnp.asarray(row_to_pos[masked])].set(
+                        -1
+                    )
+                    rtp = row_to_pos.copy()
+                    rtp[masked] = -1
+                    self._state = state[:3] + (gids,) + state[4:6] + (
+                        rtp,
+                    ) + state[7:]
+                    self._tail_rows.extend(masked)
+            if end > start:
+                self._online_insert(start, end)
         return added
+
+    def _online_insert(self, start: int, end: int) -> None:
+        """Place rows [start, end) into their nearest centroid's packed
+        block where free slots remain (the probed search then sees them
+        immediately); overflowing rows spill to the tail.  Runs under
+        ``_upsert_lock``; the state swap is one tuple assignment so
+        concurrent searches read a consistent packing."""
+        flat = self.flat
+        state = self._state
+        (centroids, packed_emb, packed_codes, packed_gids,
+         rbt, assign, row_to_pos, fill) = state
+        if len(assign) != start:
+            # a persisted load or racing rebuild left a coverage gap:
+            # keep the simple contract for these rows
+            self._tail_rows.extend(range(start, end))
+            return
+        rows = np.arange(start, end)
+        vecs = flat._emb[jnp.asarray(rows)].astype(jnp.float32)
+        if getattr(flat, "quantized", False):
+            vecs = vecs / 127.0
+        new_assign = np.asarray(
+            jnp.argmax(
+                jnp.dot(vecs, centroids.T.astype(jnp.float32),
+                        preferred_element_type=jnp.float32),
+                axis=1,
+            ),
+            np.int32,
+        )
+        fill = fill.copy()
+        new_rtp = np.full(end - start, -1, np.int64)
+        placed_idx, positions, tail_new = [], [], []
+        for i, c in enumerate(new_assign):
+            if fill[c] < self.c_max:
+                positions.append(int(c) * self.c_max + int(fill[c]))
+                placed_idx.append(i)
+                new_rtp[i] = positions[-1]
+                fill[c] += 1
+            else:
+                tail_new.append(int(rows[i]))
+        if placed_idx:
+            pos = jnp.asarray(np.asarray(positions, np.int64))
+            prows = jnp.asarray(rows[placed_idx])
+            packed_emb = packed_emb.at[pos].set(
+                flat._emb[prows].astype(self.dtype)
+            )
+            packed_codes = packed_codes.at[:, pos].set(flat._codes[:, prows])
+            packed_gids = packed_gids.at[0, pos].set(prows.astype(jnp.int32))
+        # extend the host-side maps for ALL new rows (merge_candidates
+        # dedups, so tail rows in the inverted lists are harmless)
+        new_codes = np.asarray(flat._codes[0, start:end])
+        rbt2 = dict(rbt)
+        for code in np.unique(new_codes):
+            add_rows = (start + np.where(new_codes == code)[0]).astype(
+                np.int32
+            )
+            old = rbt2.get(int(code))
+            rbt2[int(code)] = (
+                add_rows if old is None
+                else np.concatenate([old, add_rows]).astype(np.int32)
+            )
+        self._state = (
+            centroids, packed_emb, packed_codes, packed_gids, rbt2,
+            np.concatenate([assign, new_assign]),
+            np.concatenate([row_to_pos, new_rtp]),
+            fill,
+        )
+        self._tail_rows.extend(tail_new)
 
     # -- persistence --------------------------------------------------------
 
@@ -537,6 +622,7 @@ class IVFIndex(SearchMixin):
         idx.c_max = int(data["c_max"])
         idx.tiles_per_cluster = idx.c_max // idx.tile
         idx.kmeans_iters = 10
+        idx._upsert_lock = threading.Lock()
         idx._state, idx._tail_rows = idx._pack(
             assign, np.asarray(data["centroids"], np.float32)
         )

@@ -40,6 +40,7 @@ constexpr int kLockStripes = 4096;  // power of two
 
 struct Hnsw {
   int n = 0, d = 0, m = 0, efc = 0;
+  int lmax = 0;  // level-array bound fixed at build
   std::atomic<int> max_level{-1};
   std::atomic<int> entry{-1};
   std::vector<float> owned;
@@ -48,8 +49,22 @@ struct Hnsw {
   std::vector<std::vector<std::vector<int>>> adj;
   std::vector<std::mutex> locks{kLockStripes};
   std::mutex global;
+  // incremental-insert support: the level-sampling RNG continues the
+  // build's deterministic stream, and dirty tracks level-0 rows whose
+  // neighbor lists changed since the last export (so the caller patches
+  // only those device rows instead of re-shipping the whole adjacency)
+  std::mt19937 level_rng;
+  bool track_dirty = false;
+  std::mutex dirty_mu;
+  std::vector<int> dirty;
 
   std::mutex& lock_for(int node) { return locks[node & (kLockStripes - 1)]; }
+
+  void mark_dirty(int node) {
+    if (!track_dirty) return;
+    std::lock_guard<std::mutex> g(dirty_mu);
+    dirty.push_back(node);
+  }
 
   float sim(int a, int b) const {
     const float* x = owned.data() + (size_t)a * d;
@@ -154,15 +169,19 @@ std::vector<int> select_heuristic(const Hnsw& h, std::vector<SimNode> cand,
 }
 
 void connect(Hnsw& h, int node, int nb, int level) {
-  std::lock_guard<std::mutex> g(h.lock_for(nb));
-  auto& nbrs = h.adj[level][nb];
-  nbrs.push_back(node);
-  int c = h.cap(level);
-  if ((int)nbrs.size() <= c) return;
-  std::vector<SimNode> cand;
-  cand.reserve(nbrs.size());
-  for (int x : nbrs) cand.push_back({h.sim(nb, x), x});
-  nbrs = select_heuristic(h, std::move(cand), c);
+  {
+    std::lock_guard<std::mutex> g(h.lock_for(nb));
+    auto& nbrs = h.adj[level][nb];
+    nbrs.push_back(node);
+    int c = h.cap(level);
+    if ((int)nbrs.size() > c) {
+      std::vector<SimNode> cand;
+      cand.reserve(nbrs.size());
+      for (int x : nbrs) cand.push_back({h.sim(nb, x), x});
+      nbrs = select_heuristic(h, std::move(cand), c);
+    }
+  }
+  if (level == 0) h.mark_dirty(nb);
 }
 
 void insert(Hnsw& h, int q, std::vector<int>& visit_mark, int& stamp,
@@ -192,6 +211,7 @@ void insert(Hnsw& h, int q, std::vector<int>& visit_mark, int& stamp,
       std::lock_guard<std::mutex> g(h.lock_for(q));
       h.adj[l][q] = nbrs;
     }
+    if (l == 0) h.mark_dirty(q);
     for (int nb : nbrs) connect(h, q, nb, l);
     // best found seeds the next (lower) layer
     float bs = -1e30f;
@@ -227,6 +247,7 @@ void* frs_hnsw_build(const float* vecs, int n, int d, int m,
   h->levels.assign(n, 0);
   // generous level bound; vectors beyond max observed level stay empty
   int lmax = (int)(std::log((double)n) / std::log(std::max(2, m))) + 2;
+  h->lmax = lmax;
   h->adj.assign(lmax + 1, std::vector<std::vector<int>>(n));
 
   // pre-sample levels (deterministic given seed, independent of thread
@@ -264,7 +285,98 @@ void* frs_hnsw_build(const float* vecs, int n, int d, int m,
     for (auto& t : pool) t.join();
   }
   for (int q = 0; q < n; q++) h->levels[q] = node_level[q];
+  // hand the exhausted sampling stream to the incremental path and only
+  // start dirty tracking now (the full build is exported wholesale)
+  h->level_rng = rng;
+  h->track_dirty = true;
   return h;
+}
+
+// Insert `count` new vectors into an existing graph (same concurrent
+// scheme as the build).  New node ids are [old_n, old_n+count).  Level
+// sampling continues the build's deterministic RNG stream.  Returns the
+// new node count, or -1 on error.
+int frs_hnsw_add(void* hp, const float* vecs, int count, int n_threads) {
+  auto* h = (Hnsw*)hp;
+  if (!h || count <= 0) return -1;
+  int old_n = h->n;
+  int new_n = old_n + count;
+  h->owned.resize((size_t)new_n * h->d);
+  std::memcpy(h->owned.data() + (size_t)old_n * h->d, vecs,
+              sizeof(float) * (size_t)count * h->d);
+  h->levels.resize(new_n, 0);
+  for (auto& level_adj : h->adj) level_adj.resize(new_n);
+
+  std::uniform_real_distribution<double> unif(0.0, 1.0);
+  double ml = 1.0 / std::log(std::max(2, h->m));
+  std::vector<int> node_level(count);
+  for (int i = 0; i < count; i++) {
+    int level = (int)(-std::log(std::max(1e-12, unif(h->level_rng))) * ml);
+    node_level[i] = std::min(level, h->lmax);
+  }
+  h->n = new_n;
+
+  if (n_threads <= 0)
+    n_threads = std::max(1u, std::thread::hardware_concurrency());
+  n_threads = std::min(n_threads, std::max(1, count / 256));
+
+  if (n_threads <= 1) {
+    std::vector<int> visit_mark(new_n, -1);
+    int stamp = 0;
+    for (int i = 0; i < count; i++) {
+      insert(*h, old_n + i, visit_mark, stamp, node_level[i]);
+      h->levels[old_n + i] = node_level[i];
+    }
+  } else {
+    std::atomic<int> next{0};
+    auto worker = [&]() {
+      std::vector<int> visit_mark(new_n, -1);
+      int stamp = 0;
+      for (;;) {
+        int i = next.fetch_add(1, std::memory_order_relaxed);
+        if (i >= count) break;
+        insert(*h, old_n + i, visit_mark, stamp, node_level[i]);
+        h->levels[old_n + i] = node_level[i];
+      }
+    };
+    std::vector<std::thread> pool;
+    for (int t = 0; t < n_threads; t++) pool.emplace_back(worker);
+    for (auto& t : pool) t.join();
+  }
+  return new_n;
+}
+
+int frs_hnsw_size(void* hp) { return ((Hnsw*)hp)->n; }
+
+// Deduplicated level-0 rows whose neighbor lists changed since the last
+// drain.  Call with cap=0 to size the buffer; a second call with
+// cap >= count drains (clears) the list.  Returns the deduped count.
+int frs_hnsw_dirty(void* hp, int32_t* out, int cap) {
+  auto* h = (Hnsw*)hp;
+  std::lock_guard<std::mutex> g(h->dirty_mu);
+  std::sort(h->dirty.begin(), h->dirty.end());
+  h->dirty.erase(std::unique(h->dirty.begin(), h->dirty.end()),
+                 h->dirty.end());
+  int cnt = (int)h->dirty.size();
+  if (cap < cnt) return cnt;  // sizing call: nothing drained
+  for (int i = 0; i < cnt; i++) out[i] = h->dirty[i];
+  h->dirty.clear();
+  return cnt;
+}
+
+// Level-0 adjacency for an explicit row list: out is (count, 2m) int32,
+// -1 padded.  Returns 2m.
+int frs_hnsw_rows(void* hp, const int32_t* rows, int count, int32_t* out) {
+  auto* h = (Hnsw*)hp;
+  int w = 2 * h->m;
+  for (int i = 0; i < count; i++) {
+    int node = rows[i];
+    std::vector<int> nb = h->neighbors(0, node);
+    int j = 0;
+    for (; j < (int)nb.size() && j < w; j++) out[(size_t)i * w + j] = nb[j];
+    for (; j < w; j++) out[(size_t)i * w + j] = -1;
+  }
+  return w;
 }
 
 int frs_hnsw_max_level(void* hp) { return ((Hnsw*)hp)->max_level.load(); }

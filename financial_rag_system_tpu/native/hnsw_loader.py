@@ -63,9 +63,128 @@ def _get_lib() -> ctypes.CDLL | None:
         lib.frs_hnsw_adjacency0.argtypes = [ctypes.c_void_p, i32p]
         lib.frs_hnsw_entries.restype = ctypes.c_int
         lib.frs_hnsw_entries.argtypes = [ctypes.c_void_p, i32p, ctypes.c_int]
+        lib.frs_hnsw_add.restype = ctypes.c_int
+        lib.frs_hnsw_add.argtypes = [
+            ctypes.c_void_p, f32p, ctypes.c_int, ctypes.c_int,
+        ]
+        lib.frs_hnsw_size.restype = ctypes.c_int
+        lib.frs_hnsw_size.argtypes = [ctypes.c_void_p]
+        lib.frs_hnsw_dirty.restype = ctypes.c_int
+        lib.frs_hnsw_dirty.argtypes = [ctypes.c_void_p, i32p, ctypes.c_int]
+        lib.frs_hnsw_rows.restype = ctypes.c_int
+        lib.frs_hnsw_rows.argtypes = [
+            ctypes.c_void_p, i32p, ctypes.c_int, i32p,
+        ]
         lib.frs_hnsw_destroy.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
+
+
+class NativeHnswGraph:
+    """A live native HNSW handle supporting O(log N) incremental insert.
+
+    Where :func:`build_hnsw_graph` builds, exports, and destroys, this
+    class RETAINS the handle so post-build upserts enter the graph via
+    the concurrent insert path (hnsw.cpp frs_hnsw_add) instead of piling
+    into a brute-forced tail until a full rebuild (Qdrant's online
+    upsert semantics — reference ingest.py:171-175).  ``drain_dirty``
+    returns exactly the level-0 rows whose neighbor lists changed since
+    the last drain, so the caller patches only those rows of the
+    device-resident adjacency.
+
+    Not thread-safe; callers serialize access (index/hnsw.py holds a
+    lock around add/drain).
+    """
+
+    def __init__(self, lib: ctypes.CDLL, handle: int, m: int):
+        self._lib = lib
+        self._handle = handle
+        self.m = m
+
+    @property
+    def size(self) -> int:
+        return self._lib.frs_hnsw_size(self._handle)
+
+    def add(self, vecs: np.ndarray, *, n_threads: int = 0) -> int:
+        """Insert rows; new node ids continue from the current size."""
+        v = np.ascontiguousarray(vecs, np.float32)
+        out = self._lib.frs_hnsw_add(
+            self._handle,
+            v.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            v.shape[0], n_threads,
+        )
+        if out < 0:
+            raise RuntimeError("frs_hnsw_add failed")
+        return out
+
+    def drain_dirty(self) -> tuple[np.ndarray, np.ndarray]:
+        """(rows, adjacency (len(rows), 2M) int32 -1-padded) changed since
+        the last drain; clears the dirty set."""
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        count = self._lib.frs_hnsw_dirty(self._handle, None, 0)
+        if count <= 0:
+            return (np.empty(0, np.int32), np.empty((0, 2 * self.m), np.int32))
+        rows = np.empty(count, np.int32)
+        got = self._lib.frs_hnsw_dirty(
+            self._handle, rows.ctypes.data_as(i32p), count
+        )
+        rows = rows[:got]
+        adj = np.empty((got, 2 * self.m), np.int32)
+        self._lib.frs_hnsw_rows(
+            self._handle, rows.ctypes.data_as(i32p), got,
+            adj.ctypes.data_as(i32p),
+        )
+        return rows, adj
+
+    def entries(self, cap: int) -> np.ndarray:
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        ent = np.empty(cap, np.int32)
+        cnt = self._lib.frs_hnsw_entries(
+            self._handle, ent.ctypes.data_as(i32p), cap
+        )
+        return ent[:cnt].copy()
+
+    def adjacency(self) -> np.ndarray:
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        n = self.size
+        adj = np.empty((n, 2 * self.m), np.int32)
+        self._lib.frs_hnsw_adjacency0(self._handle, adj.ctypes.data_as(i32p))
+        return adj
+
+    def close(self) -> None:
+        if self._handle:
+            self._lib.frs_hnsw_destroy(self._handle)
+            self._handle = 0
+
+    def __del__(self):  # pragma: no cover — GC backstop
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+def build_hnsw_graph_handle(
+    vecs: np.ndarray,
+    *,
+    m: int = 16,
+    ef_construction: int = 100,
+    seed: int = 0,
+    n_threads: int = 0,
+) -> NativeHnswGraph | None:
+    """Native build that RETAINS the handle for incremental insert.
+    Returns None when native code is unavailable."""
+    lib = _get_lib()
+    if lib is None:
+        return None
+    v = np.ascontiguousarray(vecs, np.float32)
+    n, d = v.shape
+    handle = lib.frs_hnsw_build(
+        v.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        n, d, m, ef_construction, seed, n_threads,
+    )
+    if not handle:
+        return None
+    return NativeHnswGraph(lib, handle, m)
 
 
 def build_hnsw_graph(

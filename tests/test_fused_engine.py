@@ -81,9 +81,7 @@ def test_fused_matches_staged(tmp_path, stack):
     queries = ["apple services margin", "microsoft cloud growth"]
     filters = [("AAPL", None), ("MSFT", None)]
 
-    fused = eng._fused_retrieve_batch(
-        queries, filters, eng._fused_fn, eng._fused_kind, eng.index
-    )
+    fused = eng._fused_batch(queries, filters)
     staged = eng._embed_retrieve_batch(queries, filters)
     for (_f_vec, f_hits), (_s_vec, s_hits) in zip(fused, staged):
         assert [h["row"] for h in f_hits] == [h["row"] for h in s_hits]
@@ -174,9 +172,7 @@ def test_hash_fused_matches_staged(tmp_path):
 
     queries = ["apple services margin", "microsoft cloud growth"]
     filters = [("AAPL", None), ("MSFT", None)]
-    fused = eng._fused_retrieve_batch(
-        queries, filters, eng._fused_fn, eng._fused_kind, eng.index
-    )
+    fused = eng._fused_batch(queries, filters)
     staged = eng._embed_retrieve_batch(queries, filters)
     for (f_vec, f_hits), (s_vec, s_hits) in zip(fused, staged):
         assert [h["row"] for h in f_hits] == [h["row"] for h in s_hits]
@@ -202,9 +198,7 @@ def test_quantized_flat_fused_matches_staged(tmp_path):
 
     queries = ["apple services margin", "microsoft cloud growth"]
     filters = [("AAPL", None), (None, None)]
-    fused = eng._fused_retrieve_batch(
-        queries, filters, eng._fused_fn, eng._fused_kind, eng.index
-    )
+    fused = eng._fused_batch(queries, filters)
     staged = eng._embed_retrieve_batch(queries, filters)
     for (_fv, f_hits), (_sv, s_hits) in zip(fused, staged):
         assert f_hits and [h["row"] for h in f_hits] == [
@@ -214,6 +208,99 @@ def test_quantized_flat_fused_matches_staged(tmp_path):
             [h["score"] for h in f_hits], [h["score"] for h in s_hits],
             rtol=1e-5,
         )
+
+
+def _hash_flat_index_with_store(n_docs: int = 6, *, dtype=None, capacity=128):
+    """Hash stack + device token store: enables the fused DE-ALIASED
+    hash rerank (ops/fused_query.fused_hash_rerank_query)."""
+    import jax.numpy as jnp  # noqa: F401
+
+    from financial_rag_system_tpu.models.embedder import HashEmbedder
+
+    emb = HashEmbedder(dim=64)
+    kw = {"dtype": dtype} if dtype is not None else {}
+    index = FlatIndex(
+        64, capacity=capacity, tile=128, use_pallas=False,
+        token_store_len=96, tokenizer=emb.tokenizer, **kw,
+    )
+    texts = [f"{DOCS[i % len(DOCS)][0]} clause {i}" for i in range(n_docs)]
+    tickers = [DOCS[i % len(DOCS)][1] for i in range(n_docs)]
+    index.upsert(
+        [f"d{i}" for i in range(n_docs)], emb.encode(texts), texts,
+        [
+            {"ticker": t, "document_type": "10-Q", "source_file": f"f{i}"}
+            for i, t in enumerate(tickers)
+        ],
+    )
+    return emb, index
+
+
+def test_hash_rerank_dealiased_fused_matches_host(tmp_path):
+    """The de-aliased HashReranker (seed 13 vs the embedder's 7) makes
+    stage 2 a real model: the fused program's on-device rerank scores
+    must equal the host reranker's, and a dropped/permuted rerank would
+    fail this test (VERDICT r2 item 7)."""
+    from financial_rag_system_tpu.models.reranker import HashReranker
+
+    emb, index = _hash_flat_index_with_store(12)
+    rr = HashReranker()
+    assert not rr.identity
+    cfg = Config(testing=True, database_url=":memory:", embed_dim=64,
+                 breaker_state_path=str(tmp_path / "cb.json"))
+    eng = RAGEngine(cfg, index, emb, rr, mode="sequential")
+    assert eng._fused_kind == "hash" and eng._fused_hash_rerank
+
+    queries = ["apple services margin", "microsoft cloud growth"]
+    filters = [(None, None), (None, None)]
+    fused = eng._fused_batch(queries, filters)
+    assert fused is not None
+    reordered = 0
+    for q, (_v, hits) in zip(queries, fused):
+        assert hits and all("rerank_score" in h for h in hits)
+        host = rr.score(q, [h["text"] for h in hits])
+        np.testing.assert_allclose(
+            [h["rerank_score"] for h in hits], host, rtol=1e-4, atol=1e-4
+        )
+        # retrieval (bi) ordering is descending by construction; the
+        # de-aliased rerank must be a DIFFERENT ordering somewhere,
+        # otherwise the two stages are aliased again
+        order = np.argsort([h["rerank_score"] for h in hits])[::-1]
+        if list(order) != list(range(len(hits))):
+            reordered += 1
+    assert reordered > 0
+
+
+def test_hash_rerank_dealiased_ask_sorts_by_rerank(tmp_path):
+    import asyncio
+
+    from financial_rag_system_tpu.models.reranker import HashReranker
+
+    emb, index = _hash_flat_index_with_store(12)
+    cfg = Config(testing=True, database_url=":memory:", embed_dim=64,
+                 breaker_state_path=str(tmp_path / "cb2.json"))
+    eng = RAGEngine(cfg, index, emb, HashReranker(), mode="sequential")
+    resp = asyncio.run(eng.ask("apple services margin", "AAPL", top_k=3))
+    scores = [s["score"] for s in resp["sources"]]
+    assert scores == sorted(scores, reverse=True)
+    # "score" in the response is the rerank score (reference schema)
+    assert len(scores) == 3
+
+
+def test_hash_no_store_falls_back_to_host_rerank(tmp_path):
+    """Non-identity hash stack WITHOUT a token store: embed+search still
+    fuse, but hits must NOT carry a fabricated rerank_score (the host
+    reranker runs instead)."""
+    from financial_rag_system_tpu.models.reranker import HashReranker
+
+    emb, index = _hash_flat_index()  # no token store
+    cfg = Config(testing=True, database_url=":memory:", embed_dim=64,
+                 breaker_state_path=str(tmp_path / "cb3.json"))
+    eng = RAGEngine(cfg, index, emb, HashReranker(), mode="sequential")
+    assert eng._fused_kind == "hash" and not eng._fused_hash_rerank
+    fused = eng._fused_batch(["apple services margin"], [(None, None)])
+    assert fused is not None
+    _v, hits = fused[0]
+    assert hits and all("rerank_score" not in h for h in hits)
 
 
 # -- fused IVF tier ----------------------------------------------------------
@@ -238,14 +325,36 @@ def _ivf_engine(tmp_path, *, dtype=None, n_docs=32):
     return eng, ivf
 
 
+def test_ivf_hash_rerank_dealiased_matches_host(tmp_path):
+    """De-aliased hash rerank through the fused IVF program (global flat
+    rows gather the token store directly)."""
+    from financial_rag_system_tpu.index.ivf import IVFIndex
+    from financial_rag_system_tpu.models.reranker import HashReranker
+
+    emb, flat = _hash_flat_index_with_store(32, capacity=256)
+    ivf = IVFIndex(flat, n_clusters=4, nprobe=4, tile=16, c_max=64)
+    ivf.SELECTIVE_LIMIT = 0
+    rr = HashReranker()
+    cfg = Config(testing=True, database_url=":memory:", embed_dim=64,
+                 breaker_state_path=str(tmp_path / "cb.json"))
+    eng = RAGEngine(cfg, ivf, emb, rr, mode="sequential")
+    assert eng._fused_kind == "ivf_hash" and eng._fused_hash_rerank
+    fused = eng._fused_batch(["apple services margin"], [(None, None)])
+    assert fused is not None
+    _v, hits = fused[0]
+    assert hits and all("rerank_score" in h for h in hits)
+    host = rr.score("apple services margin", [h["text"] for h in hits])
+    np.testing.assert_allclose(
+        [h["rerank_score"] for h in hits], host, rtol=1e-4, atol=1e-4
+    )
+
+
 def test_ivf_hash_fused_matches_staged(tmp_path):
     eng, ivf = _ivf_engine(tmp_path)
     assert eng._fused_kind == "ivf_hash"
     queries = ["apple services margin", "microsoft cloud growth"]
     filters = [("AAPL", None), (None, "10-Q")]
-    fused = eng._fused_ivf_batch(
-        queries, filters, eng._fused_fn, eng._fused_kind, eng.index
-    )
+    fused = eng._fused_batch(queries, filters)
     assert fused is not None
     staged = eng._embed_retrieve_batch(queries, filters)
     for (f_vec, f_hits), (s_vec, s_hits) in zip(fused, staged):
@@ -264,10 +373,7 @@ def test_ivf_quantized_fused_matches_staged(tmp_path):
 
     eng, ivf = _ivf_engine(tmp_path, dtype=jnp.int8)
     assert eng._fused_kind == "ivf_hash"
-    fused = eng._fused_ivf_batch(
-        ["apple margin"], [(None, None)], eng._fused_fn, eng._fused_kind,
-        eng.index,
-    )
+    fused = eng._fused_batch(["apple margin"], [(None, None)])
     staged = eng._embed_retrieve_batch(["apple margin"], [(None, None)])
     assert [h["row"] for h in fused[0][1]] == [h["row"] for h in staged[0][1]]
 
@@ -278,28 +384,35 @@ def test_ivf_fused_falls_back_on_tail_and_selective(tmp_path):
     # staged path: restore the default limit and the fused batch declines
     ivf.SELECTIVE_LIMIT = 8192
     assert (
-        eng._fused_ivf_batch(
-            ["q"], [("AAPL", None)], eng._fused_fn, eng._fused_kind, eng.index
-        )
+        eng._fused_batch(["q"], [("AAPL", None)])
         is None
     )
     ivf.SELECTIVE_LIMIT = 0
-    # tail rows (post-build upserts) also decline fused until rebuild()
+    # NEW rows now insert online (free packed slots): no tail, fused
+    # keeps serving and finds the row through the probed kernel
     ivf.upsert(
         ["new1"], eng.embedder.encode(["brand new apple risk factor"]),
         ["brand new apple risk factor"],
         [{"ticker": "AAPL", "document_type": "10-K", "source_file": "fN"}],
     )
-    assert ivf._tail_rows
-    assert (
-        eng._fused_ivf_batch(
-            ["q"], [("AAPL", None)], eng._fused_fn, eng._fused_kind, eng.index
-        )
-        is None
+    assert not ivf._tail_rows
+    out = eng._fused_batch(
+        ["brand new apple risk factor"], [("AAPL", "10-K")]
     )
+    assert out is not None
+    assert ivf.store.id_to_row["new1"] in [h["row"] for h in out[0][1]]
+    # RE-upserting an existing id masks its stale packed copy into the
+    # tail — that still declines fusion until rebuild()
+    ivf.upsert(
+        ["new1"], eng.embedder.encode(["revised apple risk factor"]),
+        ["revised apple risk factor"],
+        [{"ticker": "AAPL", "document_type": "10-K", "source_file": "fN"}],
+    )
+    assert ivf._tail_rows
+    assert eng._fused_batch(["q"], [("AAPL", None)]) is None
     # and the dispatch path still answers correctly via staged
     out = eng._dispatch_batch(
-        ["brand new apple risk factor"], [("AAPL", "10-K")]
+        ["revised apple risk factor"], [("AAPL", "10-K")]
     )
     rows = [h["row"] for h in out[0][1]]
     assert ivf.store.id_to_row["new1"] in rows
@@ -315,9 +428,7 @@ def test_ivf_full_fused_matches_flat_fused(tmp_path, stack):
     eng_flat = _engine(tmp_path, stack, mode="sequential")
     queries = ["apple services margin", "microsoft cloud growth"]
     filters = [("AAPL", None), ("MSFT", None)]
-    flat_out = eng_flat._fused_retrieve_batch(
-        queries, filters, eng_flat._fused_fn, eng_flat._fused_kind, index
-    )
+    flat_out = eng_flat._fused_batch(queries, filters)
 
     ivf = IVFIndex(index, n_clusters=2, nprobe=2, tile=16)
     ivf.SELECTIVE_LIMIT = 0
@@ -327,9 +438,7 @@ def test_ivf_full_fused_matches_flat_fused(tmp_path, stack):
     )
     eng = RAGEngine(cfg, ivf, embedder, reranker, mode="sequential")
     assert eng._fused_kind == "ivf_full"
-    ivf_out = eng._fused_ivf_batch(
-        queries, filters, eng._fused_fn, eng._fused_kind, eng.index
-    )
+    ivf_out = eng._fused_batch(queries, filters)
     assert ivf_out is not None
     for (_fv, f_hits), (_iv, i_hits) in zip(flat_out, ivf_out):
         assert [h["row"] for h in f_hits] == [h["row"] for h in i_hits]
@@ -350,21 +459,24 @@ def test_hnsw_fused_matches_staged(tmp_path, stack):
     eng.index.SELECTIVE_LIMIT = 0  # tiny corpus: every ticker is selective
     queries = ["apple services margin", "microsoft cloud growth"]
     filters = [("AAPL", None), (None, None)]
-    fused = eng._fused_hnsw_batch(
-        queries, filters, eng._fused_fn, eng._fused_kind, eng.index
-    )
+    fused = eng._fused_batch(queries, filters)
     assert fused is not None
     staged = eng._embed_retrieve_batch(queries, filters)
     for (_fv, f_hits), (_sv, s_hits) in zip(fused, staged):
         assert {h["row"] for h in f_hits} == {h["row"] for h in s_hits}
         assert all("rerank_score" in h for h in f_hits)
     assert all(h["ticker"] == "AAPL" for h in fused[0][1])
-    # tail row => staged fallback until rebuild
     vecs = eng.embedder.encode(["fresh doc"])
     eng.index.upsert(["fresh"], vecs, ["fresh doc"], [{"ticker": "NEW"}])
-    assert eng._fused_hnsw_batch(
-        queries, filters, eng._fused_fn, eng._fused_kind, eng.index
-    ) is None
+    if eng.index._native is not None:
+        # ONLINE insert (native builder live): the graph absorbed the row
+        # in O(log N), the fused program's geometry is untouched, and the
+        # fused path keeps serving (VERDICT r2 item 3)
+        assert not eng.index._tail_rows
+        assert eng._fused_batch(queries, filters) is not None
+    else:
+        # no native builder: tail row => staged fallback until rebuild
+        assert eng._fused_batch(queries, filters) is None
 
 
 def test_hnsw_fused_geometry_guard(tmp_path, stack):
@@ -377,12 +489,6 @@ def test_hnsw_fused_geometry_guard(tmp_path, stack):
     state = eng.index._graph_state
     # simulate a snapshot swap with different geometry (pad_id + 1)
     eng.index._graph_state = state[:2] + (state[2] + 1,) + state[3:]
-    assert eng._fused_hnsw_batch(
-        ["apple services margin"], [(None, None)],
-        eng._fused_fn, eng._fused_kind, eng.index,
-    ) is None
+    assert eng._fused_batch(["apple services margin"], [(None, None)]) is None
     eng.index._graph_state = state
-    assert eng._fused_hnsw_batch(
-        ["apple services margin"], [(None, None)],
-        eng._fused_fn, eng._fused_kind, eng.index,
-    ) is not None
+    assert eng._fused_batch(["apple services margin"], [(None, None)]) is not None

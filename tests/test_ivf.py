@@ -104,7 +104,10 @@ def test_ivf_pallas_interpret_matches_xla(rng):
     )
 
 
-def test_ivf_tail_upsert_and_rebuild(rng):
+def test_ivf_online_upsert_enters_packing(rng):
+    """New rows place into their nearest centroid's free packed slots —
+    found by the PROBED search with an empty tail (Qdrant's immediate
+    upsert semantics, VERDICT r2 item 3)."""
     vecs = _clustered_corpus(rng, n=500, d=32, n_centers=4)
     flat = _flat(rng, vecs)
     ivf = IVFIndex(flat, n_clusters=4, nprobe=4, tile=128)
@@ -116,14 +119,43 @@ def test_ivf_tail_upsert_and_rebuild(rng):
         ["n0", "n1", "n2"], new, ["t0", "t1", "t2"],
         [{"ticker": "NVDA", "document_type": "10-K"}] * 3,
     )
-    assert len(ivf._tail_rows) == tail0 + 3
+    assert len(ivf._tail_rows) == tail0  # online: no new tail rows
+    state = ivf._state
+    assert len(state[5]) == flat.n_valid  # assignment covers the new rows
     hits = ivf.search(new[0], ticker="NVDA", k=3)[0]
-    assert hits and hits[0]["text"] == "t0"  # tail rows are searchable
+    assert hits and hits[0]["text"] == "t0"  # probed search finds them
 
     ivf.rebuild()
-    assert len(ivf._tail_rows) < tail0 + 3 or not ivf._tail_rows
     hits = ivf.search(new[0], ticker="NVDA", k=3)[0]
     assert hits and hits[0]["text"] == "t0"
+
+
+def test_ivf_online_upsert_spills_full_cluster(rng):
+    """When a cluster's packed block is full the row spills to the tail
+    (bounded memory waste, no recall loss) and rebuild() rebalances."""
+    vecs = _clustered_corpus(rng, n=512, d=32, n_centers=2)
+    flat = _flat(rng, vecs)
+    # tiny c_max so clusters start (nearly) full
+    ivf = IVFIndex(flat, n_clusters=2, nprobe=2, tile=128, c_max=128)
+    fill0 = ivf._state[7].copy()
+    n_new = (256 - int(fill0.sum())) + 8  # guarantee at least 8 spills
+    new = rng.standard_normal((n_new, 32)).astype(np.float32)
+    new /= np.linalg.norm(new, axis=1, keepdims=True)
+    ivf.upsert(
+        [f"s{i}" for i in range(n_new)], new,
+        [f"spill {i}" for i in range(n_new)],
+        [{"ticker": "NVDA", "document_type": "10-K"}] * n_new,
+    )
+    assert (ivf._state[7] <= 128).all()
+    assert ivf._tail_rows  # overflow went to the tail
+    # every new row is findable (packed or tail)
+    hits = ivf.search(new[-1], ticker="NVDA", k=3)[0]
+    assert hits and hits[0]["text"] == f"spill {n_new - 1}"
+    ivf.rebuild()
+    # c_max is fixed at init, so the corpus genuinely exceeds the packed
+    # capacity here — rebuild rebalances but spills remain searchable
+    hits = ivf.search(new[-1], ticker="NVDA", k=3)[0]
+    assert hits and hits[0]["text"] == f"spill {n_new - 1}"
 
 
 def test_save_load_round_trip(tmp_path):
