@@ -49,15 +49,46 @@ def build_index(n_chunks: int, embedder, use_pallas: bool, *, hard: bool = False
     return index
 
 
-def trained_encoder(*, steps: int = 150, seed: int = 0, lr: float = 3e-4):
-    """Contrastively fine-tuned compact BERT bi-encoder.
+def _encoder_cfg(arch: str):
+    from financial_rag_system_tpu.models import bert
 
-    Trains a random-init 4-layer tower on (paraphrase, positive) pairs
-    whose WORDING is disjoint from the hard eval queries
-    (data/synthetic.py TRAIN_PARAPHRASES) — the no-egress stand-in for
-    the reference's pretrained BGE weights (reference main.py:84): it
-    demonstrates a *learned* dense retriever through the full
-    train->index->serve loop rather than the lexical hash stand-in.
+    if arch == "bge":
+        # the FULL serving architecture (BAAI/bge-small-en-v1.5 shape,
+        # reference main.py:84) — ~33M params, a trivial fit for one v5e
+        return bert.BGE_SMALL
+    return bert.BertConfig(
+        vocab_size=30522, hidden=128, layers=4, heads=4, intermediate=256,
+        max_positions=128, with_pooler=True,
+    )
+
+
+def _reranker_cfg(arch: str):
+    from financial_rag_system_tpu.models import bert
+
+    if arch == "bge":
+        # full cross-encoder architecture (ms-marco MiniLM-L-6 shape,
+        # reference main.py:86-90)
+        return bert.MINILM_L6_CROSS
+    return bert.BertConfig(
+        vocab_size=30522, hidden=128, layers=2, heads=4, intermediate=256,
+        max_positions=256, with_pooler=True, num_labels=1,
+    )
+
+
+def trained_encoder(
+    *, steps: int = 150, seed: int = 0, lr: float | None = None,
+    arch: str = "compact",
+):
+    """Contrastively fine-tuned BERT bi-encoder (random init, no egress).
+
+    Trains on (paraphrase, positive) pairs whose WORDING is disjoint
+    from the hard eval queries (data/synthetic.py TRAIN_PARAPHRASES) —
+    the no-egress stand-in for the reference's pretrained BGE weights
+    (reference main.py:84): it demonstrates a *learned* dense retriever
+    through the full train->index->serve loop rather than the lexical
+    hash stand-in.  ``arch="bge"`` trains the FULL serving architecture
+    (12L/384/30522); "compact" is the fast 4-layer tower for hermetic
+    runs.
     """
     import jax
 
@@ -67,10 +98,9 @@ def trained_encoder(*, steps: int = 150, seed: int = 0, lr: float = 3e-4):
     from financial_rag_system_tpu.models.tokenizer import Tokenizer
     from financial_rag_system_tpu.train.contrastive import train
 
-    cfg = bert.BertConfig(
-        vocab_size=30522, hidden=128, layers=4, heads=4, intermediate=256,
-        max_positions=128, with_pooler=True,
-    )
+    cfg = _encoder_cfg(arch)
+    if lr is None:
+        lr = 1e-4 if arch == "bge" else 3e-4
     params = bert.init_params(jax.random.PRNGKey(seed), cfg)
     pairs = make_train_pairs()
     epochs = max(1, (steps * 32) // len(pairs))
@@ -79,15 +109,68 @@ def trained_encoder(*, steps: int = 150, seed: int = 0, lr: float = 3e-4):
         params, cfg, pairs, epochs=epochs, batch_size=32, lr=lr, seed=seed,
     )
     print(
-        f"trained {len(losses)} steps on {len(pairs)} pairs in "
+        f"trained {arch} encoder ({cfg.layers}L/{cfg.hidden}) "
+        f"{len(losses)} steps on {len(pairs)} pairs in "
         f"{time.time()-t0:.0f}s: loss {losses[0]:.3f} -> {losses[-1]:.3f}"
     )
     return BiEncoder(params, cfg, Tokenizer(), pooling="cls", max_len=64)
 
 
+def trained_reranker(
+    *, steps: int = 150, seed: int = 1, lr: float = 1e-4,
+    arch: str = "compact",
+):
+    """Cross-encoder head trained on paraphrase positives + bait hard
+    negatives (train/cross_encoder.py) — gives the hard-mode two-stage
+    eval a LEARNED stage 2 (the reference's is pretrained ms-marco,
+    main.py:86-90)."""
+    import jax
+
+    from financial_rag_system_tpu.models import bert
+    from financial_rag_system_tpu.models.reranker import CrossEncoderReranker
+    from financial_rag_system_tpu.models.tokenizer import Tokenizer
+    from financial_rag_system_tpu.train.cross_encoder import (
+        make_cross_examples,
+        train_cross_encoder,
+    )
+
+    cfg = _reranker_cfg(arch)
+    params = bert.init_params(jax.random.PRNGKey(seed), cfg)
+    examples = make_cross_examples(seed=seed)
+    epochs = max(1, (steps * 32) // len(examples))
+    t0 = time.time()
+    params, losses = train_cross_encoder(
+        params, cfg, examples, epochs=epochs, batch_size=32, lr=lr, seed=seed,
+    )
+    print(
+        f"trained {arch} reranker ({cfg.layers}L/{cfg.hidden}) "
+        f"{len(losses)} steps on {len(examples)} pairs in "
+        f"{time.time()-t0:.0f}s: loss {losses[0]:.3f} -> {losses[-1]:.3f}"
+    )
+    return CrossEncoderReranker(params, cfg, Tokenizer(), max_len=160)
+
+
+def save_trained(embedder, reranker, out_dir: str) -> None:
+    """Export both trained models as HF-format checkpoints so serving
+    picks them up via RAG_TPU_BGE_DIR / RAG_TPU_RERANKER_DIR
+    (models/hf_export.py; Tokenizer.from_dir falls back to the hash
+    vocab they were trained with)."""
+    from financial_rag_system_tpu.models.hf_export import save_bert_checkpoint
+
+    bge_dir = os.path.join(out_dir, "bge")
+    rr_dir = os.path.join(out_dir, "reranker")
+    save_bert_checkpoint(embedder.params, embedder.cfg, bge_dir)
+    if reranker is not None:
+        save_bert_checkpoint(
+            reranker.params, reranker.cfg, rr_dir, cross_encoder=True
+        )
+    print(f"exported trained checkpoints: RAG_TPU_BGE_DIR={bge_dir}"
+          + (f" RAG_TPU_RERANKER_DIR={rr_dir}" if reranker else ""))
+
+
 def run_evaluation(
     k: int = 5, n_chunks: int = 2048, two_stage: bool = False,
-    tier: str = "flat", hard: bool = False, embedder=None,
+    tier: str = "flat", hard: bool = False, embedder=None, reranker=None,
 ):
     from financial_rag_system_tpu.data.synthetic import (
         GOLDEN_SET,
@@ -152,7 +235,10 @@ def run_evaluation(
                   f"ef={index.ef}, steps={index.steps}")
         else:
             print(f"sharded tier: {sharded.n_shards} shards")
-    reranker = get_reranker() if two_stage else None
+    if two_stage:
+        reranker = reranker or get_reranker()
+    else:
+        reranker = None
 
     hits, rrs, total_latency = 0, [], 0.0
     fan_k = 15 if two_stage else k
@@ -206,17 +292,35 @@ if __name__ == "__main__":
                     help="56 paraphrase queries + keyword-sharing "
                          "distractors over a 64k corpus (headroom mode)")
     ap.add_argument("--trained", action="store_true",
-                    help="contrastively fine-tune a compact BERT "
-                         "bi-encoder on paraphrase pairs (disjoint from "
-                         "the eval queries) and evaluate THAT instead of "
-                         "the default embedder; implies --hard")
+                    help="contrastively fine-tune a BERT bi-encoder on "
+                         "paraphrase pairs (disjoint from the eval "
+                         "queries) and evaluate THAT instead of the "
+                         "default embedder; implies --hard.  With "
+                         "--two-stage, a cross-encoder reranker is "
+                         "trained too (bait hard negatives)")
+    ap.add_argument("--trained-arch", choices=("compact", "bge"),
+                    default="compact",
+                    help="compact = fast 4L/128 tower (hermetic CI); "
+                         "bge = the FULL serving architectures "
+                         "(12L/384 BGE-small + 6L MiniLM cross-encoder)")
     ap.add_argument("--train-steps", type=int, default=150)
+    ap.add_argument("--save-trained", metavar="DIR", default="",
+                    help="export the trained model(s) as HF checkpoints "
+                         "for serving via RAG_TPU_BGE_DIR / "
+                         "RAG_TPU_RERANKER_DIR")
     args = ap.parse_args()
     hard = args.hard or args.trained
     corpus = args.corpus or (65536 if hard else 2048)
-    emb = None
+    emb, rr = None, None
     if args.trained:
-        emb = trained_encoder(steps=args.train_steps)
-        corpus = min(corpus, args.corpus or 8192)  # BERT-embeds the corpus
+        emb = trained_encoder(steps=args.train_steps, arch=args.trained_arch)
+        if args.two_stage:
+            rr = trained_reranker(
+                steps=args.train_steps, arch=args.trained_arch
+            )
+        if args.save_trained:
+            save_trained(emb, rr, args.save_trained)
+        if args.trained_arch != "bge":
+            corpus = min(corpus, args.corpus or 8192)  # CPU-feasible embed
     run_evaluation(args.k, corpus, args.two_stage, tier=args.tier,
-                   hard=hard, embedder=emb)
+                   hard=hard, embedder=emb, reranker=rr)
