@@ -88,6 +88,65 @@ def init_params(key: jax.Array, cfg: BertConfig) -> dict:
     return p
 
 
+def _flash_enabled(seq: int, heads: int) -> bool:
+    """Use the bundled Pallas TPU flash-attention kernel when it applies.
+
+    Gates (checked at trace time): TPU backend only (compiled Pallas does
+    not lower on CPU), sequence length a multiple of the 128-lane block,
+    and not disabled via RAG_TPU_FLASH=0.  Why it matters: the naive path
+    materializes (B, H, S, S) f32 attention logits AND probabilities in
+    HBM — for the fused rerank batch (512 pairs x 12 heads x 256^2) that
+    is ~3.2 GB of traffic per layer; flash keeps the softmax in VMEM.
+    """
+    import os
+
+    if os.environ.get("RAG_TPU_FLASH", "1") in ("0", "false"):
+        return False
+    if seq < 128 or seq % 128 != 0:
+        return False
+    try:
+        import jax as _jax
+
+        if _jax.devices()[0].platform != "tpu":
+            return False
+        from jax.experimental.pallas.ops.tpu import flash_attention  # noqa: F401
+
+        return True
+    except Exception:  # pragma: no cover — kernel unavailable
+        return False
+
+
+def _flash_attention(q, k, v, attention_mask, inv_sqrt):
+    """(B, S, H, hd) inputs -> (B, S, H*hd) context via the fused kernel.
+
+    Padding is masked with SegmentIds (pad tokens get segment 0, real
+    tokens 1 — only same-segment positions attend), matching the additive
+    -1e9 bias of the naive path for every REAL query position; pad query
+    rows attend among themselves, and nothing downstream reads them.
+    """
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
+        SegmentIds,
+        flash_attention,
+    )
+
+    b, seq, nh, hd = q.shape
+    seg = attention_mask.astype(jnp.int32)
+    bs = BlockSizes(
+        block_q=min(128, seq), block_k_major=min(128, seq),
+        block_k=min(128, seq), block_b=1,
+    )
+    ctx = flash_attention(
+        q.transpose(0, 2, 1, 3).astype(jnp.bfloat16),
+        k.transpose(0, 2, 1, 3).astype(jnp.bfloat16),
+        v.transpose(0, 2, 1, 3).astype(jnp.bfloat16),
+        segment_ids=SegmentIds(seg, seg),
+        sm_scale=inv_sqrt,
+        block_sizes=bs,
+    )
+    return ctx.transpose(0, 2, 1, 3).reshape(b, seq, nh * hd).astype(jnp.float32)
+
+
 def _ln(x: jax.Array, scale: jax.Array, bias: jax.Array, eps: float) -> jax.Array:
     x = x.astype(jnp.float32)
     mu = jnp.mean(x, axis=-1, keepdims=True)
@@ -126,28 +185,32 @@ def encode(
     neg = jnp.float32(-1e9)
     bias = jnp.where(attention_mask[:, None, None, :] > 0, 0.0, neg)  # (B,1,1,L)
     inv_sqrt = 1.0 / (hd**0.5)
+    use_flash = _flash_enabled(seq, nh)
 
     def layer(hidden, lp):
         q = _matmul(hidden, lp["q_w"], lp["q_b"]).reshape(b, seq, nh, hd)
         k = _matmul(hidden, lp["k_w"], lp["k_b"]).reshape(b, seq, nh, hd)
         v = _matmul(hidden, lp["v_w"], lp["v_b"]).reshape(b, seq, nh, hd)
-        logits = (
-            jnp.einsum(
-                "bqhd,bkhd->bhqk",
-                q.astype(jnp.bfloat16),
-                k.astype(jnp.bfloat16),
-                preferred_element_type=jnp.float32,
+        if use_flash:
+            ctx = _flash_attention(q, k, v, attention_mask, inv_sqrt)
+        else:
+            logits = (
+                jnp.einsum(
+                    "bqhd,bkhd->bhqk",
+                    q.astype(jnp.bfloat16),
+                    k.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                )
+                * inv_sqrt
+                + bias
             )
-            * inv_sqrt
-            + bias
-        )
-        probs = jax.nn.softmax(logits, axis=-1)
-        ctx = jnp.einsum(
-            "bhqk,bkhd->bqhd",
-            probs.astype(jnp.bfloat16),
-            v.astype(jnp.bfloat16),
-            preferred_element_type=jnp.float32,
-        ).reshape(b, seq, cfg.hidden)
+            probs = jax.nn.softmax(logits, axis=-1)
+            ctx = jnp.einsum(
+                "bhqk,bkhd->bqhd",
+                probs.astype(jnp.bfloat16),
+                v.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            ).reshape(b, seq, cfg.hidden)
         attn_out = _matmul(ctx, lp["o_w"], lp["o_b"])
         hidden = _ln(
             hidden + attn_out, lp["attn_ln_scale"], lp["attn_ln_bias"], cfg.ln_eps

@@ -318,10 +318,62 @@ def hnsw_profile(rows: int, m: int = 16, efc: int = 100) -> None:
                 f"(device ~{max(p50-floor,0):.2f} ms)")
 
 
+def flash_gate(pairs: int = 512, seq: int = 256) -> None:
+    """Validate + time the flash-attention cross-encoder path on chip.
+
+    Correctness: MiniLM-architecture cross_score with RAG_TPU_FLASH on
+    vs the naive materialized-softmax path must agree to bf16 tolerance
+    on ragged-masked inputs.  Performance: p50 of the (pairs, seq)
+    rerank forward both ways — the stage that dominates the fused batch
+    (bench.py MFU split).
+    """
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from financial_rag_system_tpu.models import bert
+
+    rng = np.random.default_rng(0)
+    params = bert.init_params(jax.random.PRNGKey(1), bert.MINILM_L6_CROSS)
+    ids = rng.integers(103, 30000, (pairs, seq)).astype(np.int32)
+    lens = rng.integers(seq // 4, seq, pairs)
+    mask = (np.arange(seq)[None, :] < lens[:, None]).astype(np.int32)
+    ids = ids * mask
+    types = np.zeros_like(ids)
+    types[:, seq // 2:] = 1
+    j = (jnp.asarray(ids), jnp.asarray(types), jnp.asarray(mask))
+
+    def run(flash: bool):
+        os.environ["RAG_TPU_FLASH"] = "1" if flash else "0"
+        fn = jax.jit(
+            lambda p, i, t, m: bert.cross_score(
+                p, i, t, m, bert.MINILM_L6_CROSS
+            )
+        )
+        out = np.asarray(fn(params, *j))
+        ts = []
+        for _ in range(10):
+            t0 = time.time()
+            np.asarray(fn(params, *j))
+            ts.append((time.time() - t0) * 1e3)
+        return out, float(np.percentile(ts, 50))
+
+    naive, t_naive = run(False)
+    flash, t_flash = run(True)
+    err = np.max(np.abs(naive - flash))
+    log(f"flash vs naive cross_score: max|diff|={err:.4e} "
+        f"(logit scale ~{np.std(naive):.3f})")
+    log(f"rerank fwd ({pairs}x{seq}): naive p50 {t_naive:.2f} ms | "
+        f"flash p50 {t_flash:.2f} ms ({t_naive/t_flash:.2f}x)")
+    assert err < 0.05 * max(1.0, float(np.std(naive))), "flash mismatch"
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument(
-        "--probe", choices=("floor", "scan", "int8", "hnsw"), default="floor"
+        "--probe", choices=("floor", "scan", "int8", "hnsw", "flash"),
+        default="floor",
     )
     ap.add_argument("--rows", type=int, default=1_048_576)
     ap.add_argument("--dtype", choices=("bf16", "int8"), default="bf16",
@@ -333,7 +385,7 @@ if __name__ == "__main__":
     import jax
 
     log(f"platform: {jax.devices()[0].platform}")
-    if args.probe in ("scan", "int8", "hnsw") and (
+    if args.probe in ("scan", "int8", "hnsw", "flash") and (
         jax.devices()[0].platform != "tpu"
     ):
         raise SystemExit(
@@ -346,5 +398,7 @@ if __name__ == "__main__":
         scan(args.rows, dtype=args.dtype)
     elif args.probe == "int8":
         int8_gate(args.rows)
+    elif args.probe == "flash":
+        flash_gate()
     else:
         hnsw_profile(args.rows, m=args.m, efc=args.efc)
