@@ -22,11 +22,19 @@ Contract: prints EXACTLY ONE JSON line to stdout on every path —
 success, TPU-tunnel failure (bounded retry then CPU fallback with
 "degraded": true), mid-run wedge (watchdog thread emits the best
 measurement so far), or hard crash (backstop line with value -1).
-Detail goes to stderr.  Every successful TPU run persists its result in
-bench_cache.json; degraded runs re-emit that last verified chip number
-with "cached_tpu_result": true / "cache_age_h" / "platform":
-"tpu-cached" (plus the live CPU smoke figure) so a transient tunnel
-outage during the capture window cannot lose the headline.
+Detail goes to stderr.  "value"/"vs_baseline" are ALWAYS what this run
+measured on this machine; every successful TPU run additionally
+persists its result in bench_cache.json, and a degraded run carries
+that last verified chip number along under "last_tpu_ms_per_query" /
+"last_tpu_vs_baseline" / "last_tpu_age_h" without touching the live
+headline fields.
+
+On-chip runs also report, inside the same JSON line:
+- "scale": a multi-GiB int8 corpus scan (corpus_bytes, p50 ms/batch-32,
+  achieved GiB/s) — driver-capturable evidence of the per-chip scale
+  claims (VERDICT r2 item 6);
+- "mfu_pct" + per-stage split: achieved TFLOP/s of the fused two-stage
+  program against the chip's bf16 peak (VERDICT r2 item 1).
 """
 
 from __future__ import annotations
@@ -134,6 +142,11 @@ def save_tpu_cache() -> None:
 
 
 def apply_cached_tpu_result() -> None:
+    """Surface the last verified chip result WITHOUT overwriting the live
+    measurement: "value"/"vs_baseline" stay whatever THIS run measured
+    (the documented headline fields must never report a number this
+    machine didn't produce — ADVICE r2), and the cached chip figure
+    rides along under last_tpu_* keys with explicit staleness."""
     try:
         with open(CACHE_PATH) as f:
             cache = json.load(f)
@@ -141,24 +154,17 @@ def apply_cached_tpu_result() -> None:
         return
     if cache.get("platform") != "tpu" or cache.get("value", -1) <= 0:
         return
-    if RESULT.get("value", -1) > 0:
-        RESULT["cpu_smoke_ms_per_query"] = RESULT["value"]
-    RESULT["value"] = cache["value"]
-    RESULT["vs_baseline"] = cache["vs_baseline"]
-    RESULT["platform"] = "tpu-cached"
-    RESULT["cached_tpu_result"] = True
-    RESULT["cache_age_h"] = round((time.time() - cache.get("ts", 0)) / 3600, 2)
-    RESULT["stage"] = cache.get("stage", "sustained")
+    RESULT["last_tpu_ms_per_query"] = cache["value"]
+    RESULT["last_tpu_vs_baseline"] = cache["vs_baseline"]
+    RESULT["last_tpu_age_h"] = round(
+        (time.time() - cache.get("ts", 0)) / 3600, 2
+    )
     if "corpus_n" in cache:
-        RESULT["corpus_n"] = cache["corpus_n"]
+        RESULT["last_tpu_corpus_n"] = cache["corpus_n"]
     log(
-        f"tunnel down: emitting the last verified TPU result "
-        f"({cache['value']} ms/query, {RESULT['cache_age_h']}h old)"
-        + (
-            f"; live CPU smoke: {RESULT['cpu_smoke_ms_per_query']} ms/query"
-            if "cpu_smoke_ms_per_query" in RESULT
-            else ""
-        )
+        f"tunnel down: live degraded measurement stays the headline; last "
+        f"verified TPU result rides along ({cache['value']} ms/query, "
+        f"{RESULT['last_tpu_age_h']}h old)"
     )
 
 
@@ -365,11 +371,151 @@ def main() -> None:
     )
     set_result(per_query, stage="sustained")
     RESULT["corpus_n"] = corpus_n
+
+    # --- MFU accounting: stage split + achieved TFLOP/s vs chip peak --------
+    # (pre-emit so the driver's artifact carries it; tightly bounded and
+    # guarded — a failure here must never cost the headline)
+    try:
+        def mm_params(cfg) -> int:
+            """Matmul-visible parameter count (embeddings excluded — table
+            lookups cost no MXU FLOPs)."""
+            per_layer = 4 * cfg.hidden * cfg.hidden + 2 * cfg.hidden * cfg.intermediate
+            head = cfg.hidden * cfg.hidden if cfg.with_pooler else 0
+            head += cfg.hidden * cfg.num_labels
+            return cfg.layers * per_layer + head
+
+        def attn_flops(cfg, n_seqs: int, seq: int) -> float:
+            # QK^T and probs*V per layer: 2 matmuls of (seq x hd) x (hd x seq)
+            # per head => 4 * seq^2 * hidden MACs per sequence per layer
+            return 4.0 * cfg.layers * n_seqs * seq * seq * cfg.hidden
+
+        lq = int(jqi.shape[1])
+        pairs = ((BATCH * RETRIEVE_K + 127) // 128) * 128
+        plen = lq + DLEN
+        embed_fl = 2.0 * mm_params(bert.BGE_SMALL) * BATCH * lq + attn_flops(
+            bert.BGE_SMALL, BATCH, lq
+        )
+        search_fl = 2.0 * BATCH * corpus_n * DIM
+        rerank_fl = 2.0 * mm_params(bert.MINILM_L6_CROSS) * pairs * plen + (
+            attn_flops(bert.MINILM_L6_CROSS, pairs, plen)
+        )
+        total_fl = embed_fl + search_fl + rerank_fl
+        kind = jax.devices()[0].device_kind.lower()
+        peak = 197e12 if ("v5 lite" in kind or "v5e" in kind) else (
+            275e12 if "v4" in kind else 197e12
+        )
+        mfu = 100.0 * total_fl / (sustained_batch_ms / 1e3) / peak
+        RESULT["mfu_pct"] = round(mfu, 1)
+        RESULT["flops_per_batch"] = round(total_fl / 1e9, 1)  # GFLOP
+        log(
+            f"MFU: {total_fl/1e9:.0f} GFLOP/batch (embed {embed_fl/1e9:.0f} "
+            f"+ search {search_fl/1e9:.0f} + rerank {rerank_fl/1e9:.0f}) / "
+            f"{sustained_batch_ms:.1f} ms sustained = "
+            f"{total_fl/(sustained_batch_ms/1e3)/1e12:.1f} TFLOP/s "
+            f"= {mfu:.1f}% of {peak/1e12:.0f} TFLOP/s {kind} peak"
+        )
+
+        # device-time split via nested-prefix programs: each is timed the
+        # same way (readback per call), so pairwise differences cancel
+        # the tunnel's per-call RPC floor
+        if on_tpu:
+            from financial_rag_system_tpu.ops.topk import masked_topk_pallas
+
+            def _embed_only(ep, i, t, m):
+                return bert.embed_cls(ep, i, t, m, bert.BGE_SMALL)
+
+            @jax.jit
+            def _embed_search(ep, i, t, m, qf_, emb_, codes_, nv_):
+                qv = bert.embed_cls(ep, i, t, m, bert.BGE_SMALL)
+                return masked_topk_pallas(
+                    qv.astype(emb_.dtype), emb_, codes_, qf_, nv_,
+                    RETRIEVE_K, tile=1024,
+                )
+
+            def _time(fn, n=8):
+                jax.block_until_ready(fn())
+                ts = []
+                for _ in range(n):
+                    t0 = time.time()
+                    jax.block_until_ready(fn())
+                    ts.append((time.time() - t0) * 1e3)
+                return float(np.percentile(ts, 50))
+
+            t_e = _time(lambda: _embed_only(embedder.params, jqi, jqt, jqm))
+            t_es = _time(
+                lambda: _embed_search(
+                    embedder.params, jqi, jqt, jqm, jqf,
+                    index._emb, index._codes, nv,
+                )
+            )
+            t_full = _time(fused_call)
+            split = {
+                "embed_ms": round(t_e, 2),
+                "search_ms": round(max(t_es - t_e, 0.0), 2),
+                "rerank_ms": round(max(t_full - t_es, 0.0), 2),
+                "full_p50_ms": round(t_full, 2),
+            }
+            RESULT["fused_stage_split_ms"] = split
+            log(f"fused stage split (floor-cancelling diffs): {split}")
+    except Exception as exc:
+        log(f"mfu stage skipped: {exc}")
+
+    # --- scale stage: multi-GiB int8 scan in the driver's artifact ----------
+    try:
+        scale_n = int(os.environ.get("BENCH_SCALE_N", 8 << 20))
+        if on_tpu and scale_n > 0:
+            from financial_rag_system_tpu.ops.topk import masked_topk_pallas
+
+            log(f"scale stage: building {scale_n}-row int8 corpus on device ...")
+            t0 = time.time()
+            big = jax.random.randint(
+                jax.random.PRNGKey(11), (scale_n, DIM), -127, 128, jnp.int8
+            )
+            big_codes = jnp.zeros((2, scale_n), jnp.int32)
+            jax.block_until_ready(big)
+            log(f"scale corpus ready in {time.time()-t0:.1f}s "
+                f"({big.nbytes/2**30:.2f} GiB int8 in HBM)")
+            qs8 = jnp.clip(
+                jnp.round(
+                    jax.random.normal(jax.random.PRNGKey(12), (BATCH, DIM)) * 64
+                ), -127, 127,
+            ).astype(jnp.int8)
+            wildq = jnp.full((BATCH, 2), -1, jnp.int32)
+
+            def scan_call():
+                return masked_topk_pallas(
+                    qs8, big, big_codes, wildq, scale_n, RETRIEVE_K, tile=2048
+                )
+
+            np.asarray(scan_call()[1])  # compile + warm
+            ts = []
+            for _ in range(8):
+                t0 = time.time()
+                np.asarray(scan_call()[1])
+                ts.append((time.time() - t0) * 1e3)
+            p50 = float(np.percentile(ts, 50))
+            gib = big.nbytes / 2**30
+            RESULT["scale"] = {
+                "stage": "scale",
+                "corpus_n": scale_n,
+                "corpus_bytes": int(big.nbytes),
+                "dtype": "int8",
+                "scan_p50_ms_batch32": round(p50, 2),
+                "scan_gib_s": round(gib / (p50 / 1e3), 1),
+            }
+            log(
+                f"scale: int8 scan of {gib:.2f} GiB = p50 {p50:.2f} "
+                f"ms/batch{BATCH} ({gib/(p50/1e3):.0f} GiB/s)"
+            )
+            del big, big_codes  # release HBM before the secondary stages
+    except Exception as exc:
+        log(f"scale stage skipped: {exc}")
+
     if on_tpu:
         save_tpu_cache()
     else:
-        # degraded CPU smoke: prove liveness, but report the last verified
-        # chip measurement (flagged) rather than losing it to the outage
+        # degraded CPU smoke: the live number stays the headline; the last
+        # verified chip figure rides along under last_tpu_* (see above)
         apply_cached_tpu_result()
     emit()
 
@@ -385,36 +531,13 @@ def main() -> None:
 
     from financial_rag_system_tpu.utils.timing import concurrent_ms as _cms
 
-    # int8 scan bandwidth: same kernel, half the HBM bytes per row ------------
-    try:
-        from financial_rag_system_tpu.ops.topk import masked_topk_pallas
-
-        if on_tpu:
-            vi = jnp.clip(jnp.round(vecs * 127.0), -127, 127).astype(jnp.int8)
-            qv8 = jax.random.normal(jax.random.PRNGKey(7), (BATCH, DIM))
-            qv8 = qv8 / jnp.linalg.norm(qv8, axis=1, keepdims=True)
-            qi8 = jnp.clip(jnp.round(qv8 * 127.0), -127, 127).astype(jnp.int8)
-            jqf8 = jnp.asarray(qf)
-            np.asarray(masked_topk_pallas(
-                qi8, vi, index._codes, jqf8, corpus_n, RETRIEVE_K, tile=2048
-            )[1])
-            ts = []
-            for _ in range(max(6, n_iters // 3)):
-                t0 = time.time()
-                np.asarray(masked_topk_pallas(
-                    qi8, vi, index._codes, jqf8, corpus_n, RETRIEVE_K,
-                    tile=2048,
-                )[1])
-                ts.append((time.time() - t0) * 1e3)
-            p50 = float(np.percentile(ts, 50))
-            gib = vi.nbytes / 2**30
-            detail["int8_scan_p50_ms"] = round(p50, 3)
-            detail["int8_scan_gib"] = round(gib, 3)
-            log(f"int8 scan: p50 {p50:.2f} ms/batch{BATCH} over "
-                f"{gib:.2f} GiB int8 corpus")
-            del vi
-    except Exception as exc:
-        log(f"int8 stage skipped: {exc}")
+    # (the old 0.05 GiB int8 scan detail stage is superseded by the
+    # pre-emit multi-GiB "scale" stage above)
+    if "scale" in RESULT:
+        detail["scale"] = RESULT["scale"]
+    if "fused_stage_split_ms" in RESULT:
+        detail["fused_stage_split_ms"] = RESULT["fused_stage_split_ms"]
+        detail["mfu_pct"] = RESULT.get("mfu_pct")
     save_detail()
 
     # fused IVF tier: one program at the sub-linear tier ----------------------
