@@ -441,6 +441,12 @@ def main() -> None:
                     ts.append((time.time() - t0) * 1e3)
                 return float(np.percentile(ts, 50))
 
+            @jax.jit
+            def _noop(x):
+                return (x @ x).sum()
+
+            tiny = jnp.ones((128, 128), jnp.bfloat16)
+            floor = _time(lambda: _noop(tiny))
             t_e = _time(lambda: _embed_only(embedder.params, jqi, jqt, jqm))
             t_es = _time(
                 lambda: _embed_search(
@@ -450,13 +456,14 @@ def main() -> None:
             )
             t_full = _time(fused_call)
             split = {
-                "embed_ms": round(t_e, 2),
+                "rpc_floor_ms": round(floor, 2),
+                "embed_ms": round(max(t_e - floor, 0.0), 2),
                 "search_ms": round(max(t_es - t_e, 0.0), 2),
                 "rerank_ms": round(max(t_full - t_es, 0.0), 2),
                 "full_p50_ms": round(t_full, 2),
             }
             RESULT["fused_stage_split_ms"] = split
-            log(f"fused stage split (floor-cancelling diffs): {split}")
+            log(f"fused stage split (floor-subtracted device ms): {split}")
     except Exception as exc:
         log(f"mfu stage skipped: {exc}")
 
@@ -494,6 +501,9 @@ def main() -> None:
                 np.asarray(scan_call()[1])
                 ts.append((time.time() - t0) * 1e3)
             p50 = float(np.percentile(ts, 50))
+            # single calls pay the tunnel's per-call RPC floor; sustained
+            # overlapped throughput is the honest bandwidth figure
+            sus = concurrent_ms(scan_call, workers=8, reps=24)
             gib = big.nbytes / 2**30
             RESULT["scale"] = {
                 "stage": "scale",
@@ -501,11 +511,13 @@ def main() -> None:
                 "corpus_bytes": int(big.nbytes),
                 "dtype": "int8",
                 "scan_p50_ms_batch32": round(p50, 2),
-                "scan_gib_s": round(gib / (p50 / 1e3), 1),
+                "scan_sustained_ms_batch32": round(sus, 2),
+                "scan_gib_s_sustained": round(gib / (sus / 1e3), 1),
             }
             log(
                 f"scale: int8 scan of {gib:.2f} GiB = p50 {p50:.2f} "
-                f"ms/batch{BATCH} ({gib/(p50/1e3):.0f} GiB/s)"
+                f"ms/batch{BATCH} wall | sustained {sus:.2f} ms "
+                f"({gib/(sus/1e3):.0f} GiB/s)"
             )
             del big, big_codes  # release HBM before the secondary stages
     except Exception as exc:

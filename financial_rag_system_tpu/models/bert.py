@@ -89,18 +89,22 @@ def init_params(key: jax.Array, cfg: BertConfig) -> dict:
 
 
 def _flash_enabled(seq: int, heads: int) -> bool:
-    """Use the bundled Pallas TPU flash-attention kernel when it applies.
+    """Opt-IN (RAG_TPU_FLASH=1) Pallas TPU flash-attention path.
 
-    Gates (checked at trace time): TPU backend only (compiled Pallas does
-    not lower on CPU), sequence length a multiple of the 128-lane block,
-    and not disabled via RAG_TPU_FLASH=0.  Why it matters: the naive path
-    materializes (B, H, S, S) f32 attention logits AND probabilities in
-    HBM — for the fused rerank batch (512 pairs x 12 heads x 256^2) that
-    is ~3.2 GB of traffic per layer; flash keeps the softmax in VMEM.
+    Measured on the v5e (scripts/tpu_probes.py --probe flash + a block
+    sweep): at this model family's head_dim of 32 the flash kernel is
+    ~10-30% SLOWER than XLA's materialized softmax for the 512x256 rerank
+    batch (best tuned blocks 38.7 vs 35.5 ms wall; attention is only
+    ~2.5 ms device of the ~70 ms rerank forward — the stage is dense-
+    matmul/activation bound, not softmax-traffic bound, and the kernel
+    pads 32-lane heads to 128).  The path stays for long-sequence or
+    wide-head configs where it wins; default off.  Additional gates
+    (checked at trace time): TPU backend only, seq a multiple of the
+    128-lane block.
     """
     import os
 
-    if os.environ.get("RAG_TPU_FLASH", "1") in ("0", "false"):
+    if os.environ.get("RAG_TPU_FLASH", "0") in ("0", "false", ""):
         return False
     if seq < 128 or seq % 128 != 0:
         return False
@@ -188,6 +192,12 @@ def encode(
     use_flash = _flash_enabled(seq, nh)
 
     def layer(hidden, lp):
+        # NOTE separate Q/K/V projections are deliberate: a fused
+        # concat-weights QKV matmul measured 30% SLOWER on the v5e for
+        # the 512x128 rerank batch (interleaved A/B, 69.9 vs 53.9 ms
+        # wall) — the (B, S, 3, H, hd) intermediate and its slices cost
+        # more than the two extra activation reads they save, and XLA
+        # already schedules the three matmuls back-to-back.
         q = _matmul(hidden, lp["q_w"], lp["q_b"]).reshape(b, seq, nh, hd)
         k = _matmul(hidden, lp["k_w"], lp["k_b"]).reshape(b, seq, nh, hd)
         v = _matmul(hidden, lp["v_w"], lp["v_b"]).reshape(b, seq, nh, hd)

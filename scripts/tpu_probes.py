@@ -346,6 +346,9 @@ def flash_gate(pairs: int = 512, seq: int = 256) -> None:
 
     def run(flash: bool):
         os.environ["RAG_TPU_FLASH"] = "1" if flash else "0"
+        # the env gate is read at TRACE time and cross_score's jit cache
+        # would otherwise serve the previous run's program
+        bert.cross_score.clear_cache()
         fn = jax.jit(
             lambda p, i, t, m: bert.cross_score(
                 p, i, t, m, bert.MINILM_L6_CROSS
