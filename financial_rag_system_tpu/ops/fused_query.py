@@ -111,8 +111,11 @@ def _cross_rerank(
         axis=1,
     )
     pair_mask = (pair_ids != 0).astype(jnp.int32)
-    # pad the pair batch to a lane-friendly size
-    total = _round_up(b * k, 128)
+    # pad the pair batch to the sublane multiple only: 8 (not 128) — at
+    # B=32,K=15 that is 480 pairs instead of 512, a measured-free 6%
+    # FLOP cut in the stage that dominates the fused batch (the batch
+    # dim of a matmul needs no 128-lane alignment)
+    total = _round_up(b * k, 8)
     if total != b * k:
         pad = total - b * k
         pair_ids = jnp.pad(pair_ids, ((0, pad), (0, 0)))

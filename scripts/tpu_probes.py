@@ -372,10 +372,70 @@ def flash_gate(pairs: int = 512, seq: int = 256) -> None:
     assert err < 0.05 * max(1.0, float(np.std(naive))), "flash mismatch"
 
 
+def bf16act_gate(pairs: int = 512, seq: int = 128) -> None:
+    """A/B the encoder activation dtype on chip (RAG_TPU_BF16_ACT).
+
+    The rerank forward is HBM-bound on its inter-op activations; storing
+    them bf16 (matmul accumulation and LN/softmax math stay f32) should
+    cut its device time materially.  Correctness: logits must agree with
+    the f32-activation forward within bf16 rounding of the logit scale.
+    Interleaved timing so tunnel drift cancels.
+    """
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from financial_rag_system_tpu.models import bert
+
+    rng = np.random.default_rng(0)
+    params = bert.init_params(jax.random.PRNGKey(1), bert.MINILM_L6_CROSS)
+    ids = rng.integers(103, 30000, (pairs, seq)).astype(np.int32)
+    lens = rng.integers(seq // 4, seq, pairs)
+    mask = (np.arange(seq)[None, :] < lens[:, None]).astype(np.int32)
+    ids = ids * mask
+    types = np.zeros_like(ids)
+    types[:, seq // 2:] = 1
+    j = (jnp.asarray(ids), jnp.asarray(types), jnp.asarray(mask))
+
+    def build(flag: str):
+        os.environ["RAG_TPU_BF16_ACT"] = flag
+        bert.cross_score.clear_cache()  # env gate is read at trace time
+        fn = jax.jit(
+            lambda p, i, t, m: bert.cross_score(
+                p, i, t, m, bert.MINILM_L6_CROSS
+            )
+        )
+        out = np.asarray(fn(params, *j))  # compile + warm
+        return fn, out
+
+    fn32, out32 = build("0")
+    fn16, out16 = build("1")
+    os.environ.pop("RAG_TPU_BF16_ACT", None)
+    err = np.max(np.abs(out32 - out16))
+    scale = float(np.std(out32))
+    log(f"bf16-act vs f32-act logits: max|diff|={err:.4e} "
+        f"(logit scale ~{scale:.3f})")
+    t32, t16 = [], []
+    for _ in range(12):  # interleaved: tunnel drift hits both arms
+        t0 = time.time()
+        np.asarray(fn32(params, *j))
+        t32.append((time.time() - t0) * 1e3)
+        t0 = time.time()
+        np.asarray(fn16(params, *j))
+        t16.append((time.time() - t0) * 1e3)
+    p32, p16 = np.percentile(t32, 50), np.percentile(t16, 50)
+    log(f"rerank fwd ({pairs}x{seq}): f32-act p50 {p32:.2f} ms | bf16-act "
+        f"p50 {p16:.2f} ms ({p32/p16:.2f}x)  [min {min(t32):.2f} / "
+        f"{min(t16):.2f}]")
+    assert err < 0.08 * max(1.0, scale), "bf16-act mismatch"
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument(
-        "--probe", choices=("floor", "scan", "int8", "hnsw", "flash"),
+        "--probe",
+        choices=("floor", "scan", "int8", "hnsw", "flash", "bf16act"),
         default="floor",
     )
     ap.add_argument("--rows", type=int, default=1_048_576)
@@ -388,7 +448,7 @@ if __name__ == "__main__":
     import jax
 
     log(f"platform: {jax.devices()[0].platform}")
-    if args.probe in ("scan", "int8", "hnsw", "flash") and (
+    if args.probe in ("scan", "int8", "hnsw", "flash", "bf16act") and (
         jax.devices()[0].platform != "tpu"
     ):
         raise SystemExit(
@@ -403,5 +463,7 @@ if __name__ == "__main__":
         int8_gate(args.rows)
     elif args.probe == "flash":
         flash_gate()
+    elif args.probe == "bf16act":
+        bf16act_gate()
     else:
         hnsw_profile(args.rows, m=args.m, efc=args.efc)

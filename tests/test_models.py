@@ -68,6 +68,31 @@ def test_bert_forward_mask_invariance():
     )
 
 
+def test_bf16_activation_mode_close_to_f32(monkeypatch):
+    """RAG_TPU_BF16_ACT=1 must give the same encoder outputs within bf16
+    rounding — guards the cast plumbing that the TPU serving path uses by
+    default (bert._act_dtype)."""
+    params = bert.init_params(jax.random.PRNGKey(0), TINY)
+    rng = np.random.default_rng(5)
+    ids = jnp.asarray(rng.integers(3, 500, (4, 16)), jnp.int32)
+    types = jnp.zeros_like(ids)
+    mask = jnp.ones_like(ids)
+
+    def fresh(flag):
+        monkeypatch.setenv("RAG_TPU_BF16_ACT", flag)
+        # env gate is read at trace time; bypass jit caches with a fresh jit
+        fn = jax.jit(lambda p, i, t, m: bert.encode(p, i, t, m, TINY))
+        return np.asarray(fn(params, ids, types, mask))
+
+    h32 = fresh("0")
+    h16 = fresh("1")
+    assert h16.dtype == np.float32  # encode always returns f32
+    scale = float(np.std(h32))
+    assert np.max(np.abs(h32 - h16)) < 0.05 * max(scale, 1.0)
+    # and the flag actually changes the program (bf16 rounding is visible)
+    assert not np.array_equal(h32, h16)
+
+
 def test_embed_cls_normalized():
     params = bert.init_params(jax.random.PRNGKey(0), TINY)
     ids = jnp.array([[101, 5, 6, 102], [101, 9, 10, 102]], jnp.int32)
