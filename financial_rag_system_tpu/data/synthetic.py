@@ -425,42 +425,70 @@ TRAIN_PARAPHRASES: dict[str, list[str]] = {
         "What could disrupt the external facilities where {company} devices get built?",
         "Which outside contractors build {company} hardware, and why is that fragile?",
         "Explain how dependent {company} is on a few component makers abroad.",
+        "Who actually puts together the devices {company} sells, and what happens if they stop?",
+        "Assess the concentration of {company} final assembly among a handful of contract manufacturers.",
+        "What supply chain interruptions could hit the third parties building goods for {company}?",
+        "How vulnerable is {company} to a shutdown at a contract assembler or parts vendor?",
     ],
     "payout": [
         "Summarize the capital being given back to {company} investors this fiscal year.",
         "Total buybacks plus distributions paid out by {company} to its owners?",
         "What sum went into repurchasing {company} stock and paying its investors?",
         "Describe the buyback and distribution program {company} ran this period.",
+        "What did stockholders of {company} receive through repurchases and regular payouts?",
+        "Quantify the capital {company} handed back via buybacks and per-share distributions.",
+        "Size of the board-authorized repurchase and dividend programs at {company}?",
+        "How large were the aggregate payouts {company} made to owners of its stock?",
     ],
     "climate": [
         "Outline the sustainability and decarbonization commitments of {company}.",
         "What steps has {company} taken toward clean power and recycled materials?",
         "Summarize the green targets {company} set for its plants and devices.",
         "How does {company} plan to cut its climate impact?",
+        "Detail the pledges {company} made to cut greenhouse gases from operations and suppliers.",
+        "How is {company} greening its supply base and shifting to cleaner electricity?",
+        "What progress has {company} reported toward net-zero operations?",
+        "Describe how {company} plans to offset the pollution its business creates.",
     ],
     "cyber": [
         "How does {company} defend customer data against attackers?",
         "Describe the safeguards {company} uses after a hacking attempt on its systems.",
         "What defenses does {company} maintain for its networks and user records?",
         "Explain how {company} handles intrusions and data theft attempts.",
+        "What programs does {company} run to contain hacking incidents and keep user data safe?",
+        "How prepared is {company} for intrusions into the systems holding client records?",
+        "Describe the layered safeguards {company} maintains around sensitive account data.",
+        "Has {company} disclosed any compromise of its networks, and what controls exist?",
     ],
     "legal": [
         "Summarize pending litigation and regulatory probes involving {company}.",
         "Which legal proceedings could create material loss exposure for {company}?",
         "Which courtroom disputes and official inquiries involve {company} today?",
         "Describe the regulatory scrutiny {company} is under in major markets.",
+        "Summarize the competition-law probes and court disputes involving {company}.",
+        "What regulatory enforcement actions could expose {company} to material losses?",
+        "Describe open litigation matters where {company} is a defendant.",
+        "Which official inquiries into {company} conduct remain unresolved?",
     ],
     "ai_strategy_hard": [
         "Where does {company} apply generative AI and custom silicon in its lineup?",
         "Describe the artificial intelligence investments {company} is making in its offerings.",
         "How does {company} put smart algorithms into the things it sells?",
         "What chips and models power the intelligent features {company} ships?",
+        "What foundation model work and custom chips underpin the smart features of {company}?",
+        "Explain the neural network capabilities {company} builds into what it ships.",
+        "How much is {company} spending on generative features and the silicon to run them?",
+        "Describe the on-device and cloud AI stack behind {company} offerings.",
     ],
     "segment_mix": [
         "Break down {company} sales by operating unit and how the composition changed.",
         "Which parts of the {company} portfolio contribute the bulk of its top line?",
         "How do {company} sales divide across its operating units?",
         "Describe the hardware-versus-subscription split in {company} results.",
+        "Break out {company} sales across divisions and note where growth concentrated.",
+        "Which operating unit contributes over half of {company} consolidated sales?",
+        "How has the composition of {company} top line moved toward recurring offerings?",
+        "Summarize the split of {company} sales between hardware and subscription divisions.",
     ],
 }
 

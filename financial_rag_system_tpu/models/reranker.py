@@ -42,6 +42,11 @@ class CrossEncoderReranker:
         *,
         max_len: int = 512,
     ):
+        if os.environ.get("RAG_TPU_INT8_RERANK", "0") in ("1", "true"):
+            # int8 PTQ of the encoder matmul stacks (bert.quantize_params);
+            # both the staged path (cross_score here) and the fused program
+            # (engine passes self.reranker.params) pick it up transparently
+            params = bert.quantize_params(params)
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer

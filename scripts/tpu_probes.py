@@ -431,11 +431,67 @@ def bf16act_gate(pairs: int = 512, seq: int = 128) -> None:
     assert err < 0.08 * max(1.0, scale), "bf16-act mismatch"
 
 
+def int8rerank_gate(pairs: int = 480, seq: int = 128) -> None:
+    """A/B the int8-PTQ rerank forward on chip (RAG_TPU_INT8_RERANK).
+
+    bert.quantize_params turns the six encoder matmul stacks int8
+    (per-output-channel weight scales, per-token dynamic activation
+    scales) — int8 x int8 -> int32 runs at 2x the v5e's bf16 MXU peak.
+    Gates: the quantized logits must preserve the f32 forward's pair
+    ORDERING (that is what rerank consumes — reference selection rule
+    main.py:241-247), and the speedup is reported from interleaved
+    timing so tunnel drift cancels.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from financial_rag_system_tpu.models import bert
+
+    rng = np.random.default_rng(0)
+    params = bert.init_params(jax.random.PRNGKey(1), bert.MINILM_L6_CROSS)
+    qparams = bert.quantize_params(params)
+    ids = rng.integers(103, 30000, (pairs, seq)).astype(np.int32)
+    lens = rng.integers(seq // 4, seq, pairs)
+    mask = (np.arange(seq)[None, :] < lens[:, None]).astype(np.int32)
+    ids = ids * mask
+    types = np.zeros_like(ids)
+    types[:, seq // 2:] = 1
+    j = (jnp.asarray(ids), jnp.asarray(types), jnp.asarray(mask))
+
+    fn = jax.jit(
+        lambda p, i, t, m: bert.cross_score(p, i, t, m, bert.MINILM_L6_CROSS)
+    )
+    out32 = np.asarray(fn(params, *j))   # compile + warm (f32 variant)
+    out8 = np.asarray(fn(qparams, *j))   # separate trace (int8 leaves)
+    # rank agreement without scipy: Spearman via argsort ranks
+    r32 = np.argsort(np.argsort(-out32))
+    r8 = np.argsort(np.argsort(-out8))
+    rho = float(np.corrcoef(r32, r8)[0, 1])
+    err = float(np.max(np.abs(out32 - out8)))
+    scale = float(np.std(out32))
+    log(f"int8 vs f32 rerank logits: max|diff|={err:.4e} "
+        f"(scale ~{scale:.3f}), rank Spearman rho={rho:.4f}")
+    t32, t8 = [], []
+    for _ in range(12):
+        t0 = time.time()
+        np.asarray(fn(params, *j))
+        t32.append((time.time() - t0) * 1e3)
+        t0 = time.time()
+        np.asarray(fn(qparams, *j))
+        t8.append((time.time() - t0) * 1e3)
+    p32, p8 = np.percentile(t32, 50), np.percentile(t8, 50)
+    log(f"rerank fwd ({pairs}x{seq}): f32 p50 {p32:.2f} ms | int8 "
+        f"p50 {p8:.2f} ms ({p32/p8:.2f}x)  [min {min(t32):.2f} / "
+        f"{min(t8):.2f}]")
+    assert rho > 0.98, "int8 rerank ordering diverged"
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--probe",
-        choices=("floor", "scan", "int8", "hnsw", "flash", "bf16act"),
+        choices=("floor", "scan", "int8", "hnsw", "flash", "bf16act",
+                 "int8rerank"),
         default="floor",
     )
     ap.add_argument("--rows", type=int, default=1_048_576)
@@ -448,7 +504,8 @@ if __name__ == "__main__":
     import jax
 
     log(f"platform: {jax.devices()[0].platform}")
-    if args.probe in ("scan", "int8", "hnsw", "flash", "bf16act") and (
+    if args.probe in ("scan", "int8", "hnsw", "flash", "bf16act",
+                      "int8rerank") and (
         jax.devices()[0].platform != "tpu"
     ):
         raise SystemExit(
@@ -465,5 +522,7 @@ if __name__ == "__main__":
         flash_gate()
     elif args.probe == "bf16act":
         bf16act_gate()
+    elif args.probe == "int8rerank":
+        int8rerank_gate()
     else:
         hnsw_profile(args.rows, m=args.m, efc=args.efc)

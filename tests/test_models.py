@@ -93,6 +93,46 @@ def test_bf16_activation_mode_close_to_f32(monkeypatch):
     assert not np.array_equal(h32, h16)
 
 
+def test_int8_ptq_preserves_ordering():
+    """bert.quantize_params: the int8 forward must keep the f32 forward's
+    pair ORDERING — that is the only thing the rerank stage consumes
+    (reference selection rule main.py:241-247)."""
+    params = bert.init_params(jax.random.PRNGKey(0), TINY)
+    qparams = bert.quantize_params(params)
+    # six weight stacks went int8 with per-channel scales alongside
+    assert qparams["layers"]["q_w"].dtype == jnp.int8
+    assert qparams["layers"]["in_w__scale"].shape == (
+        TINY.layers, 1, TINY.intermediate
+    )
+    rng = np.random.default_rng(7)
+    ids = jnp.asarray(rng.integers(3, 500, (16, 24)), jnp.int32)
+    types = jnp.zeros_like(ids)
+    mask = jnp.ones_like(ids)
+    s32 = np.asarray(bert.cross_score(params, ids, types, mask, TINY))
+    s8 = np.asarray(bert.cross_score(qparams, ids, types, mask, TINY))
+    r32 = np.argsort(np.argsort(-s32))
+    r8 = np.argsort(np.argsort(-s8))
+    rho = float(np.corrcoef(r32, r8)[0, 1])
+    assert rho > 0.95, f"int8 PTQ broke rerank ordering (rho={rho})"
+    assert np.max(np.abs(s32 - s8)) < 0.2 * max(1.0, float(np.std(s32)))
+
+
+def test_int8_rerank_env_gate(monkeypatch):
+    """RAG_TPU_INT8_RERANK=1 quantizes CrossEncoderReranker.params at
+    construction, so both the staged and fused paths serve int8."""
+    from financial_rag_system_tpu.models.reranker import CrossEncoderReranker
+
+    params = bert.init_params(jax.random.PRNGKey(1), TINY)
+    monkeypatch.setenv("RAG_TPU_INT8_RERANK", "1")
+    rr = CrossEncoderReranker(params, TINY, Tokenizer())
+    assert rr.params["layers"]["out_w"].dtype == jnp.int8
+    scores = rr.score("what is revenue", ["revenue was $1b", "the sky is blue"])
+    assert scores.shape == (2,) and np.all(np.isfinite(scores))
+    monkeypatch.setenv("RAG_TPU_INT8_RERANK", "0")
+    rr2 = CrossEncoderReranker(params, TINY, Tokenizer())
+    assert rr2.params["layers"]["out_w"].dtype != jnp.int8
+
+
 def test_embed_cls_normalized():
     params = bert.init_params(jax.random.PRNGKey(0), TINY)
     ids = jnp.array([[101, 5, 6, 102], [101, 9, 10, 102]], jnp.int32)
