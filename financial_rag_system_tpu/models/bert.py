@@ -225,11 +225,20 @@ def quantize_params(params: dict) -> dict:
     weight stacks (the ~97% of rerank FLOPs).  Returns a params pytree
     whose ``layers`` hold int8 weights plus ``<name>__scale`` arrays of
     shape (L, 1, out); :func:`encode` detects the scales at trace time
-    and switches those matmuls to int8 x int8 -> int32 on the MXU (2x
-    bf16 peak on the v5e).  Embeddings, layernorms, attention
-    score/context matmuls, pooler and classifier stay bf16/f32 — they
-    are a rounding error of the FLOPs and carry the accuracy-sensitive
-    small reductions.
+    and switches those matmuls to weight-only int8 (bf16 matmul of the
+    int8-cast weights, per-channel dequant folded into the output) —
+    4x less weight HBM footprint/traffic at unchanged matmul throughput.
+    Embeddings, layernorms, attention score/context matmuls, pooler and
+    classifier stay bf16/f32 — they are a rounding error of the FLOPs
+    and carry the accuracy-sensitive small reductions.
+
+    Measured negative result (scripts/tpu_probes.py --probe int8rerank,
+    v5e): full dynamic-quant int8 x int8 -> int32 on the MXU is 0.88x
+    the f32 forward at the serving shape (480x128 pairs) — the
+    per-token abs-max/round/clip activation passes cost ~6 ms of VPU +
+    HBM time against a ~11.5 ms device-side forward, more than the 2x
+    int8 MXU peak returns.  Weight-only keeps the memory win (the point
+    of the flag: sharing HBM with multi-GiB corpora) without that tax.
 
     Replaces: the reference serves f32 torch models with no quantized
     path (main.py:80-90); this is the TPU-native inference-efficiency
@@ -250,15 +259,17 @@ def quantize_params(params: dict) -> dict:
 def _matmul_q(
     x: jax.Array, w_q: jax.Array, s: jax.Array, b: jax.Array
 ) -> jax.Array:
-    """Dynamically-quantized int8 matmul: per-token symmetric activation
-    quantization (abs-max over the feature axis), int8 x int8 -> int32 on
-    the MXU, dequantized by (token scale x output-channel scale)."""
-    x = x.astype(jnp.float32)
-    sx = jnp.max(jnp.abs(x), axis=-1, keepdims=True) / 127.0  # (..., 1)
-    sx = jnp.maximum(sx, 1e-8)
-    xq = jnp.clip(jnp.round(x / sx), -127, 127).astype(jnp.int8)
-    y = jnp.dot(xq, w_q, preferred_element_type=jnp.int32).astype(jnp.float32)
-    return y * (sx * s) + b
+    """Weight-only int8 matmul: the int8 weights upcast to bf16 inside
+    the matmul read (XLA fuses the convert), run at full bf16 MXU
+    throughput, and the per-output-channel scale folds into the output —
+    no activation-quantization passes (see the measured negative result
+    in :func:`quantize_params`)."""
+    y = jnp.dot(
+        x.astype(jnp.bfloat16),
+        w_q.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    return y * s + b
 
 
 def encode(

@@ -434,13 +434,17 @@ def bf16act_gate(pairs: int = 512, seq: int = 128) -> None:
 def int8rerank_gate(pairs: int = 480, seq: int = 128) -> None:
     """A/B the int8-PTQ rerank forward on chip (RAG_TPU_INT8_RERANK).
 
-    bert.quantize_params turns the six encoder matmul stacks int8
-    (per-output-channel weight scales, per-token dynamic activation
-    scales) — int8 x int8 -> int32 runs at 2x the v5e's bf16 MXU peak.
-    Gates: the quantized logits must preserve the f32 forward's pair
-    ORDERING (that is what rerank consumes — reference selection rule
-    main.py:241-247), and the speedup is reported from interleaved
-    timing so tunnel drift cancels.
+    bert.quantize_params turns the six encoder matmul stacks int8 with
+    per-output-channel scales; encode() runs them weight-only (bf16
+    matmul of the upcast weights, dequant folded into the output).
+    History: the first variant did full dynamic activation quantization
+    (int8 x int8 -> int32 on the MXU) and measured **0.88x** here — the
+    per-token abs-max/round/clip passes cost more than the 2x int8 MXU
+    peak returned at 480x128 pairs; weight-only keeps the 4x weight
+    memory cut at parity speed.  Gates: the quantized logits must
+    preserve the f32 forward's pair ORDERING (that is what rerank
+    consumes — reference selection rule main.py:241-247), and the
+    speedup is reported from interleaved timing so tunnel drift cancels.
     """
     import jax
     import jax.numpy as jnp
