@@ -36,6 +36,43 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def device_full(sharding: NamedSharding, shape, dtype, fill=0) -> jax.Array:
+    """Sharded constant built ON device (``jit`` + ``out_shardings``),
+    never via ``jax.device_put`` of a host buffer.
+
+    ``device_put`` of host data onto a multi-process ``NamedSharding``
+    runs jax's ``assert_equal`` — a ``process_allgather`` of the WHOLE
+    array — as a cross-process value check.  That is (a) wasted
+    bandwidth at corpus scale (the check gathers every shard to every
+    host) and (b) often the process's FIRST collective, whose Gloo/ICI
+    context initialization carries a fixed ~30 s deadline: under
+    multi-process startup skew (contended CPU, cold jit caches) it
+    times out before the peers rendezvous — observed as a
+    tests/test_multihost suite flake.  A jitted constant computes each
+    local shard in place: no host buffer, no collective, no rendezvous.
+    """
+    return jax.jit(
+        lambda: jnp.full(shape, fill, dtype), out_shardings=sharding
+    )()
+
+
+def host_to_global(
+    sharding: NamedSharding, arr: np.ndarray, dtype=None
+) -> jax.Array:
+    """Place host data onto a (possibly multi-process) sharding without
+    ``device_put``'s assert_equal allgather: callers guarantee every
+    process passes identical host data (the op-broadcast lockstep
+    contract), so each device just reads its own slice of the local
+    buffer via ``make_array_from_callback``."""
+    if dtype is not None:
+        arr = np.asarray(arr, jnp.dtype(dtype))
+    else:
+        arr = np.asarray(arr)
+    return jax.make_array_from_callback(
+        arr.shape, sharding, lambda idx: arr[idx]
+    )
+
+
 def make_sharded_search(
     mesh: Mesh,
     *,
@@ -134,18 +171,15 @@ class ShardedFlatIndex(SearchMixin):
         # unit so a concurrent reader never pairs a grown emb with an
         # ungrown codes/token-store (see flat.py _arrays comment)
         self._arrays = (
-            jax.device_put(
-                jnp.zeros((self.capacity, dim), dtype=dtype),
-                self._emb_sharding,
-            ),
-            jax.device_put(
-                jnp.full((2, self.capacity), PAD_CODE, dtype=jnp.int32),
-                self._codes_sharding,
+            device_full(self._emb_sharding, (self.capacity, dim), self.dtype),
+            device_full(
+                self._codes_sharding, (2, self.capacity), jnp.int32, PAD_CODE
             ),
             (
-                jax.device_put(
-                    jnp.zeros((self.capacity, token_store_len), jnp.int32),
+                device_full(
                     self._dtok_sharding,
+                    (self.capacity, token_store_len),
+                    jnp.int32,
                 )
                 if token_store_len
                 else None
@@ -187,21 +221,34 @@ class ShardedFlatIndex(SearchMixin):
             per_shard *= 2
         new_cap = per_shard * self.n_shards
         old_emb, old_codes, old_dtok = arrays
-        emb = np.zeros((new_cap, self.dim), np.float32)
-        codes = np.full((2, new_cap), PAD_CODE, np.int32)
-        emb[: self.capacity] = np.asarray(old_emb, np.float32)
-        codes[:, : self.capacity] = np.asarray(old_codes)
-        dtok = None
-        if old_dtok is not None:
-            dtok = np.zeros((new_cap, self.token_store_len), np.int32)
-            dtok[: self.capacity] = np.asarray(old_dtok)
-            dtok = jax.device_put(jnp.asarray(dtok), self._dtok_sharding)
-        self.capacity = new_cap
-        return (
-            jax.device_put(jnp.asarray(emb, self.dtype), self._emb_sharding),
-            jax.device_put(jnp.asarray(codes), self._codes_sharding),
-            dtok,
+
+        # grown copies are computed ON device (rows redistribute over
+        # ICI inside the jitted program) — never via a host round trip,
+        # which at corpus scale would materialize the full array on every
+        # host AND pay device_put's assert_equal allgather (see
+        # device_full).  Runs in op-broadcast lockstep, so the resharding
+        # collective is not startup-skew-sensitive.
+        def _grow_rows(old, sharding, fill=0):
+            return jax.jit(
+                lambda x: jnp.full(
+                    (new_cap, x.shape[1]), fill, x.dtype
+                ).at[: x.shape[0]].set(x),
+                out_shardings=sharding,
+            )(old)
+
+        emb = _grow_rows(old_emb, self._emb_sharding)
+        codes = jax.jit(
+            lambda x: jnp.full((2, new_cap), PAD_CODE, jnp.int32)
+            .at[:, : x.shape[1]].set(x),
+            out_shardings=self._codes_sharding,
+        )(old_codes)
+        dtok = (
+            _grow_rows(old_dtok, self._dtok_sharding)
+            if old_dtok is not None
+            else None
         )
+        self.capacity = new_cap
+        return (emb, codes, dtok)
 
     def upsert(
         self,
@@ -357,11 +404,12 @@ class ShardedFlatIndex(SearchMixin):
         else:
             emb, codes = data["emb"], data["codes"]
             dtok = data["dtok"] if has_dtok else None
-        idx._arrays = (  # one swap
-            jax.device_put(jnp.asarray(emb, idx.dtype), idx._emb_sharding),
-            jax.device_put(jnp.asarray(codes), idx._codes_sharding),
+        idx._arrays = (  # one swap; host_to_global: every process reads
+            # the same npz, so no cross-process equality gather is needed
+            host_to_global(idx._emb_sharding, emb, idx.dtype),
+            host_to_global(idx._codes_sharding, codes, jnp.int32),
             (
-                jax.device_put(jnp.asarray(dtok), idx._dtok_sharding)
+                host_to_global(idx._dtok_sharding, dtok, jnp.int32)
                 if dtok is not None
                 else None
             ),

@@ -185,13 +185,17 @@ class ShardedHNSWIndex(SearchMixin):
                 )
 
         self._host_graphs = (adj_stack, ent_stack)
-        adj_dev = jax.device_put(
-            jnp.asarray(adj_stack),
-            NamedSharding(self.mesh, P(AXIS_CORPUS, None, None)),
+        # host_to_global, not device_put: the graph stack is host data and
+        # identical on every process (lockstep build/load), so skip
+        # device_put's assert_equal allgather of the full adjacency
+        # (index/sharded.py device_full rationale)
+        from financial_rag_system_tpu.index.sharded import host_to_global
+
+        adj_dev = host_to_global(
+            NamedSharding(self.mesh, P(AXIS_CORPUS, None, None)), adj_stack
         )
-        ent_dev = jax.device_put(
-            jnp.asarray(ent_stack),
-            NamedSharding(self.mesh, P(AXIS_CORPUS, None)),
+        ent_dev = host_to_global(
+            NamedSharding(self.mesh, P(AXIS_CORPUS, None)), ent_stack
         )
         from financial_rag_system_tpu.index.base import build_ticker_lists
 
