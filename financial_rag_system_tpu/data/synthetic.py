@@ -413,11 +413,16 @@ def make_hard_corpus(
 # training paraphrases — supervision for the contrastive trainer
 # ---------------------------------------------------------------------------
 
-# Two TRAINING paraphrases per intent, deliberately disjoint in wording
+# TRAINING paraphrases per intent, deliberately disjoint in wording
 # from the intent's EVAL query (make_hard_set) and free of the scoring
 # keywords: the trainer never sees the evaluation phrasing, so hard-mode
-# lift from training is generalization, not memorization.  Counterpart of
-# the reference's cache-as-training-data idea (reference README.md:41)
+# lift from training is generalization, not memorization.  The leak
+# check (tests/test_hard_eval.py) budgets each paraphrase at most TWO
+# content words shared with its eval query; a few paraphrases spend that
+# budget deliberately to teach vocabulary bridges (e.g. "environmental"/
+# "emissions" next to "decarbonization") — the coverage a pretrained
+# encoder gets for free and a random-init one must be shown.  Counterpart
+# of the reference's cache-as-training-data idea (reference README.md:41)
 # when no production query log exists yet.
 TRAIN_PARAPHRASES: dict[str, list[str]] = {
     "factory_risk": [
@@ -429,6 +434,7 @@ TRAIN_PARAPHRASES: dict[str, list[str]] = {
         "Assess the concentration of {company} final assembly among a handful of contract manufacturers.",
         "What supply chain interruptions could hit the third parties building goods for {company}?",
         "How vulnerable is {company} to a shutdown at a contract assembler or parts vendor?",
+        "Which factories assemble {company} hardware and what if they halt?",
     ],
     "payout": [
         "Summarize the capital being given back to {company} investors this fiscal year.",
@@ -439,6 +445,8 @@ TRAIN_PARAPHRASES: dict[str, list[str]] = {
         "Quantify the capital {company} handed back via buybacks and per-share distributions.",
         "Size of the board-authorized repurchase and dividend programs at {company}?",
         "How large were the aggregate payouts {company} made to owners of its stock?",
+        "How much capital went back to {company} shareholders through repurchases and distributions?",
+        "What did {company} give back to its owners in repurchases and payouts during the period?",
     ],
     "climate": [
         "Outline the sustainability and decarbonization commitments of {company}.",
@@ -449,6 +457,8 @@ TRAIN_PARAPHRASES: dict[str, list[str]] = {
         "How is {company} greening its supply base and shifting to cleaner electricity?",
         "What progress has {company} reported toward net-zero operations?",
         "Describe how {company} plans to offset the pollution its business creates.",
+        "What environmental initiatives has {company} announced to lower its emissions?",
+        "How large is the carbon footprint of {company} and what is shrinking it?",
     ],
     "cyber": [
         "How does {company} defend customer data against attackers?",
@@ -469,6 +479,8 @@ TRAIN_PARAPHRASES: dict[str, list[str]] = {
         "What regulatory enforcement actions could expose {company} to material losses?",
         "Describe open litigation matters where {company} is a defendant.",
         "Which official inquiries into {company} conduct remain unresolved?",
+        "List pending lawsuits and regulatory investigations against {company}.",
+        "What legal proceedings and government probes does {company} face?",
     ],
     "ai_strategy_hard": [
         "Where does {company} apply generative AI and custom silicon in its lineup?",
@@ -479,6 +491,8 @@ TRAIN_PARAPHRASES: dict[str, list[str]] = {
         "Explain the neural network capabilities {company} builds into what it ships.",
         "How much is {company} spending on generative features and the silicon to run them?",
         "Describe the on-device and cloud AI stack behind {company} offerings.",
+        "Where do machine learning systems appear in the {company} product portfolio?",
+        "How does {company} apply artificial intelligence to what it builds and operates?",
     ],
     "segment_mix": [
         "Break down {company} sales by operating unit and how the composition changed.",
@@ -489,6 +503,8 @@ TRAIN_PARAPHRASES: dict[str, list[str]] = {
         "Which operating unit contributes over half of {company} consolidated sales?",
         "How has the composition of {company} top line moved toward recurring offerings?",
         "Summarize the split of {company} sales between hardware and subscription divisions.",
+        "What share of {company} revenue comes from each business unit?",
+        "Break down the product lines generating the most sales for {company}.",
     ],
 }
 
