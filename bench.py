@@ -227,6 +227,9 @@ def init_backend() -> str:
 
 
 def main() -> None:
+    from financial_rag_system_tpu.utils.config import enable_compilation_cache
+
+    enable_compilation_cache()
     platform = init_backend()
     on_tpu = platform == "tpu"
     RESULT["platform"] = platform

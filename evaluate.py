@@ -278,6 +278,9 @@ def run_evaluation(
 
 
 if __name__ == "__main__":
+    from financial_rag_system_tpu.utils.config import enable_compilation_cache
+
+    enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--k", type=int, default=5)
     ap.add_argument("--corpus", type=int, default=None,

@@ -238,8 +238,12 @@ def build_default_engine(mode: str = "batched") -> RAGEngine:
     from financial_rag_system_tpu.index.flat import FlatIndex
     from financial_rag_system_tpu.models.embedder import get_embedder
     from financial_rag_system_tpu.models.reranker import get_reranker
-    from financial_rag_system_tpu.utils.config import get_config
+    from financial_rag_system_tpu.utils.config import (
+        enable_compilation_cache,
+        get_config,
+    )
 
+    enable_compilation_cache()  # cold server start reuses prior compiles
     cfg = get_config()
     embedder = get_embedder(cfg.embed_dim)
     reranker = get_reranker(testing=cfg.testing)

@@ -162,3 +162,39 @@ def default_backend_url() -> str:
 def reset_config() -> None:
     """Re-read env on next get_config() — used by tests."""
     get_config.cache_clear()
+
+
+_COMPILE_CACHE_ENABLED = False
+
+
+def enable_compilation_cache() -> bool:
+    """Point jax at a persistent on-disk XLA compilation cache.
+
+    Cold compiles dominate operational latency on this stack: the IVF
+    k-means scan alone compiles for ~14 s on the v5e but runs in 0.1 s,
+    and a fresh server/bench/eval process pays every compile again.  The
+    persistent cache (measured through the tunneled axon plugin) turns
+    the second process's cold k-means into 0.6 s.  Called by every
+    entrypoint (server, bench, evaluate, probes); RAG_TPU_COMPILE_CACHE=0
+    disables, RAG_TPU_COMPILE_CACHE_DIR overrides the location.  Only
+    compiles >1 s persist, so tiny test-suite programs don't churn disk.
+    Safe no-op on jax versions without the option.
+    """
+    global _COMPILE_CACHE_ENABLED
+    if _COMPILE_CACHE_ENABLED:
+        return True
+    if not _env_bool("RAG_TPU_COMPILE_CACHE", True):
+        return False
+    cache_dir = os.environ.get("RAG_TPU_COMPILE_CACHE_DIR") or os.path.join(
+        os.path.expanduser("~"), ".cache", "financial_rag_system_tpu", "xla"
+    )
+    try:
+        import jax
+
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        return False
+    _COMPILE_CACHE_ENABLED = True
+    return True

@@ -507,6 +507,9 @@ if __name__ == "__main__":
     args = ap.parse_args()
     import jax
 
+    from financial_rag_system_tpu.utils.config import enable_compilation_cache
+
+    enable_compilation_cache()
     log(f"platform: {jax.devices()[0].platform}")
     if args.probe in ("scan", "int8", "hnsw", "flash", "bf16act",
                       "int8rerank") and (
