@@ -315,7 +315,11 @@ def main() -> None:
     from financial_rag_system_tpu.models.tokenizer import SEP_ID, pad_batch
     from financial_rag_system_tpu.ops.fused_query import make_fused_query
 
-    DLEN = 96
+    # token-store width sized to the corpus, not a round guess: measured
+    # p99 chunk length is 75 wordpiece tokens (max 144), so 80 covers
+    # p99 + SEP and cuts the rerank pair from 128 to 112 tokens — the
+    # rerank is ~95% of batch FLOPs, so store width is serving latency
+    DLEN = 80
     log("building device token store ...")
     t0 = time.time()
     dtok = np.zeros((corpus_n, DLEN), np.int32)
