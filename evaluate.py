@@ -37,10 +37,15 @@ def build_index(n_chunks: int, embedder, use_pallas: bool, *, hard: bool = False
 
     maker = make_hard_corpus if hard else make_corpus
     ids, texts, payloads = maker(n_chunks)
+    import jax.numpy as jnp
+
+    # RAG_TPU_INDEX_DTYPE=int8 evaluates the quantized tier's retrieval
+    # quality (symmetric row/query int8 — serving's exact configuration)
+    dtype = jnp.dtype(os.environ.get("RAG_TPU_INDEX_DTYPE", "bfloat16"))
     index = FlatIndex(
         dim=embedder.dim, capacity=max(n_chunks, 1024),
         tile=min(1024, max(128, n_chunks // 4 // 128 * 128 or 128)),
-        use_pallas=use_pallas,
+        use_pallas=use_pallas, dtype=dtype,
     )
     bs = 512
     for s in range(0, len(ids), bs):
@@ -209,6 +214,7 @@ def run_evaluation(
         sharded = ShardedFlatIndex(
             mesh, dim=embedder.dim, capacity=index.n_valid,
             tile=min(128, index.tile), use_pallas=use_pallas,
+            dtype=index.dtype,
         )
         sharded.upsert(
             list(index.store.id_to_row.keys()),
