@@ -164,10 +164,14 @@ def save_trained(embedder, reranker, out_dir: str) -> None:
 
     bge_dir = os.path.join(out_dir, "bge")
     rr_dir = os.path.join(out_dir, "reranker")
-    save_bert_checkpoint(embedder.params, embedder.cfg, bge_dir)
+    save_bert_checkpoint(
+        embedder.params, embedder.cfg, bge_dir,
+        max_seq_length=embedder.max_len,
+    )
     if reranker is not None:
         save_bert_checkpoint(
-            reranker.params, reranker.cfg, rr_dir, cross_encoder=True
+            reranker.params, reranker.cfg, rr_dir, cross_encoder=True,
+            max_seq_length=reranker.max_len,
         )
     print(f"exported trained checkpoints: RAG_TPU_BGE_DIR={bge_dir}"
           + (f" RAG_TPU_RERANKER_DIR={rr_dir}" if reranker else ""))

@@ -137,8 +137,14 @@ def get_embedder(dim: int = 384):
     """Factory mirroring the reference's lru_cache'd get_embedder."""
     ckpt = os.environ.get("RAG_TPU_BGE_DIR", "")
     if ckpt and os.path.isdir(ckpt):
-        from financial_rag_system_tpu.models.hf_loader import load_bert_checkpoint
+        from financial_rag_system_tpu.models.hf_loader import (
+            load_bert_checkpoint,
+            saved_max_seq_length,
+        )
 
         params, cfg = load_bert_checkpoint(ckpt, with_pooler=True)
-        return BiEncoder(params, cfg, Tokenizer.from_dir(ckpt), pooling="cls")
+        return BiEncoder(
+            params, cfg, Tokenizer.from_dir(ckpt), pooling="cls",
+            max_len=saved_max_seq_length(ckpt),
+        )
     return HashEmbedder(dim)

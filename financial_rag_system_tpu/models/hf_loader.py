@@ -44,6 +44,19 @@ def _read_state_dict(ckpt_dir: str) -> dict[str, np.ndarray]:
     return {k: v.numpy() for k, v in sd.items()}
 
 
+def saved_max_seq_length(ckpt_dir: str, default: int = 512) -> int:
+    """Trained sequence length from sentence_bert_config.json (the
+    sentence-transformers convention; models/hf_export.py writes it) —
+    serving must truncate where training did, or untrained position
+    embeddings shift the score distribution."""
+    path = os.path.join(ckpt_dir, "sentence_bert_config.json")
+    try:
+        with open(path) as f:
+            return int(json.load(f)["max_seq_length"])
+    except (OSError, KeyError, ValueError):
+        return default
+
+
 def load_bert_checkpoint(
     ckpt_dir: str,
     *,

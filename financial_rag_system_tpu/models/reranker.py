@@ -139,10 +139,16 @@ def get_reranker(*, testing: bool = False):
     """Factory mirroring the reference's lru_cache'd get_reranker."""
     ckpt = os.environ.get("RAG_TPU_RERANKER_DIR", "")
     if ckpt and os.path.isdir(ckpt):
-        from financial_rag_system_tpu.models.hf_loader import load_bert_checkpoint
+        from financial_rag_system_tpu.models.hf_loader import (
+            load_bert_checkpoint,
+            saved_max_seq_length,
+        )
 
         # layer count comes from the checkpoint's config.json (6 for the
         # reference ms-marco MiniLM; trained exports may differ)
         params, cfg = load_bert_checkpoint(ckpt, with_pooler=True, num_labels=1)
-        return CrossEncoderReranker(params, cfg, Tokenizer.from_dir(ckpt))
+        return CrossEncoderReranker(
+            params, cfg, Tokenizer.from_dir(ckpt),
+            max_len=saved_max_seq_length(ckpt),
+        )
     return HashReranker(identity=testing)
