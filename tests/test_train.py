@@ -126,3 +126,34 @@ def test_checkpoint_resume(tmp_path):
     )
     assert losses2[0] < losses1[0] + 0.1  # resumed from trained state
     assert latest_step(ck) >= len(losses1)
+
+
+def test_pairs_from_cache_closed_loop(tmp_path):
+    """The serve->log->train loop the reference only sketches
+    (reference README.md:41): cached production queries become
+    (query, retrieved-top-chunk) supervision for the retriever."""
+    from financial_rag_system_tpu.index.flat import FlatIndex
+    from financial_rag_system_tpu.models.embedder import HashEmbedder
+    from financial_rag_system_tpu.serving.cache import CacheDB
+    from financial_rag_system_tpu.train.contrastive import pairs_from_cache
+
+    emb = HashEmbedder()
+    index = FlatIndex(dim=emb.dim, capacity=128, tile=128, use_pallas=False)
+    texts = [
+        "revenue grew twelve percent on services strength",
+        "litigation reserves increased after the consent decree",
+    ]
+    index.upsert(
+        ["a", "b"], emb.encode(texts), texts,
+        [{"ticker": "AAPL", "document_type": "10-K"}] * 2,
+    )
+    db = CacheDB(str(tmp_path / "c.db"))
+    db.save("h1", "AAPL", "how fast did revenue grow", "cached answer 1")
+    db.save("h2", "AAPL", "what legal reserves exist", "cached answer 2")
+    pairs = pairs_from_cache(db, index, emb)
+    db.close()
+    assert len(pairs) == 2
+    by_q = dict(pairs)
+    # each logged query pairs with its own top retrieved chunk
+    assert by_q["how fast did revenue grow"] == texts[0]
+    assert by_q["what legal reserves exist"] == texts[1]
