@@ -39,9 +39,13 @@ def build_index(n_chunks: int, embedder, use_pallas: bool, *, hard: bool = False
     ids, texts, payloads = maker(n_chunks)
     import jax.numpy as jnp
 
+    from financial_rag_system_tpu.utils.config import get_config
+
     # RAG_TPU_INDEX_DTYPE=int8 evaluates the quantized tier's retrieval
-    # quality (symmetric row/query int8 — serving's exact configuration)
-    dtype = jnp.dtype(os.environ.get("RAG_TPU_INDEX_DTYPE", "bfloat16"))
+    # quality (symmetric row/query int8 — serving's exact configuration);
+    # read through the config layer so evaluate and serving can never
+    # interpret the knob differently
+    dtype = jnp.dtype(get_config().index_dtype)
     index = FlatIndex(
         dim=embedder.dim, capacity=max(n_chunks, 1024),
         tile=min(1024, max(128, n_chunks // 4 // 128 * 128 or 128)),
@@ -144,15 +148,20 @@ def trained_reranker(
     examples = make_cross_examples(seed=seed)
     epochs = max(1, (steps * 32) // len(examples))
     t0 = time.time()
+    # ONE length for train and serve: positions past the trained length
+    # stay random init, so the serving reranker (and the exported
+    # max_seq_length) must truncate exactly where training did
+    max_len = 128
     params, losses = train_cross_encoder(
-        params, cfg, examples, epochs=epochs, batch_size=32, lr=lr, seed=seed,
+        params, cfg, examples, epochs=epochs, batch_size=32, lr=lr,
+        max_len=max_len, seed=seed,
     )
     print(
         f"trained {arch} reranker ({cfg.layers}L/{cfg.hidden}) "
         f"{len(losses)} steps on {len(examples)} pairs in "
         f"{time.time()-t0:.0f}s: loss {losses[0]:.3f} -> {losses[-1]:.3f}"
     )
-    return CrossEncoderReranker(params, cfg, Tokenizer(), max_len=160)
+    return CrossEncoderReranker(params, cfg, Tokenizer(), max_len=max_len)
 
 
 def save_trained(embedder, reranker, out_dir: str) -> None:

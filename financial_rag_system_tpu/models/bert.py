@@ -32,6 +32,12 @@ class BertConfig:
     # heads attached on top of the encoder
     with_pooler: bool = False
     num_labels: int = 0  # >0 => classification head (cross-encoder)
+    # serving truncation hint: the sequence length the weights were
+    # TRAINED at (sentence_bert_config.json, models/hf_export.py) when it
+    # is shorter than max_positions — positions past it are random init
+    # on first-party trained checkpoints, so inference must not use them.
+    # None = no hint (real HF checkpoints: every position is trained).
+    max_seq_length: int | None = None
 
 
 # BAAI/bge-small-en-v1.5 — 12-layer BERT-small, CLS pooling, dim 384

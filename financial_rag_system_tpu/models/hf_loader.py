@@ -53,7 +53,9 @@ def saved_max_seq_length(ckpt_dir: str, default: int = 512) -> int:
     try:
         with open(path) as f:
             return int(json.load(f)["max_seq_length"])
-    except (OSError, KeyError, ValueError):
+    except (OSError, KeyError, ValueError, TypeError):
+        # sentence-transformers writes null when unset; non-dict roots
+        # and missing files mean the same thing: no hint
         return default
 
 

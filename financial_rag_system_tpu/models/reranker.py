@@ -147,8 +147,15 @@ def get_reranker(*, testing: bool = False):
         # layer count comes from the checkpoint's config.json (6 for the
         # reference ms-marco MiniLM; trained exports may differ)
         params, cfg = load_bert_checkpoint(ckpt, with_pooler=True, num_labels=1)
+        trained_len = saved_max_seq_length(ckpt)
+        if trained_len < cfg.max_positions:
+            # carry the hint on the cfg so the FUSED pipeline (which
+            # builds pairs from the device token store, ops/fused_query
+            # _cross_rerank) truncates where training did too
+            import dataclasses
+
+            cfg = dataclasses.replace(cfg, max_seq_length=trained_len)
         return CrossEncoderReranker(
-            params, cfg, Tokenizer.from_dir(ckpt),
-            max_len=saved_max_seq_length(ckpt),
+            params, cfg, Tokenizer.from_dir(ckpt), max_len=trained_len,
         )
     return HashReranker(identity=testing)

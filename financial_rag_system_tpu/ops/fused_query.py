@@ -101,7 +101,13 @@ def _cross_rerank(
     b, lq = q_ids.shape
     k = rows.shape[1]
     dlen = doc_tokens.shape[1]
-    dtok = doc_tokens[jnp.maximum(rows, 0)]  # (B, K, DLEN)
+    # first-party trained rerankers carry the length they were trained at
+    # (cfg.max_seq_length): positions past it are random init, so the
+    # pair must not exceed it — trim the doc portion (static slice; the
+    # hint is None for real HF checkpoints and nothing changes)
+    if rerank_cfg.max_seq_length and lq + dlen > rerank_cfg.max_seq_length:
+        dlen = max(8, rerank_cfg.max_seq_length - lq)
+    dtok = doc_tokens[jnp.maximum(rows, 0)][:, :, :dlen]  # (B, K, DLEN)
 
     pair_ids = jnp.concatenate(
         [jnp.broadcast_to(q_ids[:, None, :], (b, k, lq)), dtok], axis=2

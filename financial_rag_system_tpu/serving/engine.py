@@ -387,7 +387,11 @@ class RAGEngine:
 
         index = self.index
         tok = self.embedder.tokenizer
-        encs = [tok.encode(q, 64) for q in queries]
+        # queries truncate at 64 (ample for the reference workload: p95 is
+        # ~22 tokens) capped by the embedder's trained length — positions
+        # past a first-party checkpoint's trained length are random init
+        lq = min(64, getattr(self.embedder, "max_len", 64) or 64)
+        encs = [tok.encode(q, lq) for q in queries]
         ids, types, mask = pad_batch(encs)
         codes = [index.store.query_codes(t, d) for t, d in filters]
         if isinstance(index, BroadcastIndex):

@@ -27,16 +27,27 @@ def test_env_kill_switch(monkeypatch, tmp_path):
 
 def test_enables_and_is_idempotent(monkeypatch, tmp_path):
     _reset()
+    import jax
+
+    prev_dir = jax.config.jax_compilation_cache_dir
+    prev_min = jax.config.jax_persistent_cache_min_compile_time_secs
     cache_dir = tmp_path / "xla"
     monkeypatch.delenv("RAG_TPU_COMPILE_CACHE", raising=False)
     monkeypatch.setenv("RAG_TPU_COMPILE_CACHE_DIR", str(cache_dir))
-    assert enable_compilation_cache() is True
-    assert os.path.isdir(cache_dir)
-    import jax
-
-    assert jax.config.jax_compilation_cache_dir == str(cache_dir)
-    # second call is a no-op (does not re-point at a changed env)
-    monkeypatch.setenv("RAG_TPU_COMPILE_CACHE_DIR", str(tmp_path / "other"))
-    assert enable_compilation_cache() is True
-    assert jax.config.jax_compilation_cache_dir == str(cache_dir)
-    _reset()
+    try:
+        assert enable_compilation_cache() is True
+        assert os.path.isdir(cache_dir)
+        assert jax.config.jax_compilation_cache_dir == str(cache_dir)
+        # second call is a no-op (does not re-point at a changed env)
+        monkeypatch.setenv(
+            "RAG_TPU_COMPILE_CACHE_DIR", str(tmp_path / "other")
+        )
+        assert enable_compilation_cache() is True
+        assert jax.config.jax_compilation_cache_dir == str(cache_dir)
+    finally:
+        # restore the process-global jax config for later tests
+        jax.config.update("jax_compilation_cache_dir", prev_dir)
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", prev_min
+        )
+        _reset()
