@@ -371,6 +371,22 @@ def main() -> None:  # pragma: no cover — exercised by tests/test_multihost.py
             # program targets the INNER index and batches become one
             # broadcast op each (engine._fused_batch)
             engine._fused_fn = engine._maybe_build_fused()
+            # collective warmup: establish the global-mesh Gloo/ICI
+            # contexts NOW, while every process is rendezvoused at the
+            # control-channel connect (ControlServer.__init__ blocks for
+            # all workers).  Context init carries a fixed ~30 s deadline;
+            # deferring the first collective to the first /ask makes it
+            # race the fused program's cross-process COMPILE skew, which
+            # under load exceeds the deadline (observed as suite flakes).
+            # A k=1 search is tiny to compile and exercises the exact
+            # all-gather communicator serving uses.
+            import numpy as np
+
+            engine.index.search_device(
+                np.zeros((1, cfg.embed_dim), np.float32),
+                np.full((1, 2), -1, np.int32),
+                1,
+            )
             try:
                 web.run_app(create_app(engine), host=cfg.host, port=cfg.port)
             finally:
