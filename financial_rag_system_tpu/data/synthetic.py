@@ -509,12 +509,58 @@ TRAIN_PARAPHRASES: dict[str, list[str]] = {
 }
 
 
+# Supervision for the EASY golden-set domains (AAPL_TOPICS): the hard
+# intents alone leave a trained encoder blind to the reference's parity
+# topics (measured: 40% Hit@5 on GOLDEN_SET vs the hash stack's 100%).
+# Same leak discipline as TRAIN_PARAPHRASES, checked by
+# tests/test_hard_eval.py: no expected_keyword of the topic's golden
+# query appears (as a token sequence), and at most TWO content words are
+# shared with that golden query.  Keyed by AAPL_TOPICS name; the list
+# index i maps to GOLDEN_SET[i].
+EASY_TRAIN_PARAPHRASES: dict[str, list[str]] = {
+    "supply_chain": [
+        "Which outside vendors build {company} hardware and what could interrupt them?",
+        "How fragile is the sourcing pipeline behind {company} products?",
+        "What vulnerabilities exist in how {company} gets its devices produced overseas?",
+        "Describe the logistics and sourcing risk {company} faces from its Asian partners.",
+    ],
+    "iphone_sales": [
+        "How much money did the flagship handset line bring in this period?",
+        "Summarize the top-line performance of the {company} smartphone business.",
+        "Did handset turnover rise or fall versus the prior period for {company}?",
+        "What did the phone segment of {company} record in the latest fiscal period?",
+    ],
+    "rnd_spend": [
+        "What sum went into engineering new technologies at {company} this year?",
+        "How heavily does {company} fund the creation of future products?",
+        "Quantify the investment {company} makes in developing what it ships next.",
+        "Did spending on product invention grow at {company}, and by how much?",
+    ],
+    "ai_strategy": [
+        "How do smart on-device features run across {company} products?",
+        "Describe the silicon acceleration behind the smart features {company} ships.",
+        "Where does {company} apply learned models while protecting user privacy?",
+        "What is the {company} approach to on-device machine smarts?",
+    ],
+    "services_growth": [
+        "How fast is the recurring digital business of {company} expanding?",
+        "Summarize momentum in the {company} software and cloud offerings.",
+        "Which recurring offerings drive the non-hardware top line at {company}?",
+        "Is the paid-plan base of {company} still climbing and what drives it?",
+    ],
+}
+
+
 def make_train_pairs(tickers: list[str] | None = None) -> list[tuple[str, str]]:
     """(query paraphrase, positive chunk) pairs for contrastive training.
 
     Every (ticker, intent) contributes its TRAIN_PARAPHRASES against the
     intent's positive chunk — in-batch negatives supply the contrast
-    (train/contrastive.py info_nce_loss).
+    (train/contrastive.py info_nce_loss).  The easy golden-set domains
+    contribute too (EASY_TRAIN_PARAPHRASES x AAPL_TOPICS): their
+    positives are the parity-topic paragraphs, which speak of "the
+    Company" — ticker-neutral enough to pair with every company's
+    paraphrase for weight balance against the hard intents.
     """
     tickers = tickers or _TICKERS
     pairs: list[tuple[str, str]] = []
@@ -524,4 +570,7 @@ def make_train_pairs(tickers: list[str] | None = None) -> list[tuple[str, str]]:
             pos = intent["positive"].format(company=company)
             for q in TRAIN_PARAPHRASES[intent["name"]]:
                 pairs.append((q.format(company=company), pos))
+        for name, qs in EASY_TRAIN_PARAPHRASES.items():
+            for q in qs:
+                pairs.append((q.format(company=company), AAPL_TOPICS[name]))
     return pairs

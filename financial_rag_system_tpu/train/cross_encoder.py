@@ -38,6 +38,8 @@ def make_cross_examples(
         _COMPANY,
         _TICKERS,
         _distractor,
+        AAPL_TOPICS,
+        EASY_TRAIN_PARAPHRASES,
         HARD_INTENTS,
         TRAIN_PARAPHRASES,
     )
@@ -59,6 +61,20 @@ def make_cross_examples(
                     out.append(
                         (query, _distractor(rng, t, rng.randrange(1 << 30)), 0.0)
                     )
+        # easy golden-set domains: positive = the parity-topic paragraph,
+        # negatives = fillers AND the other topics' paragraphs (the easy
+        # corpus's natural confusables) — same leak discipline, checked
+        # by tests/test_hard_eval.py::test_easy_train_paraphrases_no_leakage
+        for name, qs in EASY_TRAIN_PARAPHRASES.items():
+            pos = AAPL_TOPICS[name]
+            others = [v for k, v in AAPL_TOPICS.items() if k != name]
+            for q in qs:
+                query = q.format(company=company)
+                out.append((query, pos, 1.0))
+                out.append((query, rng.choice(others), 0.0))
+                out.append(
+                    (query, _distractor(rng, t, rng.randrange(1 << 30)), 0.0)
+                )
     return out
 
 

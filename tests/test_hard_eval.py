@@ -98,7 +98,12 @@ def test_train_paraphrases_no_leakage():
             assert len(shared) <= 2, (intent["name"], q, sorted(shared))
     eval_queries = {g["query"] for g in make_hard_set()}
     pairs = make_train_pairs()
-    expected = 8 * sum(len(TRAIN_PARAPHRASES[i["name"]]) for i in HARD_INTENTS)
+    from financial_rag_system_tpu.data.synthetic import EASY_TRAIN_PARAPHRASES
+
+    expected = 8 * (
+        sum(len(TRAIN_PARAPHRASES[i["name"]]) for i in HARD_INTENTS)
+        + sum(len(v) for v in EASY_TRAIN_PARAPHRASES.values())
+    )
     assert len(pairs) == expected
     for q, pos in pairs:
         assert q not in eval_queries
@@ -120,3 +125,41 @@ def test_trained_encoder_learns(tmp_path):
                  [{"ticker": "T", "document_type": "10-K"}] * 2)
     hits = index.search(enc.encode(["alpha beta"]), k=1)[0]
     assert hits and hits[0]["text"] == "alpha beta"
+
+
+def test_easy_train_paraphrases_no_leakage():
+    """The easy-domain supervision (EASY_TRAIN_PARAPHRASES) obeys the
+    same discipline vs the GOLDEN_SET it exists to generalize to: no
+    expected keyword appears as a token sequence, and at most two
+    content words are shared with the corresponding golden query."""
+    from financial_rag_system_tpu.data.synthetic import (
+        EASY_TRAIN_PARAPHRASES,
+        GOLDEN_SET,
+    )
+
+    stop = {
+        "the", "a", "an", "is", "are", "do", "does", "did", "of", "to",
+        "in", "on", "for", "its", "it", "and", "or", "how", "what",
+        "which", "who", "why", "has", "have", "with", "at", "by",
+        "company", "describe", "explain", "summarize", "outline",
+    }
+
+    def words(q: str) -> list[str]:
+        return [w.strip("?.,(){}'&") .lower() for w in q.split()]
+
+    def content(q: str) -> set[str]:
+        return set(words(q)) - stop - {""}
+
+    # list order maps EASY_TRAIN_PARAPHRASES keys to GOLDEN_SET rows
+    names = list(EASY_TRAIN_PARAPHRASES)
+    assert len(names) == len(GOLDEN_SET)
+    for name, golden in zip(names, GOLDEN_SET):
+        ev = content(golden["query"])
+        for q in EASY_TRAIN_PARAPHRASES[name]:
+            toks = words(q)
+            joined = " " + " ".join(toks) + " "
+            for kw in golden["expected_keywords"]:
+                # token-sequence check ("ai" must not match "maintain")
+                assert f" {kw.lower()} " not in joined, (name, kw, q)
+            shared = content(q) & ev
+            assert len(shared) <= 2, (name, q, sorted(shared))
