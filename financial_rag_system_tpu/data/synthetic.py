@@ -535,6 +535,8 @@ EASY_TRAIN_PARAPHRASES: dict[str, list[str]] = {
         "How heavily does {company} fund the creation of future products?",
         "Quantify the investment {company} makes in developing what it ships next.",
         "Did spending on product invention grow at {company}, and by how much?",
+        "What does {company} spend on development of future hardware and software?",
+        "How large was the development budget {company} reported this year?",
     ],
     "ai_strategy": [
         "How do smart on-device features run across {company} products?",
@@ -547,6 +549,8 @@ EASY_TRAIN_PARAPHRASES: dict[str, list[str]] = {
         "Summarize momentum in the {company} software and cloud offerings.",
         "Which recurring offerings drive the non-hardware top line at {company}?",
         "Is the paid-plan base of {company} still climbing and what drives it?",
+        "How is the service business of {company} trending in revenue terms?",
+        "What drove the record service revenue {company} reported?",
     ],
 }
 
