@@ -492,3 +492,57 @@ def test_hnsw_fused_geometry_guard(tmp_path, stack):
     assert eng._fused_batch(["apple services margin"], [(None, None)]) is None
     eng.index._graph_state = state
     assert eng._fused_batch(["apple services margin"], [(None, None)]) is not None
+
+
+def test_fused_trained_length_truncation(tmp_path, stack):
+    """cfg.max_seq_length (the persisted TRAINED length,
+    models/hf_export.py) must reach the fused rerank: the device pair
+    trims its doc portion so positions past the trained length are never
+    consumed, and the scores equal a host forward over the trimmed
+    pairs."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from financial_rag_system_tpu.models.tokenizer import pad_batch
+
+    embedder, reranker, index = stack
+    short_cfg = dataclasses.replace(reranker.cfg, max_seq_length=96)
+    short_rr = CrossEncoderReranker(
+        reranker.params, short_cfg, embedder.tokenizer, max_len=96
+    )
+    cfg = Config(
+        testing=True, database_url=":memory:", batch_window_s=0.01,
+        breaker_state_path=str(tmp_path / "cb.json"), embed_dim=64,
+    )
+    eng = RAGEngine(cfg, index, embedder, short_rr, mode="sequential")
+    assert eng._fused_kind == "full"
+
+    queries = ["apple services margin"]
+    fused = eng._fused_batch(queries, [("AAPL", None)])
+    assert fused is not None
+
+    tok = embedder.tokenizer
+    qi, _qt, _qm = pad_batch([tok.encode(q, 64) for q in queries])
+    lq = qi.shape[1]
+    dlen_eff = 96 - lq  # what _cross_rerank trims the store to
+    assert dlen_eff < np.asarray(index._doc_tok).shape[1]
+    dtok = np.asarray(index._doc_tok)[:, :dlen_eff]
+    rows0 = [h["row"] for h in fused[0][1]]
+    pair_ids = np.concatenate(
+        [np.tile(qi[0], (len(rows0), 1)), dtok[rows0]], axis=1
+    )
+    assert pair_ids.shape[1] == 96  # the trained length, not lq + store
+    pair_types = np.concatenate(
+        [np.zeros((len(rows0), lq), np.int32),
+         np.ones((len(rows0), dlen_eff), np.int32)], axis=1,
+    )
+    pair_mask = (pair_ids != 0).astype(np.int32)
+    host_logits = np.asarray(
+        bert.cross_score(
+            short_rr.params, jnp.asarray(pair_ids), jnp.asarray(pair_types),
+            jnp.asarray(pair_mask), short_rr.cfg,
+        )
+    )
+    fused_scores = np.asarray([h["rerank_score"] for h in fused[0][1]])
+    np.testing.assert_allclose(fused_scores, host_logits, rtol=2e-3, atol=2e-3)
