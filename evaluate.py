@@ -217,7 +217,14 @@ def run_evaluation(
     elif tier == "hnsw":
         from financial_rag_system_tpu.index.hnsw import HNSWIndex
 
-        index = HNSWIndex(index)
+        graph_file = os.path.join(index_dir or "", HNSWIndex.GRAPH_FILE)
+        if index_dir and os.path.exists(graph_file):
+            # reuse the saved graph (35-96 min to rebuild at 1M rows)
+            index = HNSWIndex.load(index_dir, index)
+            print(f"hnsw tier: loaded graph from {index_dir} "
+                  f"(hier={'yes' if index._graph_state[6] is not None else 'no'})")
+        else:
+            index = HNSWIndex(index)
         print(f"hnsw tier: ef={index.ef}, native={index.native_built}")
     elif tier in ("sharded", "sharded-ivf", "sharded-hnsw"):
         from financial_rag_system_tpu.index.sharded import ShardedFlatIndex

@@ -87,6 +87,281 @@ def build_knn_graph(
 
 
 # ---------------------------------------------------------------------------
+# device descent over the exported upper levels
+# ---------------------------------------------------------------------------
+
+
+def hier_descend(
+    queries: jax.Array,   # (B, D) prepped like the walk's queries
+    emb: jax.Array,       # corpus embeddings (shared with the flat tier)
+    hi_ids: jax.Array,    # (HC+1,) int32 — global id per hi-local node,
+                          #  level-sorted desc; slot HC is a safe-gather pad
+    hi_adj: jax.Array,    # (L, HC+1, M) int32 — hi-local adjacency per
+                          #  level (index 0 <=> level 1), pad == HC
+    hi_n: jax.Array,      # () int32 — live hi-node count (<= HC)
+    *,
+    beam: int,
+    steps: int,
+    frontier: int,
+    pad_global: int,
+) -> jax.Array:
+    """Coarse-to-fine routing: beam-walk each upper level top-down; the
+    survivors of level l seed level l-1.  Returns (B, beam) GLOBAL ids
+    (sentinel slots == ``pad_global``) that seed the level-0 walk.
+
+    Why this exists: the level-0-only walk explores a budget of nodes
+    independent of corpus size, so once the corpus dwarfs that budget,
+    recall depends on the *entry points* landing near the answer — and a
+    fixed entry sample cannot (measured: the 1M-row trained-encoder hard
+    eval fell to 8.9% Hit@5 from 89.3% flat; scripts/diag_trained_geometry.py
+    shows why: outlier-island targets with no similarity gradient from
+    the corpus bulk).  The upper levels are a geometric stack of
+    subsamples (|level l| ~ N/m^l), i.e. exactly the HNSW paper's
+    long-range routing structure — this restores it on device.  Each
+    level is walked with STATIC shapes and a fixed step count
+    (lax.scan over the stacked (L, HC+1, M) adjacency, reverse order),
+    so the whole descent is one compiled program: no host round trips,
+    no per-level retrace.  No visited ring here — upper levels are tiny
+    and a revisit only costs a wasted gather, never wrongness.
+    """
+    b, _d = queries.shape
+    hc = hi_ids.shape[0] - 1
+    m = hi_adj.shape[2]
+    q = queries
+    c_w = frontier * m
+
+    def score(ids):  # hi-local ids -> similarity, pad = -inf
+        vecs = emb[hi_ids[ids]]
+        s = jnp.einsum(
+            "bcd,bd->bc", vecs.astype(jnp.float32), q.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        return jnp.where(ids == hc, NEG_INF, s)
+
+    # init: the first `beam` hi-local slots hold the highest-level nodes
+    # (level-sorted export) — the classic HNSW global entry and its peers
+    iota = jnp.arange(beam, dtype=jnp.int32)
+    beam_ids = jnp.broadcast_to(
+        jnp.where(iota < hi_n, iota, hc)[None, :], (b, beam)
+    )
+    beam_s = score(beam_ids)
+
+    def level_step(carry, adj_l):
+        beam_ids, beam_s = carry
+        expanded = beam_ids == hc  # re-expand at every level: new edges
+
+        def step(carry, _):
+            beam_ids, beam_s, expanded = carry
+            sel = jnp.where(expanded, NEG_INF, beam_s)
+            top_s, slot = jax.lax.top_k(sel, frontier)
+            src = jnp.take_along_axis(beam_ids, slot, axis=1)
+            src = jnp.where(top_s > NEG_INF, src, hc)
+            hit = slot[:, :, None] == jnp.arange(beam)[None, None, :]
+            expanded = expanded | jnp.any(hit, axis=1)
+            cand = adj_l[src].reshape(b, c_w)
+            # dedup vs the current beam + within the step (sort/compare —
+            # no scatter), so duplicates cannot crowd the beam
+            in_beam = jnp.any(
+                cand[:, :, None] == beam_ids[:, None, :], axis=2
+            )
+            cand = jnp.where(in_beam, hc, cand)
+            cand = jnp.sort(cand, axis=1)
+            dup = jnp.concatenate(
+                [jnp.zeros((b, 1), bool), cand[:, 1:] == cand[:, :-1]],
+                axis=1,
+            )
+            cand = jnp.where(dup, hc, cand)
+            cs = score(cand)
+            all_s = jnp.concatenate([beam_s, cs], axis=1)
+            all_i = jnp.concatenate([beam_ids, cand], axis=1)
+            all_e = jnp.concatenate([expanded, cand == hc], axis=1)
+            beam_s, pos = jax.lax.top_k(all_s, beam)
+            beam_ids = jnp.take_along_axis(all_i, pos, axis=1)
+            expanded = jnp.take_along_axis(all_e, pos, axis=1)
+            return (beam_ids, beam_s, expanded), None
+
+        (beam_ids, beam_s, _), _ = jax.lax.scan(
+            step, (beam_ids, beam_s, expanded), None, length=steps
+        )
+        return (beam_ids, beam_s), None
+
+    # reverse=True: hi_adj[0] is level 1, so iterate top level first
+    (beam_ids, _), _ = jax.lax.scan(
+        level_step, (beam_ids, beam_s), hi_adj, reverse=True
+    )
+    return jnp.where(
+        beam_ids == hc, jnp.int32(pad_global), hi_ids[beam_ids]
+    )
+
+
+hier_descend_jit = jax.jit(
+    hier_descend,
+    static_argnames=("beam", "steps", "frontier", "pad_global"),
+)
+
+
+def pack_hier(
+    hi_ids: np.ndarray,
+    hi_levels: np.ndarray,
+    hi_adj: np.ndarray,
+    *,
+    hc_cap: int,
+    l_cap: int,
+    m: int,
+) -> tuple[jax.Array, jax.Array, int]:
+    """Pad the native hierarchy export to STATIC device shapes.
+
+    Returns ``(hi_ids_dev (hc_cap+1,), hi_adj_dev (l_cap, hc_cap+1, m),
+    hi_n)``.  Sentinel == hc_cap: pad slots of hi_ids hold 0 (safe
+    gather; scores are masked on the hi-local id, not the gathered row)
+    and pad adjacency points at the sentinel.  Fixed caps mean online
+    inserts re-export the (small) hierarchy into the same shapes — the
+    jitted descent never retraces.
+    """
+    hi_n = len(hi_ids)
+    if hi_n > hc_cap or hi_adj.shape[0] > l_cap:
+        raise ValueError(
+            f"hierarchy ({hi_n} nodes, {hi_adj.shape[0]} levels) exceeds "
+            f"caps ({hc_cap}, {l_cap})"
+        )
+    ids = np.zeros(hc_cap + 1, np.int32)
+    ids[:hi_n] = hi_ids
+    adj = np.full((l_cap, hc_cap + 1, m), hc_cap, np.int32)
+    if hi_n:
+        adj[: hi_adj.shape[0], :hi_n, :] = np.where(
+            hi_adj < 0, hc_cap, hi_adj
+        )
+    return jnp.asarray(ids), jnp.asarray(adj), hi_n
+
+
+def hier_caps(capacity: int, m: int) -> tuple[int, int]:
+    """Static (hc_cap, l_cap) for a corpus capacity: expected hi count
+    is capacity/m under geometric level sampling; the slack covers
+    sampling variance so online inserts virtually never overflow."""
+    import math
+
+    mu = capacity / max(2, m)
+    hc_cap = int(mu + 6 * math.sqrt(mu + 1)) + 64
+    l_cap = int(math.log(max(capacity, 2)) / math.log(max(2, m))) + 2
+    return hc_cap, l_cap
+
+
+# ---------------------------------------------------------------------------
+# k-center entry pool: coverage-guaranteed seeds for the walk
+# ---------------------------------------------------------------------------
+#
+# Why this exists (measured, 1M-row trained-encoder hard corpus): HNSW's
+# own structure cannot route to tight outlier clusters that receive
+# (almost) no in-edges from the corpus bulk — the heuristic neighbor
+# selection prunes remote backlinks as the bulk densifies, leaving the
+# 224 relevant rows with 35 bulk in-edges out of 33M, and both the
+# level-0 walk (3/56 targets found) and the upper-level descent (2/56)
+# blind to them.  A greedy k-center (farthest-point) sample has the
+# dual guarantee: every corpus row is within the coverage radius of
+# some pool row, and the most isolated clusters are picked FIRST.
+# Scoring the pool per query (one tiny matmul) and seeding the beam
+# with the top pool rows put 48/56 targets in the candidates — the
+# exact-retrieval ceiling is 50/56 (scripts/walk_lab.py).
+#
+# The greedy pass is one matvec per pool row — sequential but trivially
+# jittable (fori_loop), HBM-bound, a few seconds at 1M rows on a v5e.
+
+
+@functools.partial(jax.jit, static_argnames=("pool",))
+def kcenter_rows(
+    emb: jax.Array,   # (cap, D) corpus embeddings (any dtype)
+    n: jax.Array,     # () int32 — live rows
+    *,
+    pool: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Greedy farthest-point sample of the live rows.
+
+    Returns ``(rows (pool,) int32, tau ())`` where ``tau`` is the final
+    coverage (min over rows of max similarity to the pool) — the online
+    insert path uses it to decide when an upserted row opens a region
+    the pool does not cover.  If pool > n, the tail repeats rows (the
+    walk's seed dedup sentinels them out).
+    """
+    cap = emb.shape[0]
+    iota = jnp.arange(cap, dtype=jnp.int32)
+    valid = iota < n
+
+    def sim_to(idx):
+        v = emb[idx]
+        return jnp.einsum(
+            "nd,d->n", emb, v, preferred_element_type=jnp.float32
+        )
+
+    first = jnp.int32(0)
+    inf = jnp.float32(jnp.inf)
+    maxsim = jnp.where(valid & (iota != first), sim_to(first), inf)
+    ents0 = jnp.zeros(pool, jnp.int32).at[0].set(first)
+
+    def body(i, carry):
+        maxsim, ents = carry
+        nxt = jnp.argmin(maxsim).astype(jnp.int32)
+        ents = jax.lax.dynamic_update_slice(ents, nxt[None], (i,))
+        s = jnp.where(valid & (iota != nxt), sim_to(nxt), inf)
+        return jnp.maximum(maxsim, s), ents
+
+    maxsim, ents = jax.lax.fori_loop(1, pool, body, (maxsim, ents0))
+    tau = jnp.min(jnp.where(valid, maxsim, inf))
+    return ents, tau
+
+
+def pool_take(
+    queries: jax.Array,    # (B, D) prepped like the walk's queries
+    emb: jax.Array,
+    pool_rows: jax.Array,  # (P,) int32, sentinel == pad_global for spares
+    *,
+    take: int,
+    pad_global: int,
+) -> jax.Array:
+    """Top-``take`` pool rows per query, (B, take) global ids (sentinel
+    slots == ``pad_global``).  One (B, P) matmul over gathered pool
+    vectors — the per-query routing step that replaces blind entries."""
+    pv = emb[jnp.minimum(pool_rows, pad_global - 1)]  # (P, D) safe gather
+    s = jnp.einsum(
+        "bd,pd->bp", queries.astype(jnp.float32), pv.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    s = jnp.where(pool_rows[None, :] >= pad_global, NEG_INF, s)
+    top_s, idx = jax.lax.top_k(s, take)
+    rows = pool_rows[idx]
+    return jnp.where(top_s > NEG_INF, rows, jnp.int32(pad_global))
+
+
+pool_take_jit = jax.jit(
+    pool_take, static_argnames=("take", "pad_global")
+)
+
+
+def kcenter_rows_host(vecs: np.ndarray, size: int) -> np.ndarray:
+    """NumPy twin of :func:`kcenter_rows` for host-side builds (the
+    sharded tier samples each shard's pool while it already holds the
+    gathered host copy for the native graph builds)."""
+    n = vecs.shape[0]
+    size = max(1, min(size, n))
+    ents = np.empty(size, np.int32)
+    ents[0] = 0
+    maxsim = vecs @ vecs[0]
+    maxsim[0] = np.inf
+    for i in range(1, size):
+        nxt = int(np.argmin(maxsim))
+        ents[i] = nxt
+        np.maximum(maxsim, vecs @ vecs[nxt], out=maxsim)
+        maxsim[nxt] = np.inf
+    return ents
+
+
+def pool_size_for(n: int) -> int:
+    """Default pool size: enough entries that isolated clusters of a few
+    hundred rows get their own representative (measured adequate at
+    n/512; clamped for tiny and huge corpora)."""
+    return max(64, min(4096, n // 512))
+
+
+# ---------------------------------------------------------------------------
 # device walk
 # ---------------------------------------------------------------------------
 
@@ -102,7 +377,8 @@ def hnsw_walk(
                               #  are never referenced by adjacency)
     codes: jax.Array,         # (2, >= pad_id) filter codes
     adj_pad: jax.Array,       # (pad_id+1, M0) int32 — pad neighbor == pad_id
-    entries: jax.Array,       # (E,) int32
+    entries: jax.Array,       # (E,) int32 shared, or (B, E) per-query
+                              #  seeds (hier_descend output)
     k: int,
     *,
     ef: int,
@@ -130,7 +406,7 @@ def hnsw_walk(
     """
     b, d = queries.shape
     n = pad_id
-    e = entries.shape[0]
+    e = entries.shape[-1]
     m0 = adj_pad.shape[1]
     q = queries.astype(jnp.float32)
 
@@ -153,7 +429,19 @@ def hnsw_walk(
 
     # --- init: beam/results seeded from the entry nodes -------------------
     assert ef >= e, f"ef={ef} must cover the {e} entry nodes"
-    ent = jnp.broadcast_to(entries[None, :], (b, e))
+    ent = (
+        jnp.broadcast_to(entries[None, :], (b, e))
+        if entries.ndim == 1
+        else entries
+    )
+    # seed dedup (sort/compare, no scatter): descent seeds can repeat
+    # the fixed entries, and a duplicate seed would reach the result
+    # accumulator twice
+    ent = jnp.sort(ent, axis=1)
+    ent_dup = jnp.concatenate(
+        [jnp.zeros((b, 1), bool), ent[:, 1:] == ent[:, :-1]], axis=1
+    )
+    ent = jnp.where(ent_dup, n, ent)
     pad_ids = jnp.full((b, ef - e), n, jnp.int32)
     beam_ids = jnp.concatenate([ent, pad_ids], axis=1)  # (B, EF)
     beam_s = score(beam_ids)
@@ -254,6 +542,13 @@ class HNSWIndex(SearchMixin):
         entries_cap: int = 32,
         seed: int = 0,
         graph: tuple[np.ndarray, np.ndarray] | None = None,
+        hier: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None,
+        descend_beam: int = 16,
+        descend_steps: int = 4,
+        descend_frontier: int = 4,
+        entry_pool: int | None = None,
+        pool_seeds: int = 32,
+        pool: tuple[np.ndarray, float] | None = None,
     ):
         self.flat = flat
         self.store = flat.store
@@ -261,6 +556,18 @@ class HNSWIndex(SearchMixin):
         self.ef_construction = ef_construction
         self.ef = ef
         self.frontier = frontier
+        # upper-level descent (long-range routing): survivors of the
+        # coarse walk seed the level-0 walk per query — required for
+        # recall once the corpus dwarfs the walk's exploration budget
+        # (see hier_descend docstring; measured at the 1M trained tier)
+        self.descend_beam = descend_beam
+        self.descend_steps = descend_steps
+        self.descend_frontier = descend_frontier
+        # k-center entry pool (coverage-guaranteed seeds): the decisive
+        # routing aid for outlier-island targets — see kcenter_rows
+        self.entry_pool = entry_pool
+        self.pool_seeds = pool_seeds
+        self._pool_init = pool
         # defaults measured on a v5e with the ring-visited walk
         # (scripts/tpu_probes.py --probe hnsw, clustered rows, m=16
         # efc=100 ef=64, device ms/batch-32):
@@ -279,7 +586,7 @@ class HNSWIndex(SearchMixin):
         self._native = None
         self._native_lock = threading.Lock()
         assert flat.n_valid > 0, "build the flat index first"
-        self._graph_state = self._build(graph)
+        self._graph_state = self._build(graph, hier)
 
     # -- build ----------------------------------------------------------
 
@@ -287,7 +594,7 @@ class HNSWIndex(SearchMixin):
     # serving process when the native builder is unavailable at scale
     MAX_FALLBACK_ROWS = 200_000
 
-    def _build(self, graph=None) -> None:
+    def _build(self, graph=None, hier=None) -> None:
         flat = self.flat
         old_native = self._native
         if graph is None:
@@ -335,8 +642,23 @@ class HNSWIndex(SearchMixin):
         adj_pad = jnp.asarray(
             np.concatenate([adj_np, np.full((1, adj_np.shape[1]), n, np.int32)])
         )
-        ef = max(self.ef, int(entries.shape[0]))
+        pool_state = self._build_pool(n, n, self._pool_init)
+        self._pool_init = None
+        seeds = self.descend_beam if hier is not None else 0
+        ef = max(
+            self.ef, int(entries.shape[0]) + seeds + pool_state[3]
+        )
         self._host_graph = (np.asarray(adj, np.int32), np.asarray(entries))
+        hier_dev = None
+        if hier is not None:
+            # loaded hierarchy: exact-size pack (no online inserts on a
+            # loaded graph — upserts tail until rebuild(), so no slack)
+            hi_ids, hi_levels, hi_adj = hier
+            hier_dev = pack_hier(
+                hi_ids, hi_levels, hi_adj,
+                hc_cap=max(len(hi_ids), 1),
+                l_cap=max(hi_adj.shape[0], 1), m=self.m,
+            )
         from financial_rag_system_tpu.index.base import build_ticker_lists
 
         # inverted lists per ticker code over the graph rows: highly
@@ -344,11 +666,41 @@ class HNSWIndex(SearchMixin):
         # standard fix for filtered-ANN recall collapse at low selectivity
         rows_by_ticker = build_ticker_lists(flat, n)
         # one-tuple snapshot: concurrent searches read a consistent
-        # (adjacency, entries, sentinel, ef, inverted-lists, row-count)
-        # state
+        # (adjacency, entries, sentinel, ef, inverted-lists, row-count,
+        # hierarchy, entry-pool) state
         return (
-            adj_pad, jnp.asarray(entries, jnp.int32), n, ef, rows_by_ticker, n,
+            adj_pad, jnp.asarray(entries, jnp.int32), n, ef, rows_by_ticker,
+            n, hier_dev, pool_state,
         )
+
+    def _build_pool(self, n: int, pad_id: int, pool_init=None):
+        """K-center entry pool snapshot: ``(rows_dev (P,), tau, live,
+        take)``.  ``P`` includes spare sentinel slots so the online
+        insert path can append uncovered rows without a shape change;
+        ``take`` is the per-query seed count (static for the jit)."""
+        size = (
+            self.entry_pool if self.entry_pool is not None
+            else pool_size_for(n)
+        )
+        size = max(1, min(size, n))
+        if pool_init is not None:
+            rows = np.asarray(pool_init[0], np.int32)
+            tau = float(pool_init[1])
+        else:
+            rows_dev, tau_dev = kcenter_rows(
+                self.flat._emb, jnp.int32(n), pool=size
+            )
+            rows = np.asarray(rows_dev)
+            # pool > distinct rows: drop repeats, keep first occurrence
+            rows = rows[np.sort(np.unique(rows, return_index=True)[1])]
+            tau = float(tau_dev)
+        live = len(rows)
+        p_cap = live + max(64, live // 4)
+        full = np.full(p_cap, pad_id, np.int32)
+        full[:live] = rows
+        self._host_pool = (rows.copy(), tau)
+        take = min(self.pool_seeds, live)
+        return (jnp.asarray(full), tau, live, take)
 
     def _native_state(self, native, n: int):
         """Snapshot for a LIVE native graph: the device adjacency is
@@ -370,12 +722,26 @@ class HNSWIndex(SearchMixin):
         # never expand)
         ent_np = np.full(self.entries_cap, cap, np.int32)
         ent_np[: len(ent)] = ent
-        ef = max(self.ef, self.entries_cap)
+        pool_state = self._build_pool(n, cap, self._pool_init)
+        self._pool_init = None
+        ef = max(
+            self.ef,
+            self.entries_cap + self.descend_beam + pool_state[3],
+        )
         self._host_graph = (np.asarray(full, np.int32), np.asarray(ent))
+        # upper-level export at CAPACITY-derived caps: online inserts
+        # re-pack the (small) refreshed hierarchy into these same static
+        # shapes, so the jitted descent never retraces on an upsert
+        hc_cap, l_cap = hier_caps(cap, self.m)
+        hier_dev = pack_hier(*native.hierarchy(), hc_cap=hc_cap,
+                             l_cap=l_cap, m=self.m)
         from financial_rag_system_tpu.index.base import build_ticker_lists
 
         rows_by_ticker = build_ticker_lists(flat, n)
-        return (adj_pad, jnp.asarray(ent_np), cap, ef, rows_by_ticker, n)
+        return (
+            adj_pad, jnp.asarray(ent_np), cap, ef, rows_by_ticker, n,
+            hier_dev, pool_state,
+        )
 
     # attribute views over the atomic snapshot
     @property
@@ -426,7 +792,7 @@ class HNSWIndex(SearchMixin):
         host_codes=None,
     ) -> tuple[jax.Array, jax.Array]:
         state = self._graph_state  # one atomic read
-        adj_pad, entries, pad_id, ef, rows_by_ticker, _n = state
+        adj_pad, entries, pad_id, ef, rows_by_ticker, _n, hier, pool = state
         # quantized corpora need quantized queries so walk scores and the
         # tail's scores share one scale (cos * 127^2) and merge correctly
         qp = (
@@ -434,6 +800,30 @@ class HNSWIndex(SearchMixin):
             if getattr(self.flat, "quantized", False)
             else query_vecs.astype(jnp.float32)
         )
+        b = query_vecs.shape[0]
+        seed_list = []
+        if pool is not None and pool[3] > 0:
+            # coverage-guaranteed routing: top pool rows per query (the
+            # decisive aid for outlier-island targets — kcenter_rows)
+            seed_list.append(pool_take_jit(
+                qp, self.flat._emb, pool[0], take=pool[3],
+                pad_global=pad_id,
+            ))
+        if hier is not None:
+            # long-range routing: coarse-to-fine descent survivors seed
+            # the level-0 walk alongside the fixed top-level entries
+            hi_ids_dev, hi_adj_dev, hi_n = hier
+            seed_list.append(hier_descend_jit(
+                qp, self.flat._emb, hi_ids_dev, hi_adj_dev,
+                jnp.int32(hi_n),
+                beam=self.descend_beam, steps=self.descend_steps,
+                frontier=self.descend_frontier, pad_global=pad_id,
+            ))
+        if seed_list:
+            seed_list.append(
+                jnp.broadcast_to(entries[None, :], (b, entries.shape[0]))
+            )
+            entries = jnp.concatenate(seed_list, axis=1)
         s, i = hnsw_walk(
             qp,
             query_filter,
@@ -498,7 +888,8 @@ class HNSWIndex(SearchMixin):
             return False
         with self._native_lock:
             state = self._graph_state
-            adj_pad, entries_dev, pad_id, ef, rbt, n_graph = state
+            (adj_pad, entries_dev, pad_id, ef, rbt, n_graph, hier,
+             pool) = state
             if self._tail_rows or n_graph != start or end > pad_id:
                 return False
             if self.flat.capacity != pad_id:
@@ -518,6 +909,52 @@ class HNSWIndex(SearchMixin):
             )
             ent_np = np.full(self.entries_cap, pad_id, np.int32)
             ent_np[: len(ent)] = ent
+            # refresh the upper-level routing: the hierarchy is ~n/m
+            # nodes, so a wholesale re-export + re-pack into the SAME
+            # static shapes is cheap and keeps the descent current.  On
+            # the (statistically negligible) cap overflow, keep the old
+            # hierarchy: new rows stay reachable through the patched
+            # level-0 adjacency; only their upper-level shortcuts lag
+            # until rebuild().
+            if hier is not None:
+                hc_cap = hier[0].shape[0] - 1
+                l_cap = hier[1].shape[0]
+                try:
+                    hier = pack_hier(
+                        *native.hierarchy(), hc_cap=hc_cap, l_cap=l_cap,
+                        m=self.m,
+                    )
+                except ValueError:
+                    pass
+            # pool coverage maintenance: an upserted row less similar to
+            # every pool row than the build's coverage radius opens a
+            # region the walk cannot route to — append it to a spare
+            # sentinel slot (functional update, static shape)
+            if pool is not None:
+                pool_dev, tau, live, take = pool
+                host_rows, _ = self._host_pool
+                # raw-storage space on BOTH sides: tau came from
+                # kcenter_rows over flat._emb (int8 scale included when
+                # quantized), so coverage must compare like with like
+                pv = np.asarray(self.flat._emb[host_rows], np.float32)
+                nv = np.asarray(self.flat._emb[start:end], np.float32)
+                cover = (nv @ pv.T).max(axis=1) if len(host_rows) else (
+                    np.full(len(nv), -np.inf)
+                )
+                uncovered = np.where(cover < tau)[0]
+                p_cap = int(pool_dev.shape[0])
+                for off in uncovered:
+                    if live >= p_cap:
+                        break  # coverage degrades gracefully; rebuild()
+                    pool_dev = pool_dev.at[live].set(
+                        jnp.int32(start + int(off))
+                    )
+                    host_rows = np.append(
+                        host_rows, np.int32(start + int(off))
+                    )
+                    live += 1
+                self._host_pool = (host_rows, tau)
+                pool = (pool_dev, tau, live, take)
             # extend the inverted ticker lists with the new rows
             new_codes = np.asarray(self.flat._codes[0, start:end])
             rbt2 = dict(rbt)
@@ -531,7 +968,8 @@ class HNSWIndex(SearchMixin):
                     else np.concatenate([old, add_rows]).astype(np.int32)
                 )
             self._graph_state = (
-                adj_new, jnp.asarray(ent_np), pad_id, ef, rbt2, end,
+                adj_new, jnp.asarray(ent_np), pad_id, ef, rbt2, end, hier,
+                pool,
             )
         return True
 
@@ -541,17 +979,25 @@ class HNSWIndex(SearchMixin):
 
     def save(self, directory: str) -> None:
         self.flat.save(directory)
+        extra = {}
         if self._native is not None:
             # the host copy from build time goes stale under online
-            # inserts: export the live graph
+            # inserts: export the live graph (+ hierarchy)
             with self._native_lock:
                 adj = self._native.adjacency()
                 entries = self._native.entries(self.entries_cap)
+                hi_ids, hi_levels, hi_adj = self._native.hierarchy()
+                extra = dict(
+                    hi_ids=hi_ids, hi_levels=hi_levels, hi_adj=hi_adj
+                )
         else:
             adj, entries = self._host_graph
+        pool_rows, pool_tau = self._host_pool
         np.savez(
             os.path.join(directory, self.GRAPH_FILE),
             adj=adj, entries=entries, m=self.m, n_graph=self.n_graph,
+            pool_rows=pool_rows, pool_tau=pool_tau,
+            **extra,
         )
 
     @classmethod
@@ -566,9 +1012,16 @@ class HNSWIndex(SearchMixin):
                 f"{cls.GRAPH_FILE} covers {n_graph} rows but the flat "
                 f"index holds only {flat.n_valid} — stale graph"
             )
+        hier = None
+        if "hi_ids" in data.files:
+            hier = (data["hi_ids"], data["hi_levels"], data["hi_adj"])
+        pool = None
+        if "pool_rows" in data.files:
+            pool = (data["pool_rows"], float(data["pool_tau"]))
         idx = cls(
             flat, m=int(data["m"]),
-            graph=(data["adj"], data["entries"]), **kwargs,
+            graph=(data["adj"], data["entries"]), hier=hier, pool=pool,
+            **kwargs,
         )
         # every row past the graph build point is tail, including rows
         # upserted into the flat index after this graph was saved

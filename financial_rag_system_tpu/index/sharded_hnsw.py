@@ -52,18 +52,37 @@ from financial_rag_system_tpu.parallel.mesh import AXIS_CORPUS
 
 
 def make_sharded_walk(
-    mesh: Mesh, *, k: int, ef: int, steps: int, frontier: int, per_shard: int
+    mesh: Mesh, *, k: int, ef: int, steps: int, frontier: int,
+    per_shard: int, pool_take: int = 0,
 ):
     """Jitted shard_map walk: replicated queries, per-shard graphs.
 
     fn(queries (B,D) repl, qf (B,2) repl, emb (S*P, D) sharded,
        codes (2, S*P) sharded, adj (S, P+1, 2M) sharded,
-       entries (S, E) sharded) -> (B, k) scores / global ids, replicated.
-    """
+       entries (S, E) sharded, pool (S, P') sharded) ->
+    (B, k) scores / global ids, replicated.
 
-    def local_fn(queries, qf, emb, codes, adj, entries):
+    ``pool_take`` > 0 seeds each shard's walk with its own k-center
+    entry-pool rows scored per query (index/hnsw.py ``pool_take`` — the
+    outlier-island routing fix), all HBM-local: the pool matmul runs on
+    each shard against its own pool, no collective added.
+    """
+    from financial_rag_system_tpu.index.hnsw import pool_take as pool_take_fn
+
+    def local_fn(queries, qf, emb, codes, adj, entries, pool):
+        ent = entries[0]
+        if pool_take > 0:
+            seeds = pool_take_fn(
+                queries, emb, pool[0], take=pool_take,
+                pad_global=per_shard,
+            )
+            ent = jnp.concatenate(
+                [seeds, jnp.broadcast_to(
+                    ent[None, :], (seeds.shape[0], ent.shape[0]))],
+                axis=1,
+            )
         s, i = hnsw_walk(
-            queries, qf, emb, codes, adj[0], entries[0], k,
+            queries, qf, emb, codes, adj[0], ent, k,
             ef=ef, steps=steps, frontier=frontier, pad_id=per_shard,
         )
         sid = jax.lax.axis_index(AXIS_CORPUS)
@@ -79,6 +98,7 @@ def make_sharded_walk(
         in_specs=(
             P(), P(), P(AXIS_CORPUS, None), P(None, AXIS_CORPUS),
             P(AXIS_CORPUS, None, None), P(AXIS_CORPUS, None),
+            P(AXIS_CORPUS, None),
         ),
         out_specs=(P(), P()),
         check_vma=False,
@@ -104,6 +124,8 @@ class ShardedHNSWIndex(SearchMixin):
         entries_cap: int = 32,
         seed: int = 0,
         graphs: tuple[np.ndarray, np.ndarray] | None = None,
+        pools: np.ndarray | None = None,
+        pool_seeds: int = 32,
     ):
         self.flat = sharded_flat
         self.mesh: Mesh = sharded_flat.mesh
@@ -117,6 +139,8 @@ class ShardedHNSWIndex(SearchMixin):
         self.steps = steps if steps is not None else max(8, 2 * ef // frontier)
         self.entries_cap = entries_cap
         self.seed = seed
+        self.pool_seeds = pool_seeds
+        self._pools_init = pools
         self._walk_cache: dict[tuple[int, int], Any] = {}
         self._tail_rows: list[int] = []
         assert sharded_flat.n_valid > 0, "populate the sharded index first"
@@ -135,6 +159,13 @@ class ShardedHNSWIndex(SearchMixin):
         m0 = 2 * self.m
         e_cap = self.entries_cap
 
+        from financial_rag_system_tpu.index.hnsw import (
+            kcenter_rows_host,
+            pool_size_for,
+        )
+
+        pool_size = pool_size_for(per_shard)
+        pool_stack = None
         if graphs is None:
             # host copy of the corpus for the native builder (gathers
             # cross-process when the mesh spans hosts)
@@ -145,6 +176,9 @@ class ShardedHNSWIndex(SearchMixin):
                 (self.n_shards, per_shard + 1, m0), per_shard, np.int32
             )
             ent_stack = np.full((self.n_shards, e_cap), per_shard, np.int32)
+            pool_stack = np.full(
+                (self.n_shards, pool_size), per_shard, np.int32
+            )
             from financial_rag_system_tpu.native.hnsw_loader import (
                 build_hnsw_graph,
             )
@@ -175,6 +209,10 @@ class ShardedHNSWIndex(SearchMixin):
                     adj[:, :w] < 0, per_shard, adj[:, :w]
                 )
                 ent_stack[s, : entries.shape[0]] = entries
+                # per-shard k-center entry pool (shard-local rows): the
+                # outlier-island routing fix, per graph (index/hnsw.py)
+                kc = kcenter_rows_host(vecs, pool_size)
+                pool_stack[s, : len(kc)] = kc
         else:
             adj_stack, ent_stack = graphs
             if adj_stack.shape[1] != per_shard + 1:
@@ -183,8 +221,31 @@ class ShardedHNSWIndex(SearchMixin):
                     f"but the flat index blocks at {per_shard} — mesh or "
                     f"capacity changed since save; rebuild()"
                 )
+            if self._pools_init is not None and (
+                self._pools_init.shape[0] == self.n_shards
+            ):
+                pool_stack = np.asarray(self._pools_init, np.int32)
+        if pool_stack is None:
+            # loaded stack without pools (pre-pool save): resample from
+            # the host corpus copy — cheap next to the graph builds
+            emb_host = np.asarray(flat._host_copy(flat._emb), np.float32)
+            if getattr(flat, "quantized", False):
+                emb_host = emb_host / 127.0
+            pool_stack = np.full(
+                (self.n_shards, pool_size), per_shard, np.int32
+            )
+            for s in range(self.n_shards):
+                local_n = min(max(n - s * per_shard, 0), per_shard)
+                if local_n == 0:
+                    continue
+                kc = kcenter_rows_host(
+                    emb_host[s * per_shard : s * per_shard + local_n],
+                    pool_size,
+                )
+                pool_stack[s, : len(kc)] = kc
 
         self._host_graphs = (adj_stack, ent_stack)
+        self._host_pools = pool_stack
         # host_to_global, not device_put: the graph stack is host data and
         # identical on every process (lockstep build/load), so skip
         # device_put's assert_equal allgather of the full adjacency
@@ -197,10 +258,17 @@ class ShardedHNSWIndex(SearchMixin):
         ent_dev = host_to_global(
             NamedSharding(self.mesh, P(AXIS_CORPUS, None)), ent_stack
         )
+        pool_dev = host_to_global(
+            NamedSharding(self.mesh, P(AXIS_CORPUS, None)), pool_stack
+        )
+        pool_take = min(self.pool_seeds, pool_size)
         from financial_rag_system_tpu.index.base import build_ticker_lists
 
         rows_by_ticker = build_ticker_lists(flat, n)
-        return (adj_dev, ent_dev, per_shard, n, capacity, rows_by_ticker)
+        return (
+            adj_dev, ent_dev, per_shard, n, capacity, rows_by_ticker,
+            pool_dev, pool_take,
+        )
 
     @property
     def n_graph(self) -> int:
@@ -231,7 +299,8 @@ class ShardedHNSWIndex(SearchMixin):
         )
 
         state = self._graph_state  # one atomic read
-        adj_dev, ent_dev, per_shard, n_graph, built_cap, rbt = state
+        (adj_dev, ent_dev, per_shard, n_graph, built_cap, rbt,
+         pool_dev, pool_take) = state
         if self.flat.capacity != built_cap:
             # the flat index grew: block geometry changed, so graph node
             # ids no longer map to rows.  Exact sharded scan until
@@ -244,22 +313,23 @@ class ShardedHNSWIndex(SearchMixin):
             if getattr(self.flat, "quantized", False)
             else query_vecs.astype(jnp.float32)
         )
-        # keyed by (k, per_shard): make_sharded_walk bakes per_shard in as a
-        # Python constant (global id stride AND the pad sentinel), so a
-        # rebuild() after a capacity-growing upsert must not reuse a program
-        # traced for the old geometry — retrace would not fire because the
-        # array shapes can coincide.
-        fn = self._walk_cache.get((k, per_shard))
+        # keyed by (k, per_shard, pool_take): make_sharded_walk bakes
+        # per_shard in as a Python constant (global id stride AND the pad
+        # sentinel), so a rebuild() after a capacity-growing upsert must
+        # not reuse a program traced for the old geometry — retrace would
+        # not fire because the array shapes can coincide.
+        fn = self._walk_cache.get((k, per_shard, pool_take))
         if fn is None:
             fn = make_sharded_walk(
-                self.mesh, k=k, ef=max(self.ef, self.entries_cap),
+                self.mesh, k=k,
+                ef=max(self.ef, self.entries_cap + pool_take),
                 steps=self.steps, frontier=self.frontier,
-                per_shard=per_shard,
+                per_shard=per_shard, pool_take=pool_take,
             )
-            self._walk_cache[(k, per_shard)] = fn
+            self._walk_cache[(k, per_shard, pool_take)] = fn
         s, i = fn(
             qp, query_filter, self.flat._emb, self.flat._codes,
-            adj_dev, ent_dev,
+            adj_dev, ent_dev, pool_dev,
         )
         extras = []
         rows = selective_rows(rbt, host_codes, self.SELECTIVE_LIMIT)
@@ -299,7 +369,7 @@ class ShardedHNSWIndex(SearchMixin):
         np.savez(
             os.path.join(directory, self.GRAPH_FILE),
             adj=adj_stack, entries=ent_stack, m=self.m,
-            n_graph=self.n_graph,
+            n_graph=self.n_graph, pools=self._host_pools,
         )
 
     @classmethod
@@ -313,7 +383,9 @@ class ShardedHNSWIndex(SearchMixin):
             )
         idx = cls(
             sharded_flat, m=int(data["m"]),
-            graphs=(data["adj"], data["entries"]), **kwargs,
+            graphs=(data["adj"], data["entries"]),
+            pools=data["pools"] if "pools" in data.files else None,
+            **kwargs,
         )
         # _build trusted the stack's geometry; pin the row count it covers
         state = idx._graph_state

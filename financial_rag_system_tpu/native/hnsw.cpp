@@ -381,6 +381,33 @@ int frs_hnsw_rows(void* hp, const int32_t* rows, int count, int32_t* out) {
 
 int frs_hnsw_max_level(void* hp) { return ((Hnsw*)hp)->max_level.load(); }
 
+// Per-node top level: out (n,) int32.  Returns n.
+int frs_hnsw_levels(void* hp, int32_t* out) {
+  auto* h = (Hnsw*)hp;
+  for (int i = 0; i < h->n; i++) out[i] = h->levels[i];
+  return h->n;
+}
+
+// Adjacency at `level` for an explicit node list: out (count, m) int32,
+// -1 padded, neighbor ids GLOBAL.  Nodes below `level` get all-pad rows.
+// Returns m (the per-level degree cap above level 0).
+int frs_hnsw_adjacency_l(void* hp, int level, const int32_t* nodes,
+                         int count, int32_t* out) {
+  auto* h = (Hnsw*)hp;
+  if (level < 1 || level > h->lmax) return -1;
+  int w = h->m;
+  for (int i = 0; i < count; i++) {
+    int node = nodes[i];
+    int j = 0;
+    if (node >= 0 && node < h->n && h->levels[node] >= level) {
+      std::vector<int> nb = h->neighbors(level, node);
+      for (; j < (int)nb.size() && j < w; j++) out[(size_t)i * w + j] = nb[j];
+    }
+    for (; j < w; j++) out[(size_t)i * w + j] = -1;
+  }
+  return w;
+}
+
 // out: (n, 2m) int32, row-major, -1 padded. Returns 2m.
 int frs_hnsw_adjacency0(void* hp, int32_t* out) {
   auto* h = (Hnsw*)hp;

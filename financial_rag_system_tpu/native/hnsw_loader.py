@@ -75,6 +75,12 @@ def _get_lib() -> ctypes.CDLL | None:
         lib.frs_hnsw_rows.argtypes = [
             ctypes.c_void_p, i32p, ctypes.c_int, i32p,
         ]
+        lib.frs_hnsw_levels.restype = ctypes.c_int
+        lib.frs_hnsw_levels.argtypes = [ctypes.c_void_p, i32p]
+        lib.frs_hnsw_adjacency_l.restype = ctypes.c_int
+        lib.frs_hnsw_adjacency_l.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, i32p, ctypes.c_int, i32p,
+        ]
         lib.frs_hnsw_destroy.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
@@ -150,6 +156,67 @@ class NativeHnswGraph:
         adj = np.empty((n, 2 * self.m), np.int32)
         self._lib.frs_hnsw_adjacency0(self._handle, adj.ctypes.data_as(i32p))
         return adj
+
+    def levels(self) -> np.ndarray:
+        """Per-node top level, (n,) int32."""
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        out = np.empty(self.size, np.int32)
+        self._lib.frs_hnsw_levels(self._handle, out.ctypes.data_as(i32p))
+        return out
+
+    def adjacency_at(self, level: int, nodes: np.ndarray) -> np.ndarray:
+        """Adjacency at ``level`` (>= 1) for the listed GLOBAL node ids:
+        (len(nodes), m) int32, -1 padded, neighbor ids global.  Nodes
+        whose top level is below ``level`` come back all-pad."""
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        nd = np.ascontiguousarray(nodes, np.int32)
+        out = np.empty((len(nd), self.m), np.int32)
+        w = self._lib.frs_hnsw_adjacency_l(
+            self._handle, level, nd.ctypes.data_as(i32p), len(nd),
+            out.ctypes.data_as(i32p),
+        )
+        if w < 0:
+            raise ValueError(f"bad level {level}")
+        return out
+
+    def max_level(self) -> int:
+        return self._lib.frs_hnsw_max_level(self._handle)
+
+    def hierarchy(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Full upper-level export for the device descent.
+
+        Returns ``(hi_ids, hi_levels, hi_adj)``:
+
+        - ``hi_ids``  (H,) int32 — global ids of every node whose top
+          level is >= 1, sorted by level DESCENDING (global entry
+          first); H ~ n/m under geometric level sampling.
+        - ``hi_levels`` (H,) int32 — top level per hi node (same order).
+        - ``hi_adj`` (L, H, m) int32 — adjacency per level l in [1, L]
+          (index 0 <=> level 1), neighbor ids HI-LOCAL (position within
+          ``hi_ids``), -1 padded.  Because hi_ids is level-sorted, every
+          valid neighbor at level l has hi-local id < count(level>=l):
+          rows for nodes below the level are all-pad.
+        """
+        lv = self.levels()
+        hi_ids = np.where(lv >= 1)[0].astype(np.int32)
+        order = np.argsort(-lv[hi_ids], kind="stable")
+        hi_ids = hi_ids[order]
+        hi_levels = lv[hi_ids]
+        lmax = int(hi_levels[0]) if len(hi_ids) else 0
+        # global -> hi-local translation for adjacency values
+        g2l = np.full(self.size, -1, np.int32)
+        g2l[hi_ids] = np.arange(len(hi_ids), dtype=np.int32)
+        layers = []
+        for level in range(1, lmax + 1):
+            adj = self.adjacency_at(level, hi_ids)
+            adj = np.where(adj >= 0, g2l[np.maximum(adj, 0)], -1)
+            layers.append(adj)
+        hi_adj = (
+            np.stack(layers)
+            if layers
+            else np.empty((0, len(hi_ids), self.m), np.int32)
+        )
+        return hi_ids, hi_levels, hi_adj
 
     def close(self) -> None:
         if self._handle:

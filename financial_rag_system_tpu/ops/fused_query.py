@@ -731,26 +731,60 @@ def make_fused_hnsw_query(
     frontier: int,
     pad_id: int,
     quantized: bool = False,
+    descend: tuple[int, int, int] | None = None,
+    pool_take: int = 0,
 ):
-    """The graph-tier member of the fused family: embed -> ring-visited
-    beam walk (index/hnsw.py ``hnsw_walk``) -> HBM token gather ->
-    cross-encoder, one program.  ``pad_id`` is the walk's sentinel (graph
-    row count) captured at build — the engine falls back to the staged
-    path whenever the live graph snapshot disagrees (rebuild raced) or
-    tail/selective merging is needed.
+    """The graph-tier member of the fused family: embed -> [entry-pool
+    routing -> upper-level descent ->] ring-visited beam walk
+    (index/hnsw.py ``hnsw_walk``) -> HBM token gather -> cross-encoder,
+    one program.  ``pad_id`` is the
+    walk's sentinel (graph row count) captured at build — the engine
+    falls back to the staged path whenever the live graph snapshot
+    disagrees (rebuild raced) or tail/selective merging is needed.
+
+    ``descend`` = (beam, steps, frontier) enables the coarse-to-fine
+    routing over the exported hierarchy (index/hnsw.py ``hier_descend``)
+    INSIDE the same program; ``pool_take`` > 0 likewise enables the
+    k-center entry-pool seeding (index/hnsw.py ``pool_take``).  With
+    either on, the fn takes extra trailing arrays
+    (pool_rows if pool_take, then hi_ids/hi_adj/hi_n if descend).
     """
-    from financial_rag_system_tpu.index.hnsw import hnsw_walk
+    from financial_rag_system_tpu.index.hnsw import (
+        hier_descend,
+        hnsw_walk,
+        pool_take as pool_take_fn,
+    )
 
     def fn(
         embed_params, rerank_params, q_ids, q_types, q_mask, qf,
         emb, codes, adj_pad, entries, doc_tokens,
+        pool_rows=None, hi_ids=None, hi_adj=None, hi_n=None,
     ):
         h = bert.encode(embed_params, q_ids, q_types, q_mask, embed_cfg)
         cls = h[:, 0, :]
         qv = cls / jnp.linalg.norm(cls, axis=-1, keepdims=True).clip(1e-12)
         q = _prep_queries(qv, emb.dtype, quantized) if quantized else qv
+        seed_list = []
+        if pool_take > 0:
+            seed_list.append(pool_take_fn(
+                q, emb, pool_rows, take=pool_take, pad_global=pad_id,
+            ))
+        if descend is not None:
+            d_beam, d_steps, d_frontier = descend
+            seed_list.append(hier_descend(
+                q, emb, hi_ids, hi_adj, hi_n,
+                beam=d_beam, steps=d_steps, frontier=d_frontier,
+                pad_global=pad_id,
+            ))
+        ent = entries
+        if seed_list:
+            b = q.shape[0]
+            seed_list.append(
+                jnp.broadcast_to(entries[None, :], (b, entries.shape[0]))
+            )
+            ent = jnp.concatenate(seed_list, axis=1)
         bi, rows = hnsw_walk(
-            q, qf, emb, codes, adj_pad, entries, k,
+            q, qf, emb, codes, adj_pad, ent, k,
             ef=ef, steps=steps, frontier=frontier, pad_id=pad_id,
         )
         ce = _cross_rerank(
@@ -772,26 +806,41 @@ def make_sharded_fused_hnsw_query(
     frontier: int,
     per_shard: int,
     quantized: bool = False,
+    pool_take: int = 0,
 ):
     """Sharded twin: each shard walks ITS graph (index/sharded_hnsw.py),
     gathers its token-store rows (walk ids are shard-local, same block as
     the local dtok shard) and cross-encodes locally; only (B, k) triplets
-    all-gather."""
+    all-gather.  ``pool_take`` > 0 seeds each shard's walk from its own
+    k-center entry pool (one extra trailing (S, P') sharded array)."""
     from jax.sharding import PartitionSpec as P
 
-    from financial_rag_system_tpu.index.hnsw import hnsw_walk
+    from financial_rag_system_tpu.index.hnsw import (
+        hnsw_walk,
+        pool_take as pool_take_fn,
+    )
     from financial_rag_system_tpu.parallel.mesh import AXIS_CORPUS
 
     def local_fn(
         embed_params, rerank_params, q_ids, q_types, q_mask, qf,
-        emb, codes, adj, entries, dtok,
+        emb, codes, adj, entries, dtok, pool=None,
     ):
         h = bert.encode(embed_params, q_ids, q_types, q_mask, embed_cfg)
         cls = h[:, 0, :]
         qv = cls / jnp.linalg.norm(cls, axis=-1, keepdims=True).clip(1e-12)
         q = _prep_queries(qv, emb.dtype, quantized) if quantized else qv
+        ent = entries[0]
+        if pool_take > 0:
+            seeds = pool_take_fn(
+                q, emb, pool[0], take=pool_take, pad_global=per_shard,
+            )
+            ent = jnp.concatenate(
+                [seeds, jnp.broadcast_to(
+                    ent[None, :], (seeds.shape[0], ent.shape[0]))],
+                axis=1,
+            )
         bi, rows = hnsw_walk(
-            q, qf, emb, codes, adj[0], entries[0], k,
+            q, qf, emb, codes, adj[0], ent, k,
             ef=ef, steps=steps, frontier=frontier, pad_id=per_shard,
         )
         ce = _cross_rerank(
@@ -811,15 +860,18 @@ def make_sharded_fused_hnsw_query(
             jnp.take_along_axis(all_ce, pos, axis=1),
         )
 
+    specs = [
+        P(), P(), P(), P(), P(), P(),
+        P(AXIS_CORPUS, None), P(None, AXIS_CORPUS),
+        P(AXIS_CORPUS, None, None), P(AXIS_CORPUS, None),
+        P(AXIS_CORPUS, None),
+    ]
+    if pool_take > 0:
+        specs.append(P(AXIS_CORPUS, None))
     fn = jax.shard_map(
         local_fn,
         mesh=mesh,
-        in_specs=(
-            P(), P(), P(), P(), P(), P(),
-            P(AXIS_CORPUS, None), P(None, AXIS_CORPUS),
-            P(AXIS_CORPUS, None, None), P(AXIS_CORPUS, None),
-            P(AXIS_CORPUS, None),
-        ),
+        in_specs=tuple(specs),
         out_specs=(P(), P(), P()),
         check_vma=False,
     )

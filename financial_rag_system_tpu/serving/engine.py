@@ -203,9 +203,18 @@ class RAGEngine:
 
                 state = index._graph_state
                 self._fused_kind = "hnsw_full"
-                # geometry captured at build; _fused_exec compares
+                pool_take = state[7][3] if state[7] is not None else 0
+                # geometry captured at build (pad sentinel + which
+                # routing aids the program embeds); _fused_exec compares
                 # against the live snapshot and falls back on mismatch
-                self._fused_hnsw_geom = state[2]
+                self._fused_hnsw_geom = (
+                    state[2], state[6] is not None, pool_take,
+                )
+                descend = (
+                    (index.descend_beam, index.descend_steps,
+                     index.descend_frontier)
+                    if state[6] is not None else None
+                )
                 return make_fused_hnsw_query(
                     self.embedder.cfg,
                     self.reranker.cfg,
@@ -215,6 +224,8 @@ class RAGEngine:
                     frontier=index.frontier,
                     pad_id=state[2],
                     quantized=flat.quantized,
+                    descend=descend,
+                    pool_take=pool_take,
                 )
             return None
         if isinstance(index, ShardedHNSWIndex):
@@ -226,17 +237,18 @@ class RAGEngine:
 
                 state = index._graph_state
                 self._fused_kind = "hnsw_full"
-                self._fused_hnsw_geom = (state[2], state[4])
+                self._fused_hnsw_geom = (state[2], state[4], state[7])
                 return make_sharded_fused_hnsw_query(
                     flat.mesh,
                     self.embedder.cfg,
                     self.reranker.cfg,
                     k=self.cfg.retrieve_k,
-                    ef=max(index.ef, index.entries_cap),
+                    ef=max(index.ef, index.entries_cap + state[7]),
                     steps=index.steps,
                     frontier=index.frontier,
                     per_shard=state[2],
                     quantized=flat.quantized,
+                    pool_take=state[7],
                 )
             return None
         if isinstance(index, ShardedIVFIndex):
@@ -555,23 +567,53 @@ class RAGEngine:
                 return None
             state = index._graph_state  # one atomic read
             if isinstance(index, ShardedHNSWIndex):
-                adj, entries, per_shard, _n, built_cap, rbt = state
-                if (per_shard, built_cap) != self._fused_hnsw_geom:
+                (adj, entries, per_shard, _n, built_cap, rbt,
+                 shard_pool, shard_take) = state
+                if (
+                    (per_shard, built_cap, shard_take)
+                    != self._fused_hnsw_geom
+                ):
                     return None
                 if index.flat.capacity != built_cap:
                     return None
             else:
-                adj, entries, pad_id, _ef, rbt, _n = state
-                if pad_id != self._fused_hnsw_geom:
+                adj, entries, pad_id, _ef, rbt, _n, hier, pool = state
+                pool_take = pool[3] if pool is not None else 0
+                if (
+                    (pad_id, hier is not None, pool_take)
+                    != self._fused_hnsw_geom
+                ):
                     return None
             if selective_rows(rbt, codes, index.SELECTIVE_LIMIT) is not None:
                 return None
             emb, idx_codes, doc_tok = index.flat._arrays
-            rows, bi, ce = fused(
-                self.embedder.params, self.reranker.params,
-                j_ids, j_types, j_mask, qf,
-                emb, idx_codes, adj, entries, doc_tok,
-            )
+            if isinstance(index, HNSWIndex):
+                import jax.numpy as jnp
+
+                extra = {}
+                if pool is not None and pool[3] > 0:
+                    extra["pool_rows"] = pool[0]
+                if hier is not None:
+                    hi_ids_dev, hi_adj_dev, hi_n = hier
+                    extra.update(
+                        hi_ids=hi_ids_dev, hi_adj=hi_adj_dev,
+                        hi_n=jnp.int32(hi_n),
+                    )
+                rows, bi, ce = fused(
+                    self.embedder.params, self.reranker.params,
+                    j_ids, j_types, j_mask, qf,
+                    emb, idx_codes, adj, entries, doc_tok,
+                    **extra,
+                )
+            else:
+                args = (
+                    self.embedder.params, self.reranker.params,
+                    j_ids, j_types, j_mask, qf,
+                    emb, idx_codes, adj, entries, doc_tok,
+                )
+                if shard_take > 0:
+                    args = args + (shard_pool,)
+                rows, bi, ce = fused(*args)
             return rows, bi, ce, None, True
         return None  # pragma: no cover — unknown kind
 

@@ -236,3 +236,61 @@ def test_selective_filter_exact_path():
     for hl in hh:
         rows = [h["row"] for h in hl]
         assert len(rows) == len(set(rows))
+
+
+def test_hier_descend_routes_to_outlier_island():
+    """Long-range routing regression (the 1M trained-eval collapse,
+    VERDICT r2 aftermath): targets that live in a tiny outlier island
+    with no similarity gradient from the corpus bulk are unreachable by
+    a budget-bounded level-0 walk from fixed entries, and reachable once
+    the upper-level descent seeds the walk (index/hnsw.py hier_descend).
+    Mirrors Qdrant's full-hierarchy search (reference main.py:215-239)."""
+    from financial_rag_system_tpu.native.loader import native_enabled
+
+    if not native_enabled():
+        pytest.skip("needs the native builder (hierarchy export)")
+    rng = np.random.default_rng(11)
+    d = 32
+    n_island, n_bulk = 64, 20_000
+    bulk = rng.standard_normal((n_bulk, d)).astype(np.float32)
+    axis = np.zeros(d, np.float32)
+    axis[0] = 1.0
+    bulk -= np.outer(bulk @ axis, axis)  # bulk orthogonal to the island
+    island = axis[None, :] + 0.05 * rng.standard_normal((n_island, d)).astype(
+        np.float32
+    )
+    # island FIRST (the hard corpus's layout: positives precede filler),
+    # so later bulk insertions prune away most island backlinks
+    v = np.concatenate([island, bulk])
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    flat = _flat(v)
+    # tiny budget: ~300 explored of 20k — entry luck cannot cover it
+    hx = HNSWIndex(flat, m=16, ef=32, frontier=2, steps=4, entries_cap=4)
+    assert hx.native_built
+    hier = hx._graph_state[6]
+    assert hier is not None
+    # precondition: the island is represented in the hierarchy
+    hi_ids = np.asarray(hier[0][: hier[2]])
+    assert (hi_ids < n_island).sum() >= 1
+
+    # queries point at the island but carry a decoy bulk-subspace
+    # component: the level-0 walk has a confident WRONG gradient to climb
+    decoy = rng.standard_normal((8, d)).astype(np.float32)
+    decoy -= np.outer(decoy @ axis, axis)
+    decoy /= np.linalg.norm(decoy, axis=1, keepdims=True)
+    q = axis[None, :] + 0.4 * decoy
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    with_aids = hx.search_batch(q, [(None, None)] * 8, k=5)
+    hit_with = np.mean([
+        np.mean([h["row"] < n_island for h in hl]) for hl in with_aids
+    ])
+    # disable BOTH routing aids (snapshot surgery) and re-search: the
+    # bare level-0 walk from fixed entries is the round-2 behavior that
+    # collapsed at the 1M trained tier
+    hx._graph_state = hx._graph_state[:6] + (None, None)
+    without = hx.search_batch(q, [(None, None)] * 8, k=5)
+    hit_without = np.mean([
+        np.mean([h["row"] < n_island for h in hl]) for hl in without
+    ])
+    assert hit_with >= 0.9, f"routing aids failed: {hit_with}"
+    assert hit_with > hit_without, (hit_with, hit_without)

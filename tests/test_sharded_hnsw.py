@@ -160,7 +160,8 @@ def test_walk_cache_keyed_by_geometry(mesh):
     q = _clustered(rng, 4)
     hnsw.search_batch(q, [(None, None)] * 4, k=10)  # caches (10, old geom)
     per_shard0 = hnsw._graph_state[2]
-    assert (10, per_shard0) in hnsw._walk_cache
+    take0 = hnsw._graph_state[7]
+    assert (10, per_shard0, take0) in hnsw._walk_cache
 
     extra = _clustered(rng, n + 64)
     hnsw.upsert(
@@ -170,11 +171,12 @@ def test_walk_cache_keyed_by_geometry(mesh):
     )
     hnsw.rebuild()
     per_shard1 = hnsw._graph_state[2]
+    take1 = hnsw._graph_state[7]
     assert per_shard1 != per_shard0  # geometry really changed
 
     fh = flat.search_batch(q, [(None, None)] * 4, k=10)
     hh = hnsw.search_batch(q, [(None, None)] * 4, k=10)  # same k as before
-    assert (10, per_shard1) in hnsw._walk_cache
+    assert (10, per_shard1, take1) in hnsw._walk_cache
     for hl in hh:
         assert all(0 <= h["row"] < flat.n_valid for h in hl)
     rec = np.mean(
