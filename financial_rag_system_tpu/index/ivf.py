@@ -55,13 +55,24 @@ from financial_rag_system_tpu.ops.topk import NEG_INF, _BIG_I32, masked_topk_xla
 
 @functools.partial(jax.jit, static_argnames=("k", "iters"))
 def spherical_kmeans(
-    vecs: jax.Array, k: int, *, iters: int = 10, seed: int = 0
+    vecs: jax.Array, k: int, *, iters: int = 10, seed: int = 0,
+    init_cent: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
-    """Cosine k-means. vecs (N, D) L2-normalized. Returns (centroids, assign)."""
+    """Cosine k-means. vecs (N, D) L2-normalized. Returns (centroids, assign).
+
+    ``init_cent`` (k, D) overrides the random-row init.  The Lloyd step
+    KEEPS a centroid whose cluster goes empty, so k-center init points
+    covering clusters absent from ``vecs`` (a training sample) survive —
+    that property is what lets the build k-center-init over the FULL
+    corpus and Lloyd over a sample (see _build).
+    """
     n, d = vecs.shape
-    key = jax.random.PRNGKey(seed)
-    init_idx = jax.random.choice(key, n, (k,), replace=False)
-    cent = vecs[init_idx]
+    if init_cent is not None:
+        cent = init_cent.astype(vecs.dtype)
+    else:
+        key = jax.random.PRNGKey(seed)
+        init_idx = jax.random.choice(key, n, (k,), replace=False)
+        cent = vecs[init_idx]
 
     def step(cent, _):
         scores = jnp.dot(vecs, cent.T, preferred_element_type=jnp.float32)
@@ -247,7 +258,7 @@ class IVFIndex(SearchMixin):
         *,
         n_clusters: int | None = None,
         c_max: int | None = None,
-        nprobe: int = 8,
+        nprobe: int | None = None,
         tile: int = 128,
         kmeans_iters: int = 10,
     ):
@@ -255,10 +266,15 @@ class IVFIndex(SearchMixin):
         self.store = flat.store
         self.dtype = flat.dtype
         self.tile = tile
-        self.nprobe = nprobe
         n = flat.n_valid
         assert n > 0, "build the flat index first"
         self.n_clusters = min(n, n_clusters or max(4, int(np.sqrt(n / 4))))
+        # default probe width scales with the codebook: 8 covers the
+        # <=256-cluster regime; larger codebooks keep probing the same
+        # 1/32 fraction (measured on 1M trained embeddings: k-center-init
+        # cluster recall 0.946 @ 8/512 probes, 1.000 @ 16/512)
+        if nprobe is None:
+            nprobe = max(8, self.n_clusters // 32)
         self.nprobe = min(nprobe, self.n_clusters)
         avg = max(1, n // self.n_clusters)
         want = c_max or 2 * avg
@@ -280,6 +296,22 @@ class IVFIndex(SearchMixin):
         flat = self.flat
         n = flat.n_valid
         vecs = flat._emb[:n].astype(jnp.float32)
+        # k-center init over the FULL corpus (not the Lloyd sample): the
+        # farthest-point sweep reaches tiny outlier clusters a random
+        # sample misses entirely, and spherical_kmeans keeps a centroid
+        # whose sample-cluster is empty — measured on 1M trained
+        # embeddings this lifts cluster recall 0.679 -> 0.946 at
+        # nprobe=8 (1.000 at 16) vs random init, and converges faster.
+        # Shared routing utility with the HNSW entry pool (index/hnsw.py).
+        from financial_rag_system_tpu.index.hnsw import kcenter_rows
+
+        kc, _ = kcenter_rows(
+            flat._emb, jnp.int32(n), pool=self.n_clusters
+        )
+        init = vecs[kc]
+        init = init / jnp.linalg.norm(init, axis=1, keepdims=True).clip(
+            1e-6
+        )
         if n > self.KMEANS_SAMPLE:
             sample_rows = jnp.asarray(
                 np.random.default_rng(0).choice(
@@ -287,7 +319,8 @@ class IVFIndex(SearchMixin):
                 )
             )
             cent, _ = spherical_kmeans(
-                vecs[sample_rows], self.n_clusters, iters=self.kmeans_iters
+                vecs[sample_rows], self.n_clusters,
+                iters=self.kmeans_iters, init_cent=init,
             )
             # chunked assignment: the full (N, K) score matrix is tens of
             # GB at the 1M tier; each chunk peaks at ~2 GB transient
@@ -305,7 +338,8 @@ class IVFIndex(SearchMixin):
             assign = jnp.concatenate(parts)
         else:
             cent, assign = spherical_kmeans(
-                vecs, self.n_clusters, iters=self.kmeans_iters
+                vecs, self.n_clusters, iters=self.kmeans_iters,
+                init_cent=init,
             )
         # only the (N,) assignment crosses to the host; the corpus
         # embeddings are packed in HBM by a device scatter — at the 1M

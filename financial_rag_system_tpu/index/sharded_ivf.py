@@ -123,14 +123,30 @@ class ShardedIVFIndex(SearchMixin):
         n = flat.n_valid
         rows_per_shard = flat.capacity // self.n_shards
 
-        # 1. global codebook from a corpus-wide sample
+        # 1. global codebook from a corpus-wide sample, k-center-init
+        # over the FULL (sharded) corpus: the farthest-point sweep
+        # reaches outlier clusters the sample misses, and the Lloyd step
+        # keeps empty-cluster centroids (index/ivf.py spherical_kmeans).
+        # kcenter_rows is a plain jit over the global array — GSPMD
+        # turns its per-step matvec + argmin into sharded compute with
+        # one tiny collective per pool row.
+        from financial_rag_system_tpu.index.hnsw import kcenter_rows
+
+        kc, _ = kcenter_rows(
+            flat._emb, jnp.int32(n), pool=self.n_clusters
+        )
+        init = flat._emb[kc].astype(jnp.float32)
+        init = init / jnp.linalg.norm(init, axis=1, keepdims=True).clip(
+            1e-6
+        )
         rng = np.random.default_rng(0)
         sample = rng.choice(n, min(n, self.KMEANS_SAMPLE), replace=False)
         sample_vecs = flat._emb[jnp.asarray(np.sort(sample))].astype(
             jnp.float32
         )
         cent, _ = spherical_kmeans(
-            sample_vecs, self.n_clusters, iters=self.kmeans_iters
+            sample_vecs, self.n_clusters, iters=self.kmeans_iters,
+            init_cent=init,
         )
         # centroid values are unit-norm floats: an int8 cast would truncate
         # them to ~zeros, so quantized indexes keep bf16 centroids
