@@ -702,17 +702,34 @@ def main() -> None:
                 f"p50 {p50:.2f} ms/batch{BATCH} | recall@15 vs flat "
                 f"{recall:.3f}")
 
-            # fused graph-tier serving: embed -> walk -> gather -> rerank
-            # in ONE program (the hnsw_full engine kind).  Token rows are
-            # borrowed from the main corpus store — FLOPs are identical
-            # whether or not texts match the clustered embeddings.
+            # fused graph-tier serving: embed -> pool routing -> walk ->
+            # gather -> rerank in ONE program (the hnsw_full engine
+            # kind), with the k-center entry pool the engine serves with
+            # (the learned-embedding routing fix — index/hnsw.py
+            # kcenter_rows).  Token rows are borrowed from the main
+            # corpus store — FLOPs are identical whether or not texts
+            # match the clustered embeddings.
+            from financial_rag_system_tpu.index.hnsw import (
+                kcenter_rows,
+                pool_size_for,
+            )
             from financial_rag_system_tpu.ops.fused_query import (
                 make_fused_hnsw_query,
             )
 
+            pool_n = pool_size_for(hnsw_n)
+            t0 = time.time()
+            pool_rows, _tau = kcenter_rows(
+                cemb, jnp.int32(hnsw_n), pool=pool_n
+            )
+            jax.block_until_ready(pool_rows)
+            log(f"hnsw entry pool: {pool_n} k-center rows in "
+                f"{time.time()-t0:.1f}s")
+            take = min(32, pool_n)
             fused_h = make_fused_hnsw_query(
                 bert.BGE_SMALL, bert.MINILM_L6_CROSS,
-                k=RETRIEVE_K, ef=64, steps=16, frontier=8, pad_id=hnsw_n,
+                k=RETRIEVE_K, ef=max(64, take + 32), steps=16, frontier=8,
+                pad_id=hnsw_n, pool_take=take,
             )
             dtok_h = doc_tokens[:hnsw_n]
 
@@ -720,6 +737,7 @@ def main() -> None:
                 return fused_h(
                     embedder.params, reranker.params, jqi, jqt, jqm,
                     wild, cemb, ccodes, adj_pad, jent, dtok_h,
+                    pool_rows=pool_rows,
                 )
 
             jax.block_until_ready(hcall())
