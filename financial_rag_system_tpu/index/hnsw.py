@@ -200,6 +200,68 @@ hier_descend_jit = jax.jit(
 )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "ef", "steps", "frontier", "pad_id",
+        "take", "d_beam", "d_steps", "d_frontier",
+    ),
+)
+def hnsw_routed_walk(
+    queries: jax.Array,
+    query_filter: jax.Array,
+    emb: jax.Array,
+    codes: jax.Array,
+    adj_pad: jax.Array,
+    entries: jax.Array,   # (E,) fixed entries
+    pool_rows,            # (P,) int32 or None
+    hi_ids,               # hierarchy triple or three Nones
+    hi_adj,
+    hi_n,
+    k: int,
+    *,
+    ef: int,
+    steps: int,
+    frontier: int,
+    pad_id: int,
+    take: int = 0,
+    d_beam: int = 0,
+    d_steps: int = 4,
+    d_frontier: int = 4,
+) -> tuple[jax.Array, jax.Array]:
+    """Pool routing + hierarchy descent + level-0 walk as ONE program.
+
+    The staged search path pays a ~33 ms per-dispatch RPC floor on a
+    tunneled chip; fusing the three routing stages into one jit keeps
+    the staged graph search at a single device round trip (the fused
+    serving programs already inline all three — ops/fused_query.py).
+    Pass ``pool_rows=None`` / ``hi_ids=None`` (with take/d_beam 0) to
+    drop a stage at trace time.
+    """
+    b = queries.shape[0]
+    seed_list = []
+    if take > 0 and pool_rows is not None:
+        seed_list.append(pool_take(
+            queries, emb, pool_rows, take=take, pad_global=pad_id,
+        ))
+    if d_beam > 0 and hi_ids is not None:
+        seed_list.append(hier_descend(
+            queries, emb, hi_ids, hi_adj, hi_n,
+            beam=d_beam, steps=d_steps, frontier=d_frontier,
+            pad_global=pad_id,
+        ))
+    ent = entries
+    if seed_list:
+        seed_list.append(
+            jnp.broadcast_to(entries[None, :], (b, entries.shape[0]))
+        )
+        ent = jnp.concatenate(seed_list, axis=1)
+    return hnsw_walk(
+        queries, query_filter, emb, codes, adj_pad, ent, k,
+        ef=ef, steps=steps, frontier=frontier, pad_id=pad_id,
+    )
+
+
 def pack_hier(
     hi_ids: np.ndarray,
     hi_levels: np.ndarray,
@@ -800,42 +862,32 @@ class HNSWIndex(SearchMixin):
             if getattr(self.flat, "quantized", False)
             else query_vecs.astype(jnp.float32)
         )
-        b = query_vecs.shape[0]
-        seed_list = []
-        if pool is not None and pool[3] > 0:
-            # coverage-guaranteed routing: top pool rows per query (the
-            # decisive aid for outlier-island targets — kcenter_rows)
-            seed_list.append(pool_take_jit(
-                qp, self.flat._emb, pool[0], take=pool[3],
-                pad_global=pad_id,
-            ))
+        # pool routing (coverage-guaranteed seeds), hierarchy descent
+        # (long-range routing), and the level-0 walk run as ONE device
+        # program — a tunneled chip pays a per-dispatch RPC floor, so
+        # the staged path must not multiply it
+        hi_ids_dev = hi_adj_dev = hi_n = None
         if hier is not None:
-            # long-range routing: coarse-to-fine descent survivors seed
-            # the level-0 walk alongside the fixed top-level entries
             hi_ids_dev, hi_adj_dev, hi_n = hier
-            seed_list.append(hier_descend_jit(
-                qp, self.flat._emb, hi_ids_dev, hi_adj_dev,
-                jnp.int32(hi_n),
-                beam=self.descend_beam, steps=self.descend_steps,
-                frontier=self.descend_frontier, pad_global=pad_id,
-            ))
-        if seed_list:
-            seed_list.append(
-                jnp.broadcast_to(entries[None, :], (b, entries.shape[0]))
-            )
-            entries = jnp.concatenate(seed_list, axis=1)
-        s, i = hnsw_walk(
+            hi_n = jnp.int32(hi_n)
+        s, i = hnsw_routed_walk(
             qp,
             query_filter,
             self.flat._emb,   # live arrays: upserted tail rows are
             self.flat._codes,  # unreachable from the frozen adjacency
             adj_pad,
             entries,
+            pool[0] if pool is not None else None,
+            hi_ids_dev, hi_adj_dev, hi_n,
             k,
             ef=ef,
             steps=self.steps,
             frontier=self.frontier,
             pad_id=pad_id,
+            take=pool[3] if pool is not None else 0,
+            d_beam=self.descend_beam if hier is not None else 0,
+            d_steps=self.descend_steps,
+            d_frontier=self.descend_frontier,
         )
         from financial_rag_system_tpu.index.base import (
             merge_candidates,
