@@ -240,6 +240,52 @@ def ivf_probe_xla(
     return top_s, top_i.astype(jnp.int32)
 
 
+def probe_tile_list(
+    queries: jax.Array, centroids: jax.Array, *, nprobe: int, tpc: int,
+    budget: int,
+) -> jax.Array:
+    """Batch-union probed tile ids, -1 padded to ``budget`` (traceable)."""
+    scores = jnp.dot(
+        queries.astype(jnp.float32),
+        centroids.T.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    _, clusters = jax.lax.top_k(scores, nprobe)  # (B, nprobe)
+    tiles = (
+        clusters[..., None] * tpc + jnp.arange(tpc)[None, None, :]
+    ).reshape(-1)
+    return jnp.unique(tiles, size=budget, fill_value=-1).astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "tile", "budget", "nprobe", "tpc", "use_pallas"),
+)
+def ivf_probe_search(
+    queries, query_filter, centroids, packed_emb, packed_codes,
+    packed_gids, k, *, tile, budget, nprobe, tpc, use_pallas,
+):
+    """Centroid scoring + probe-list union + probe kernel, ONE program.
+
+    The staged path used to run these as eager per-op dispatches, each
+    paying the tunneled chip's ~33 ms RPC floor (1006 ms/query at the 1M
+    tier).  The fused serving programs always inlined this sequence;
+    this jit gives the staged tier the same single round trip.
+    """
+    tile_ids = probe_tile_list(
+        queries, centroids, nprobe=nprobe, tpc=tpc, budget=budget
+    )
+    if use_pallas:
+        return ivf_probe_pallas(
+            queries, query_filter, packed_emb, packed_codes,
+            packed_gids, tile_ids, k, tile=tile, probe_budget=budget,
+        )
+    return ivf_probe_xla(
+        queries, query_filter, packed_emb, packed_codes,
+        packed_gids, tile_ids, k, tile=tile,
+    )
+
+
 # ---------------------------------------------------------------------------
 # index
 # ---------------------------------------------------------------------------
@@ -457,17 +503,10 @@ class IVFIndex(SearchMixin):
         self, queries: jax.Array, budget: int, centroids: jax.Array
     ) -> jax.Array:
         """Batch-union probed tile ids, -1 padded to ``budget``."""
-        scores = jnp.dot(
-            queries.astype(jnp.float32),
-            centroids.T.astype(jnp.float32),
-            preferred_element_type=jnp.float32,
+        return probe_tile_list(
+            queries, centroids, nprobe=self.nprobe,
+            tpc=self.tiles_per_cluster, budget=budget,
         )
-        _, clusters = jax.lax.top_k(scores, self.nprobe)  # (B, nprobe)
-        tpc = self.tiles_per_cluster
-        tiles = (
-            clusters[..., None] * tpc + jnp.arange(tpc)[None, None, :]
-        ).reshape(-1)
-        return jnp.unique(tiles, size=budget, fill_value=-1).astype(jnp.int32)
 
     def search_device(
         self, query_vecs: jax.Array, query_filter: jax.Array, k: int,
@@ -487,19 +526,18 @@ class IVFIndex(SearchMixin):
             self.num_tiles, b * self.nprobe * self.tiles_per_cluster
         )
         q = self.flat.prep_queries(query_vecs)
-        tile_ids = self._tile_list(q, budget, centroids)
+        # centroid scoring, probe-list union, and the probe kernel run as
+        # ONE jitted program: eager per-op dispatch here multiplied the
+        # tunnel's ~33 ms RPC floor (measured 1006 ms/query staged at 1M
+        # before this; the fused serving path always inlined it)
         on_tpu = jax.devices()[0].platform == "tpu"
-        if self.flat.use_pallas and on_tpu:
-            s, i = ivf_probe_pallas(
-                q, query_filter, packed_emb, packed_codes,
-                packed_gids, tile_ids, k,
-                tile=self.tile, probe_budget=budget,
-            )
-        else:
-            s, i = ivf_probe_xla(
-                q, query_filter, packed_emb, packed_codes,
-                packed_gids, tile_ids, k, tile=self.tile,
-            )
+        s, i = ivf_probe_search(
+            q, query_filter, centroids, packed_emb, packed_codes,
+            packed_gids, k,
+            tile=self.tile, budget=budget, nprobe=self.nprobe,
+            tpc=self.tiles_per_cluster,
+            use_pallas=bool(self.flat.use_pallas and on_tpu),
+        )
         extras = []
         # same cardinality strategy as the HNSW tier: selective filters
         # are scored exactly over their inverted lists — cluster probing

@@ -51,13 +51,21 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def make_sharded_ivf_probe(mesh: Mesh, *, k: int, tile: int):
+def make_sharded_ivf_probe(
+    mesh: Mesh, *, k: int, tile: int, nprobe: int, tpc: int, budget: int
+):
     """Jitted shard_map probe: replicated queries, sharded packed corpus.
 
     fn(queries (B,D), qf (B,2), centroids (Kc,D) repl, packed (S*P, D)
-    sharded, codes (2, S*P) sharded, gids (1, S*P) sharded,
-    tile_ids (probe_budget,) repl) -> (B,k) scores / global ids, repl.
+    sharded, codes (2, S*P) sharded, gids (1, S*P) sharded)
+    -> (B,k) scores / global ids, repl.
+
+    Centroid scoring + probe-list union run INSIDE the jit (replicated,
+    identical on every device): the eager per-op dispatch of the old
+    host-side tile list multiplied the tunneled chip's per-call RPC
+    floor on the staged path (index/ivf.py ivf_probe_search rationale).
     """
+    from financial_rag_system_tpu.index.ivf import probe_tile_list
 
     def local_fn(queries, qf, packed, codes, gids, tile_ids):
         s, i = ivf_probe_xla(
@@ -69,7 +77,7 @@ def make_sharded_ivf_probe(mesh: Mesh, *, k: int, tile: int):
         mi = jnp.take_along_axis(all_i, mpos, axis=1)
         return ms, mi.astype(jnp.int32)
 
-    fn = jax.shard_map(
+    shard_fn = jax.shard_map(
         local_fn,
         mesh=mesh,
         in_specs=(
@@ -79,6 +87,13 @@ def make_sharded_ivf_probe(mesh: Mesh, *, k: int, tile: int):
         out_specs=(P(), P()),
         check_vma=False,
     )
+
+    def fn(queries, qf, centroids, packed, codes, gids):
+        tile_ids = probe_tile_list(
+            queries, centroids, nprobe=nprobe, tpc=tpc, budget=budget
+        )
+        return shard_fn(queries, qf, packed, codes, gids, tile_ids)
+
     return jax.jit(fn)
 
 
@@ -278,26 +293,6 @@ class ShardedIVFIndex(SearchMixin):
 
     SELECTIVE_LIMIT = 8192
 
-    def _tile_list(
-        self, queries: jax.Array, budget: int, centroids: jax.Array,
-        tiles_per_cluster: int,
-    ) -> jax.Array:
-        """Batch-union probed LOCAL tile ids (identical on every shard).
-
-        ``tiles_per_cluster`` comes from the caller's snapshot, never
-        ``self``, so the tile arithmetic always matches the packing the
-        tile ids will index into."""
-        scores = jnp.dot(
-            queries.astype(jnp.float32),
-            centroids.T.astype(jnp.float32),
-            preferred_element_type=jnp.float32,
-        )
-        _, clusters = jax.lax.top_k(scores, self.nprobe)
-        tpc = tiles_per_cluster
-        tiles = (
-            clusters[..., None] * tpc + jnp.arange(tpc)[None, None, :]
-        ).reshape(-1)
-        return jnp.unique(tiles, size=budget, fill_value=-1).astype(jnp.int32)
 
     def search_device(
         self, query_vecs: jax.Array, query_filter: jax.Array, k: int,
@@ -318,14 +313,20 @@ class ShardedIVFIndex(SearchMixin):
             num_tiles_local, b * self.nprobe * tiles_per_cluster
         )
         q = self.flat.prep_queries(query_vecs)
-        tile_ids = self._tile_list(q, budget, centroids, tiles_per_cluster)
-        key = (k, budget)
+        # keyed by the full probe geometry: tpc/budget are baked into the
+        # program as Python constants (same rationale as the sharded-HNSW
+        # walk cache)
+        key = (k, budget, tiles_per_cluster)
         fn = self._probe_cache.get(key)
         if fn is None:
-            fn = make_sharded_ivf_probe(self.mesh, k=k, tile=self.tile)
+            fn = make_sharded_ivf_probe(
+                self.mesh, k=k, tile=self.tile, nprobe=self.nprobe,
+                tpc=tiles_per_cluster, budget=budget,
+            )
             self._probe_cache[key] = fn
         s, i = fn(
-            q, query_filter, packed_emb, packed_codes, packed_gids, tile_ids,
+            q, query_filter, centroids, packed_emb, packed_codes,
+            packed_gids,
         )
         extras = []
         # same cardinality strategy as the single-chip tiers: selective

@@ -317,6 +317,45 @@ def hnsw_profile(rows: int, m: int = 16, efc: int = 100) -> None:
                 f"{recall:.3f} | p50 {p50:.2f} ms/batch{b} "
                 f"(device ~{max(p50-floor,0):.2f} ms)")
 
+    # routed walk: k-center entry pool seeding at serving defaults (the
+    # round-3 learned-embedding routing fix — index/hnsw.py).  On this
+    # synthetic clustered corpus it measures whether pool seeds lift the
+    # build-bound recall ceiling without a richer (m=24/efc=200) graph.
+    from financial_rag_system_tpu.index.hnsw import (
+        hnsw_routed_walk,
+        kcenter_rows,
+        pool_size_for,
+    )
+
+    pool_n = pool_size_for(rows)
+    t0 = time.time()
+    pool_rows_dev, _tau = kcenter_rows(emb, jnp.int32(rows), pool=pool_n)
+    np.asarray(pool_rows_dev)
+    log(f"k-center pool: {pool_n} rows in {time.time()-t0:.1f}s")
+    take = min(32, pool_n)
+
+    def routed():
+        return hnsw_routed_walk(
+            jq, qf, emb, codes, adj_pad, jentries, pool_rows_dev,
+            None, None, None, k,
+            ef=max(64, take + 32), steps=16, frontier=8, pad_id=rows,
+            take=take,
+        )
+
+    got = np.asarray(routed()[1])
+    recall = np.mean([
+        len(set(got[i]) & set(exact[i])) / k for i in range(b)
+    ])
+    ts = []
+    for _ in range(6):
+        t0 = time.time()
+        np.asarray(routed()[1])
+        ts.append((time.time() - t0) * 1e3)
+    p50 = float(np.percentile(ts, 50))
+    log(f"ROUTED steps=16 frontier=8 take={take} | recall@15 "
+        f"{recall:.3f} | p50 {p50:.2f} ms/batch{b} "
+        f"(device ~{max(p50-floor,0):.2f} ms)")
+
 
 def flash_gate(pairs: int = 512, seq: int = 256) -> None:
     """Validate + time the flash-attention cross-encoder path on chip.
