@@ -86,7 +86,8 @@ def _reranker_cfg(arch: str):
 
 def trained_encoder(
     *, steps: int = 150, seed: int = 0, lr: float | None = None,
-    arch: str = "compact",
+    arch: str = "compact", hard_negatives: bool = False,
+    neg_weight: float = 1.0,
 ):
     """Contrastively fine-tuned BERT bi-encoder (random init, no egress).
 
@@ -101,7 +102,10 @@ def trained_encoder(
     """
     import jax
 
-    from financial_rag_system_tpu.data.synthetic import make_train_pairs
+    from financial_rag_system_tpu.data.synthetic import (
+        make_train_pairs,
+        make_train_triples,
+    )
     from financial_rag_system_tpu.models import bert
     from financial_rag_system_tpu.models.embedder import BiEncoder
     from financial_rag_system_tpu.models.tokenizer import Tokenizer
@@ -111,11 +115,15 @@ def trained_encoder(
     if lr is None:
         lr = 1e-4 if arch == "bge" else 3e-4
     params = bert.init_params(jax.random.PRNGKey(seed), cfg)
-    pairs = make_train_pairs()
+    # hard_negatives: train stage 1 against the bait confusables too
+    # (make_train_triples) — one explicit negative per pair in the
+    # InfoNCE pool, targeting the filtered-top-15 exact ceiling
+    pairs = make_train_triples() if hard_negatives else make_train_pairs()
     epochs = max(1, (steps * 32) // len(pairs))
     t0 = time.time()
     params, losses = train(
         params, cfg, pairs, epochs=epochs, batch_size=32, lr=lr, seed=seed,
+        neg_weight=neg_weight,
     )
     print(
         f"trained {arch} encoder ({cfg.layers}L/{cfg.hidden}) "
@@ -336,6 +344,13 @@ if __name__ == "__main__":
                          "bge = the FULL serving architectures "
                          "(12L/384 BGE-small + 6L MiniLM cross-encoder)")
     ap.add_argument("--train-steps", type=int, default=150)
+    ap.add_argument("--hard-negatives", action="store_true",
+                    help="train the bi-encoder on (query, positive, bait) "
+                         "triples: explicit hard negatives in the InfoNCE "
+                         "pool (data/synthetic.py make_train_triples)")
+    ap.add_argument("--neg-weight", type=float, default=1.0,
+                    help="denominator weight of the explicit hard negatives "
+                         "(log-additive discount; 1.0 = full strength)")
     ap.add_argument("--save-trained", metavar="DIR", default="",
                     help="export the trained model(s) as HF checkpoints "
                          "for serving via RAG_TPU_BGE_DIR / "
@@ -345,7 +360,10 @@ if __name__ == "__main__":
     corpus = args.corpus or (65536 if hard else 2048)
     emb, rr = None, None
     if args.trained:
-        emb = trained_encoder(steps=args.train_steps, arch=args.trained_arch)
+        emb = trained_encoder(
+            steps=args.train_steps, arch=args.trained_arch,
+            hard_negatives=args.hard_negatives, neg_weight=args.neg_weight,
+        )
         if args.two_stage:
             rr = trained_reranker(
                 steps=args.train_steps, arch=args.trained_arch

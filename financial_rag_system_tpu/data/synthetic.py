@@ -578,3 +578,45 @@ def make_train_pairs(tickers: list[str] | None = None) -> list[tuple[str, str]]:
             for q in qs:
                 pairs.append((q.format(company=company), AAPL_TOPICS[name]))
     return pairs
+
+
+def make_train_triples(
+    tickers: list[str] | None = None,
+) -> list[tuple[str, str, str]]:
+    """(query paraphrase, positive chunk, hard-negative chunk) triples.
+
+    Same supervision as :func:`make_train_pairs` plus an EXPLICIT hard
+    negative per pair for the contrastive trainer: the intent's lexical
+    bait chunks (written to share the query's surface words while never
+    containing the scoring keywords) rotate across the intent's
+    paraphrases, so stage 1 trains against exactly the confusables that
+    cap its filtered top-15 recall — the same bait supervision the
+    cross-encoder trainer has always used (train/cross_encoder.py
+    make_cross_examples).  Easy golden-set domains use the OTHER parity
+    topics' paragraphs as negatives (their natural confusables).  The
+    eval queries are still never seen; the leak budget applies to
+    paraphrases only (negatives are corpus text).
+    """
+    tickers = tickers or _TICKERS
+    triples: list[tuple[str, str, str]] = []
+    for t in tickers:
+        company = _COMPANY[t]
+        for intent in HARD_INTENTS:
+            pos = intent["positive"].format(company=company)
+            baits = [b.format(company=company) for b in intent["baits"]]
+            for i, q in enumerate(TRAIN_PARAPHRASES[intent["name"]]):
+                triples.append(
+                    (q.format(company=company), pos, baits[i % len(baits)])
+                )
+        topic_names = list(EASY_TRAIN_PARAPHRASES)
+        for ti, name in enumerate(topic_names):
+            others = [AAPL_TOPICS[k] for k in AAPL_TOPICS if k != name]
+            for i, q in enumerate(EASY_TRAIN_PARAPHRASES[name]):
+                triples.append(
+                    (
+                        q.format(company=company),
+                        AAPL_TOPICS[name],
+                        others[(ti + i) % len(others)],
+                    )
+                )
+    return triples

@@ -43,16 +43,35 @@ def info_nce_loss(
     cfg: bert.BertConfig,
     temperature: float,
     axis_name: str | None,
+    n_batch: tuple[jax.Array, jax.Array, jax.Array] | None = None,
+    neg_weight: float = 1.0,
 ) -> jax.Array:
-    """Symmetric InfoNCE with (cross-device) in-batch negatives."""
+    """Symmetric InfoNCE with (cross-device) in-batch negatives.
+
+    ``n_batch`` optionally carries one EXPLICIT hard negative per pair
+    (e.g. the intent's lexical bait chunk, data/synthetic.py
+    make_train_triples): hard negatives are embedded with the same tower
+    and appended to the candidate pool, so each query contrasts against
+    the global in-batch positives PLUS every mined negative.
+    ``neg_weight`` (w<=1) discounts the mined negatives' denominator
+    mass by adding log(w) to their logits — full-strength bait repulsion
+    can overwhelm the paraphrase->topic alignment signal when the
+    negatives are topical near-duplicates of the positives.
+    """
     qv = _embed(params, *q_batch, cfg)  # (b, H)
     dv = _embed(params, *d_batch, cfg)  # (b, H)
+    nv = _embed(params, *n_batch, cfg) if n_batch is not None else None
     if axis_name is not None:
         all_d = jax.lax.all_gather(dv, axis_name, axis=0, tiled=True)  # (B, H)
         base = jax.lax.axis_index(axis_name) * qv.shape[0]
+        if nv is not None:
+            nv = jax.lax.all_gather(nv, axis_name, axis=0, tiled=True)
     else:
         all_d, base = dv, 0
     logits = qv @ all_d.T / temperature  # (b, B)
+    if nv is not None:
+        n_logits = qv @ nv.T / temperature + jnp.log(neg_weight)
+        logits = jnp.concatenate([logits, n_logits], axis=1)
     labels = base + jnp.arange(qv.shape[0])
     return optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
 
@@ -63,46 +82,51 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     *,
     temperature: float = 0.05,
+    hard_negatives: bool = False,
+    neg_weight: float = 1.0,
 ):
-    """Returns jitted step(params, opt_state, q_batch, d_batch) -> (p, s, loss).
+    """Returns jitted step(params, opt_state, q_batch, d_batch[, n_batch]).
 
     With a mesh, batches must be sharded along the ``data`` axis (leading
     dim divisible by its size); without one, the step is single-device.
+    With ``hard_negatives`` the step takes a third ``n_batch`` of
+    explicit per-pair negatives (see :func:`info_nce_loss`).
     """
 
     if mesh is None:
-        def step(params, opt_state, q_batch, d_batch):
+        def step(params, opt_state, q_batch, d_batch, n_batch=None):
             loss, grads = jax.value_and_grad(info_nce_loss)(
-                params, q_batch, d_batch, cfg, temperature, None
+                params, q_batch, d_batch, cfg, temperature, None, n_batch,
+                neg_weight,
             )
             updates, opt_state = optimizer.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), opt_state, loss
 
         return jax.jit(step)
 
-    def local_loss_and_grad(params, qi, qt, qm, di, dt, dm):
+    def local_loss_and_grad(params, qi, qt, qm, di, dt, dm, *neg):
+        n_batch = tuple(neg) if neg else None
         loss, grads = jax.value_and_grad(info_nce_loss)(
-            params, (qi, qt, qm), (di, dt, dm), cfg, temperature, AXIS_DATA
+            params, (qi, qt, qm), (di, dt, dm), cfg, temperature, AXIS_DATA,
+            n_batch, neg_weight,
         )
         return (
             jax.lax.pmean(loss, AXIS_DATA),
             jax.lax.pmean(grads, AXIS_DATA),
         )
 
+    n_in = 9 if hard_negatives else 6
     sharded = jax.shard_map(
         local_loss_and_grad,
         mesh=mesh,
-        in_specs=(
-            P(),
-            P(AXIS_DATA), P(AXIS_DATA), P(AXIS_DATA),
-            P(AXIS_DATA), P(AXIS_DATA), P(AXIS_DATA),
-        ),
+        in_specs=(P(),) + (P(AXIS_DATA),) * n_in,
         out_specs=(P(), P()),
         check_vma=False,
     )
 
-    def step(params, opt_state, q_batch, d_batch):
-        loss, grads = sharded(params, *q_batch, *d_batch)
+    def step(params, opt_state, q_batch, d_batch, n_batch=None):
+        extra = tuple(n_batch) if n_batch is not None else ()
+        loss, grads = sharded(params, *q_batch, *d_batch, *extra)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
@@ -111,14 +135,21 @@ def make_train_step(
 
 def tokenize_pairs(
     tokenizer: Tokenizer,
-    pairs: list[tuple[str, str]],
+    pairs: list[tuple[str, ...]],
     *,
     max_len: int = 64,
-) -> tuple[tuple[np.ndarray, ...], tuple[np.ndarray, ...]]:
-    """(query, positive) pairs -> padded (q_batch, d_batch) arrays."""
-    q_encs = [tokenizer.encode(q, max_len) for q, _ in pairs]
-    d_encs = [tokenizer.encode(d, max_len) for _, d in pairs]
-    return pad_batch(q_encs), pad_batch(d_encs)
+) -> tuple[tuple[np.ndarray, ...], ...]:
+    """(query, positive[, negative]) tuples -> padded batch arrays.
+
+    Returns (q_batch, d_batch) for 2-tuples and (q_batch, d_batch,
+    n_batch) for 3-tuples (hard-negative triples).
+    """
+    q_encs = [tokenizer.encode(p[0], max_len) for p in pairs]
+    d_encs = [tokenizer.encode(p[1], max_len) for p in pairs]
+    out = [pad_batch(q_encs), pad_batch(d_encs)]
+    if pairs and len(pairs[0]) > 2:
+        out.append(pad_batch([tokenizer.encode(p[2], max_len) for p in pairs]))
+    return tuple(out)
 
 
 def pairs_from_cache(cache, index, embedder, *, limit: int = 4096):
@@ -139,7 +170,7 @@ def pairs_from_cache(cache, index, embedder, *, limit: int = 4096):
 def train(
     params: dict,
     cfg: bert.BertConfig,
-    pairs: list[tuple[str, str]],
+    pairs: list[tuple[str, ...]],
     *,
     mesh: Mesh | None = None,
     tokenizer: Tokenizer | None = None,
@@ -147,12 +178,16 @@ def train(
     batch_size: int = 32,
     lr: float = 2e-5,
     temperature: float = 0.05,
+    neg_weight: float = 1.0,
     seed: int = 0,
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 100,
 ) -> tuple[dict, list[float]]:
     """Simple epoch loop with optional orbax checkpoint/resume.
 
+    ``pairs`` items are (query, positive) or (query, positive, negative)
+    — 3-tuples train with explicit hard negatives in the InfoNCE pool
+    (data/synthetic.py make_train_triples supplies the bait chunks).
     Returns (trained params, per-step losses).  With ``checkpoint_dir``,
     training resumes from the latest saved step and saves every
     ``checkpoint_every`` steps plus once at the end.
@@ -170,7 +205,11 @@ def train(
         if restored is not None:
             step_count, state = restored
             params, opt_state = state["params"], state["opt_state"]
-    step_fn = make_train_step(mesh, cfg, optimizer, temperature=temperature)
+    with_negs = bool(pairs) and len(pairs[0]) > 2
+    step_fn = make_train_step(
+        mesh, cfg, optimizer, temperature=temperature,
+        hard_negatives=with_negs, neg_weight=neg_weight,
+    )
 
     def maybe_save(force: bool = False) -> None:
         if checkpoint_dir and (force or step_count % checkpoint_every == 0):
@@ -189,15 +228,18 @@ def train(
         order = rng.permutation(len(pairs))
         for s in range(0, len(pairs) - bs + 1, bs):
             chunk = [pairs[i] for i in order[s : s + bs]]
-            q_batch, d_batch = tokenize_pairs(tok, chunk)
+            batches = tokenize_pairs(tok, chunk)
             if mesh is not None:
                 shard = NamedSharding(mesh, P(AXIS_DATA))
-                q_batch = tuple(jax.device_put(jnp.asarray(a), shard) for a in q_batch)
-                d_batch = tuple(jax.device_put(jnp.asarray(a), shard) for a in d_batch)
+                batches = tuple(
+                    tuple(jax.device_put(jnp.asarray(a), shard) for a in b)
+                    for b in batches
+                )
             else:
-                q_batch = tuple(jnp.asarray(a) for a in q_batch)
-                d_batch = tuple(jnp.asarray(a) for a in d_batch)
-            params, opt_state, loss = step_fn(params, opt_state, q_batch, d_batch)
+                batches = tuple(
+                    tuple(jnp.asarray(a) for a in b) for b in batches
+                )
+            params, opt_state, loss = step_fn(params, opt_state, *batches)
             losses.append(float(loss))
             step_count += 1
             maybe_save()

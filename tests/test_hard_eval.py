@@ -110,6 +110,45 @@ def test_train_paraphrases_no_leakage():
         assert pos  # every pair carries its intent's positive chunk
 
 
+def test_train_triples_wellformed():
+    """Hard-negative triples: same leak-checked paraphrases + positives as
+    make_train_pairs, with a per-pair negative that is (a) never the
+    positive, (b) never contains the intent's scoring keywords (it is a
+    bait or another topic's paragraph), and (c) drawn from the serving
+    corpus text, not the eval queries."""
+    from financial_rag_system_tpu.data.synthetic import (
+        HARD_INTENTS,
+        make_train_pairs,
+        make_train_triples,
+    )
+
+    from financial_rag_system_tpu.data.synthetic import AAPL_TOPICS, _COMPANY
+
+    triples = make_train_triples()
+    pairs = make_train_pairs()
+    assert len(triples) == len(pairs)
+    assert {(q, p) for q, p, _ in triples} == set(pairs)
+    # positive text -> the scoring keywords a negative for that pair
+    # must NOT contain (training against a keyword-bearing chunk would
+    # suppress a true positive)
+    kw_by_pos: dict[str, list[str]] = {}
+    for intent in HARD_INTENTS:
+        for company in _COMPANY.values():
+            kw_by_pos[intent["positive"].format(company=company)] = [
+                k.lower() for k in intent["keywords"]
+            ]
+    easy_topics = set(AAPL_TOPICS.values())
+    for q, pos, neg in triples:
+        assert neg and neg != pos
+        if pos in kw_by_pos:
+            for kw in kw_by_pos[pos]:
+                assert kw not in neg.lower(), (q, kw)
+        else:
+            # easy triples: the negative is another parity topic's
+            # paragraph (the corpus's natural confusable)
+            assert pos in easy_topics and neg in easy_topics
+
+
 def test_trained_encoder_learns(tmp_path):
     """Few-step smoke of the full --trained loop: loss decreases and the
     returned encoder is servable (encodes + searches)."""

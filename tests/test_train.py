@@ -128,6 +128,73 @@ def test_checkpoint_resume(tmp_path):
     assert latest_step(ck) >= len(losses1)
 
 
+TRIPLES = [
+    (q, d, PAIRS[(i + 3) % len(PAIRS)][1]) for i, (q, d) in enumerate(PAIRS)
+]
+
+
+def _norm_triple_ids(triples):
+    tok = Tokenizer()
+    q_b, d_b, n_b = tokenize_pairs(tok, triples, max_len=16)
+    f = lambda b: (b[0] % 512, b[1], b[2])
+    return f(q_b), f(d_b), f(n_b)
+
+
+def test_hard_negative_loss_decreases_and_separates():
+    params = bert.init_params(jax.random.PRNGKey(0), TINY)
+    optimizer = optax.adamw(1e-3)
+    opt_state = optimizer.init(params)
+    step = make_train_step(None, TINY, optimizer, hard_negatives=True)
+    q_b, d_b, n_b = _norm_triple_ids(TRIPLES)
+    q_b, d_b, n_b = (tuple(jnp.asarray(a) for a in b) for b in (q_b, d_b, n_b))
+    losses = []
+    for _ in range(10):
+        params, opt_state, loss = step(params, opt_state, q_b, d_b, n_b)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    # after training, each query scores its positive above its explicit
+    # hard negative (the whole point of the triple supervision)
+    from financial_rag_system_tpu.train.contrastive import _embed
+
+    qv = np.asarray(_embed(params, *q_b, TINY))
+    dv = np.asarray(_embed(params, *d_b, TINY))
+    nv = np.asarray(_embed(params, *n_b, TINY))
+    pos = (qv * dv).sum(-1)
+    neg = (qv * nv).sum(-1)
+    assert (pos > neg).mean() >= 0.9
+
+
+def test_mesh_triples_step_matches_single_device():
+    mesh = create_mesh("data:8,corpus:1")
+    params = bert.init_params(jax.random.PRNGKey(0), TINY)
+    optimizer = optax.adamw(1e-3)
+    q_b, d_b, n_b = _norm_triple_ids(TRIPLES)  # batch 16, divisible by 8
+    q_j, d_j, n_j = (tuple(jnp.asarray(a) for a in b) for b in (q_b, d_b, n_b))
+
+    s_single = make_train_step(None, TINY, optimizer, hard_negatives=True)
+    s_mesh = make_train_step(mesh, TINY, optimizer, hard_negatives=True)
+    p1, o1 = params, optimizer.init(params)
+    p2, o2 = params, optimizer.init(params)
+    for _ in range(3):
+        p1, o1, l1 = s_single(p1, o1, q_j, d_j, n_j)
+        p2, o2, l2 = s_mesh(p2, o2, q_j, d_j, n_j)
+        # gathered negatives reconstruct the same global candidate pool
+        np.testing.assert_allclose(float(l1), float(l2), rtol=2e-3, atol=2e-3)
+
+
+def test_train_helper_accepts_triples():
+    cfg = bert.BertConfig(
+        vocab_size=30522, hidden=32, layers=1, heads=2, intermediate=64,
+        max_positions=64,
+    )
+    params = bert.init_params(jax.random.PRNGKey(0), cfg)
+    trained, losses = train(
+        params, cfg, TRIPLES, epochs=2, batch_size=8, lr=1e-3
+    )
+    assert len(losses) == 4
+    assert losses[-1] < losses[0]
+
+
 def test_pairs_from_cache_closed_loop(tmp_path):
     """The serve->log->train loop the reference only sketches
     (reference README.md:41): cached production queries become
