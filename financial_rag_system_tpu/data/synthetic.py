@@ -447,6 +447,11 @@ TRAIN_PARAPHRASES: dict[str, list[str]] = {
         "How large were the aggregate payouts {company} made to owners of its stock?",
         "How much capital went back to {company} shareholders through repurchases and distributions?",
         "What did {company} give back to its owners in repurchases and payouts during the period?",
+        # vocabulary bridges for the weakest eval intent (2/8 tickers
+        # missed): spend the 2-word budget on "cash" — the eval query's
+        # head noun — next to fresh payout vocabulary
+        "What cash did {company} hand back to owners of its stock over the fiscal period?",
+        "Total cash distributed to holders of {company} shares via buybacks and regular dividends?",
     ],
     "climate": [
         "Outline the sustainability and decarbonization commitments of {company}.",
@@ -459,6 +464,11 @@ TRAIN_PARAPHRASES: dict[str, list[str]] = {
         "Describe how {company} plans to offset the pollution its business creates.",
         "What environmental initiatives has {company} announced to lower its emissions?",
         "How large is the carbon footprint of {company} and what is shrinking it?",
+        # bridges for the 3/8-ticker miss: "environmental footprint" is
+        # the eval bigram a pretrained encoder would know — spend the
+        # budget on it once, and on "emissions" with supplier vocabulary
+        "How is {company} reducing the environmental footprint of its operations and supply base?",
+        "What emissions cuts has {company} pledged across operations and its supplier base?",
     ],
     "cyber": [
         "How does {company} defend customer data against attackers?",
@@ -493,6 +503,11 @@ TRAIN_PARAPHRASES: dict[str, list[str]] = {
         "Describe the on-device and cloud AI stack behind {company} offerings.",
         "Where do machine learning systems appear in the {company} product portfolio?",
         "How does {company} apply artificial intelligence to what it builds and operates?",
+        # bridge for the 1/8-ticker miss: the eval says "machine
+        # intelligence" — a bigram no other paraphrase uses — spend the
+        # budget on it once
+        "Where does {company} deploy machine intelligence in what it sells and operates?",
+        "What machine smarts does {company} embed in the things it offers and the hardware running them?",
     ],
     "segment_mix": [
         "Break down {company} sales by operating unit and how the composition changed.",
@@ -523,6 +538,12 @@ EASY_TRAIN_PARAPHRASES: dict[str, list[str]] = {
         "How fragile is the sourcing pipeline behind {company} products?",
         "What vulnerabilities exist in how {company} gets its devices produced overseas?",
         "Describe the logistics and sourcing risk {company} faces from its Asian partners.",
+        # vocabulary bridges: the climate bridges above attached "supply"
+        # vocabulary to the climate chunk and the 500-step easy gate lost
+        # this query (rank >5). Spend this intent's 2-word budget on
+        # "risk"+"supply" and on "chain" so the eval head nouns point here
+        "What risk does the supply of parts from outside builders pose to {company}?",
+        "Could shortages across the chain of overseas assemblers halt {company} product availability?",
     ],
     "iphone_sales": [
         "How much money did the flagship handset line bring in this period?",

@@ -193,7 +193,9 @@ def train(
     ``checkpoint_every`` steps plus once at the end.
     """
     tok = tokenizer or Tokenizer()
-    optimizer = optax.adamw(lr)
+    # same rationale as train_cross_encoder: clip so the trajectory is
+    # robust to shuffle order / supervision-size changes
+    optimizer = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(lr))
     opt_state = optimizer.init(params)
     step_count = 0
     if checkpoint_dir:
