@@ -87,7 +87,7 @@ def _reranker_cfg(arch: str):
 def trained_encoder(
     *, steps: int = 150, seed: int = 0, lr: float | None = None,
     arch: str = "compact", hard_negatives: bool = False,
-    neg_weight: float = 1.0,
+    filler_negatives: bool = False, neg_weight: float = 1.0,
 ):
     """Contrastively fine-tuned BERT bi-encoder (random init, no egress).
 
@@ -103,6 +103,7 @@ def trained_encoder(
     import jax
 
     from financial_rag_system_tpu.data.synthetic import (
+        make_filler_triples,
         make_train_pairs,
         make_train_triples,
     )
@@ -117,8 +118,17 @@ def trained_encoder(
     params = bert.init_params(jax.random.PRNGKey(seed), cfg)
     # hard_negatives: train stage 1 against the bait confusables too
     # (make_train_triples) — one explicit negative per pair in the
-    # InfoNCE pool, targeting the filtered-top-15 exact ceiling
-    pairs = make_train_triples() if hard_negatives else make_train_pairs()
+    # InfoNCE pool, targeting the filtered-top-15 exact ceiling.
+    # filler_negatives: repel the corpus note-boilerplate genre instead
+    # (make_filler_triples) — genuinely off-topic, so repulsion helps
+    # where the bait triples measured negative (canonical: w=0.5 →
+    # hard 100%/0.753; w=1.0 also 100% Hit@5 but 0.709 MRR)
+    if hard_negatives:
+        pairs: list[tuple[str, ...]] = make_train_triples()
+    elif filler_negatives:
+        pairs = make_filler_triples()
+    else:
+        pairs = make_train_pairs()
     epochs = max(1, (steps * 32) // len(pairs))
     t0 = time.time()
     params, losses = train(
@@ -348,6 +358,11 @@ if __name__ == "__main__":
                     help="train the bi-encoder on (query, positive, bait) "
                          "triples: explicit hard negatives in the InfoNCE "
                          "pool (data/synthetic.py make_train_triples)")
+    ap.add_argument("--filler-negatives", action="store_true",
+                    help="train the bi-encoder on (query, positive, "
+                         "filler-note) triples: repel the corpus "
+                         "boilerplate genre (data/synthetic.py "
+                         "make_filler_triples)")
     ap.add_argument("--neg-weight", type=float, default=1.0,
                     help="denominator weight of the explicit hard negatives "
                          "(log-additive discount; 1.0 = full strength)")
@@ -362,7 +377,9 @@ if __name__ == "__main__":
     if args.trained:
         emb = trained_encoder(
             steps=args.train_steps, arch=args.trained_arch,
-            hard_negatives=args.hard_negatives, neg_weight=args.neg_weight,
+            hard_negatives=args.hard_negatives,
+            filler_negatives=args.filler_negatives,
+            neg_weight=args.neg_weight,
         )
         if args.two_stage:
             rr = trained_reranker(

@@ -641,3 +641,58 @@ def make_train_triples(
                     )
                 )
     return triples
+
+
+def make_filler_triples(
+    tickers: list[str] | None = None,
+) -> list[tuple[str, str, str]]:
+    """(query paraphrase, positive chunk, filler-note negative) triples.
+
+    The hard/easy corpora are ~99% ``Note {i}: ...`` boilerplate
+    (:func:`_distractor`); plain-pair training never shows the encoder
+    that genre, so filler embeddings are uncalibrated and a topically
+    colliding subject ("dividend declarations" against the payout
+    intent, "segment operating performance" against segment_mix) can
+    outrank the positive.  The collision is worst for META: its filler
+    carries the ticker string, and "META" lowercases to the same token
+    as the company name "Meta", erasing the company-token margin every
+    other ticker enjoys (diagnosed with scripts/diag_hard_misses.py —
+    all residual misses are bi-encoder-stage, positive outside fan-15).
+
+    Unlike the bait triples (:func:`make_train_triples`, a MEASURED
+    NEGATIVE: baits are topical near-duplicates and repelling them
+    wrecks the topical geometry), filler notes are genuinely off-topic,
+    so InfoNCE repulsion helps — measured 100% Hit@5 hard at every
+    weight tried, best MRR at ``--neg-weight 0.5`` (the canonical
+    config).  Negatives are corpus text — the paraphrase leak budget
+    does not apply to them.
+
+    Every paraphrase keeps its positive; the negative cycles
+    deterministically through subject x template so all 16 subjects and
+    all 4 note shapes are repelled for every ticker.
+    """
+    tickers = tickers or _TICKERS
+    triples: list[tuple[str, str, str]] = []
+    n = 0
+
+    def filler(t: str) -> str:
+        nonlocal n
+        n += 1
+        subj = _FILLER_SUBJECTS[n % len(_FILLER_SUBJECTS)]
+        tmpl = _NOTE_TEMPLATES[n % len(_NOTE_TEMPLATES)]
+        return tmpl.format(
+            i=n, t=t, subj=subj, pct=1 + n % 40, amt=(1 + n * 7 % 900) / 10
+        )
+
+    for t in tickers:
+        company = _COMPANY[t]
+        for intent in HARD_INTENTS:
+            pos = intent["positive"].format(company=company)
+            for q in TRAIN_PARAPHRASES[intent["name"]]:
+                triples.append((q.format(company=company), pos, filler(t)))
+        for name, qs in EASY_TRAIN_PARAPHRASES.items():
+            for q in qs:
+                triples.append(
+                    (q.format(company=company), AAPL_TOPICS[name], filler(t))
+                )
+    return triples

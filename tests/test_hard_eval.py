@@ -149,6 +149,41 @@ def test_train_triples_wellformed():
             assert pos in easy_topics and neg in easy_topics
 
 
+def test_filler_triples_wellformed():
+    """Filler-genre triples: same leak-checked paraphrases + positives as
+    make_train_pairs, with a negative that is (a) note-boilerplate of
+    the SAME ticker (carrying the ticker string the corpus filler uses,
+    incl. the META->"meta" collision token), (b) free of every intent's
+    scoring keywords, and (c) deterministic across calls."""
+    from financial_rag_system_tpu.data.synthetic import (
+        HARD_INTENTS,
+        _COMPANY,
+        make_filler_triples,
+        make_train_pairs,
+    )
+
+    triples = make_filler_triples()
+    pairs = make_train_pairs()
+    assert len(triples) == len(pairs)
+    assert [(q, p) for q, p, _ in triples] == pairs
+    assert triples == make_filler_triples()  # deterministic
+    all_kws = [
+        k.lower() for intent in HARD_INTENTS for k in intent["keywords"]
+    ]
+    tickers = set(_COMPANY)
+    meta_negs = 0
+    for q, pos, neg in triples:
+        assert neg and neg != pos
+        low = neg.lower()
+        for kw in all_kws:
+            assert kw not in low, (q, kw)
+        # genre + ticker invariants: every negative is a note-boilerplate
+        # chunk naming exactly one ticker symbol
+        assert sum(t in neg for t in tickers) == 1, neg
+        meta_negs += "META" in neg
+    assert meta_negs > 0  # the collision ticker is repelled too
+
+
 def test_trained_encoder_learns(tmp_path):
     """Few-step smoke of the full --trained loop: loss decreases and the
     returned encoder is servable (encodes + searches)."""
