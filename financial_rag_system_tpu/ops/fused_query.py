@@ -86,34 +86,33 @@ def _prep_queries(qv: jax.Array, corpus_dtype, quantized: bool) -> jax.Array:
     return qv.astype(corpus_dtype)
 
 
-def _cross_rerank(
+def _cross_encode_pairs(
     rerank_params,
-    q_ids: jax.Array,      # (B, LQ)
-    rows: jax.Array,       # (B, K) int32 candidate rows (-1 = empty)
-    bi_scores: jax.Array,  # (B, K) f32 (-inf = empty)
-    doc_tokens: jax.Array,  # (N, DLEN)
+    pair_q: jax.Array,   # (P, LQ) per-pair query token ids
+    pair_d: jax.Array,   # (P, DLEN) per-pair doc token ids
     *,
     rerank_cfg: bert.BertConfig,
 ) -> jax.Array:
-    """Stages 3+4 of the fused pipeline: gather candidate token ids from
-    HBM and cross-encode all B*K pairs in one forward.  Returns (B, K)
-    logits with empty slots masked to -inf."""
-    b, lq = q_ids.shape
-    k = rows.shape[1]
-    dlen = doc_tokens.shape[1]
+    """Cross-encode P (query, doc) token-id pairs in one forward.
+
+    Shared pair-assembly core of :func:`_cross_rerank` (single-device:
+    every candidate of every query) and :func:`_sharded_balanced_rerank`
+    (one even 1/S slice of the pair batch per shard).  Returns (P,) f32
+    logits; callers mask empty slots.
+    """
+    p, lq = pair_q.shape
+    dlen = pair_d.shape[1]
     # first-party trained rerankers carry the length they were trained at
     # (cfg.max_seq_length): positions past it are random init, so the
     # pair must not exceed it — trim the doc portion (static slice; the
     # hint is None for real HF checkpoints and nothing changes)
     if rerank_cfg.max_seq_length and lq + dlen > rerank_cfg.max_seq_length:
         dlen = max(8, rerank_cfg.max_seq_length - lq)
-    dtok = doc_tokens[jnp.maximum(rows, 0)][:, :, :dlen]  # (B, K, DLEN)
+        pair_d = pair_d[:, :dlen]
 
-    pair_ids = jnp.concatenate(
-        [jnp.broadcast_to(q_ids[:, None, :], (b, k, lq)), dtok], axis=2
-    ).reshape(b * k, lq + dlen)
+    pair_ids = jnp.concatenate([pair_q, pair_d], axis=1)
     pair_types = jnp.concatenate(
-        [jnp.zeros((b * k, lq), jnp.int32), jnp.ones((b * k, dlen), jnp.int32)],
+        [jnp.zeros((p, lq), jnp.int32), jnp.ones((p, dlen), jnp.int32)],
         axis=1,
     )
     pair_mask = (pair_ids != 0).astype(jnp.int32)
@@ -121,9 +120,9 @@ def _cross_rerank(
     # B=32,K=15 that is 480 pairs instead of 512, a measured-free 6%
     # FLOP cut in the stage that dominates the fused batch (the batch
     # dim of a matmul needs no 128-lane alignment)
-    total = _round_up(b * k, 8)
-    if total != b * k:
-        pad = total - b * k
+    total = _round_up(p, 8)
+    if total != p:
+        pad = total - p
         pair_ids = jnp.pad(pair_ids, ((0, pad), (0, 0)))
         pair_types = jnp.pad(pair_types, ((0, pad), (0, 0)))
         pair_mask = jnp.pad(pair_mask, ((0, pad), (0, 0)))
@@ -146,10 +145,90 @@ def _cross_rerank(
     )
     logits = bert._matmul(
         pooled, rerank_params["classifier"]["w"], rerank_params["classifier"]["b"]
-    )[: b * k, 0].reshape(b, k)
+    )
+    return logits[:p, 0]
 
+
+def _cross_rerank(
+    rerank_params,
+    q_ids: jax.Array,      # (B, LQ)
+    rows: jax.Array,       # (B, K) int32 candidate rows (-1 = empty)
+    bi_scores: jax.Array,  # (B, K) f32 (-inf = empty)
+    doc_tokens: jax.Array,  # (N, DLEN)
+    *,
+    rerank_cfg: bert.BertConfig,
+) -> jax.Array:
+    """Stages 3+4 of the fused pipeline: gather candidate token ids from
+    HBM and cross-encode all B*K pairs in one forward.  Returns (B, K)
+    logits with empty slots masked to -inf."""
+    b, lq = q_ids.shape
+    k = rows.shape[1]
+    dtok = doc_tokens[jnp.maximum(rows, 0)]  # (B, K, DLEN)
+    pair_q = jnp.broadcast_to(q_ids[:, None, :], (b, k, lq)).reshape(b * k, lq)
+    logits = _cross_encode_pairs(
+        rerank_params, pair_q, dtok.reshape(b * k, -1), rerank_cfg=rerank_cfg
+    ).reshape(b, k)
     # hide rerank logits for empty slots (bi score == -inf or row == -1)
     return jnp.where(jnp.isfinite(bi_scores) & (rows >= 0), logits, -jnp.inf)
+
+
+def _sharded_balanced_rerank(
+    rerank_params,
+    q_ids: jax.Array,        # (B, LQ) replicated query token ids
+    g_rows: jax.Array,       # (B, k) GLOBAL candidate ids after the merge
+    top_bi: jax.Array,       # (B, k) merged bi scores (-inf = empty)
+    local_rows: jax.Array,   # (B, k) shard-local ids; anything outside
+                             # [0, shard_rows) means "not mine"
+    dtok_shard: jax.Array,   # (shard_rows, DLEN) this shard's token store
+    *,
+    axis: str,
+    n_shards: int,
+    rerank_cfg: bert.BertConfig,
+) -> jax.Array:
+    """Work-balanced cross-encoder rerank for corpus-sharded meshes.
+
+    The merged global top-k is the ONLY pair set that needs stage-2
+    scores (reference retrieve-15 -> rerank semantics, main2.py:240-246),
+    but its rows live on whichever shards own them.  Two tiny ICI
+    collectives turn that into an even split of the compute that
+    dominates the fused batch (~96% of its FLOPs):
+
+      1. token fetch: each shard contributes the (B, k, DLEN) rows it
+         owns (zeros elsewhere); one ``psum`` materializes the full
+         candidate token block on every shard (B*k*DLEN int32 — ~370 KiB
+         at serving shapes, microseconds on ICI);
+      2. balanced split: shard s cross-encodes pairs
+         [s*ceil(B*k/S), ...) of the flattened pair batch — B*k/S
+         forwards per device instead of the B*k every shard paid when it
+         reranked its own local top-k — then one (B*k/S,) ``all_gather``
+         reassembles the logits.
+
+    Net: rerank FLOPs per device drop S-fold and total rerank FLOPs drop
+    from S*B*k to B*k pairs, turning corpus sharding into near-linear
+    scaling of the dominant stage (the "<5 ms/batch" v5e-8 north star:
+    1.49 TFLOP / 8 needs ~1 ms at 100% MFU).  Returns (B, k) logits with
+    empty slots masked to -inf, bit-identical pair math to
+    :func:`_cross_rerank` (same assembly via _cross_encode_pairs).
+    """
+    b, k = g_rows.shape
+    shard_rows = dtok_shard.shape[0]
+    own = (local_rows >= 0) & (local_rows < shard_rows)
+    safe = jnp.clip(local_rows, 0, shard_rows - 1)
+    part = jnp.where(own[..., None], dtok_shard[safe], 0)
+    g_dtok = jax.lax.psum(part, axis)  # (B, k, DLEN) replicated
+    p = b * k
+    chunk = -(-p // n_shards)
+    sid = jax.lax.axis_index(axis)
+    idx = jnp.clip(sid * chunk + jnp.arange(chunk), 0, p - 1)
+    logits = _cross_encode_pairs(
+        rerank_params,
+        q_ids[idx // k],
+        g_dtok.reshape(p, -1)[idx],
+        rerank_cfg=rerank_cfg,
+    )
+    all_logits = jax.lax.all_gather(logits, axis, axis=0, tiled=True)
+    ce = all_logits[:p].reshape(b, k)
+    return jnp.where(jnp.isfinite(top_bi) & (g_rows >= 0), ce, -jnp.inf)
 
 
 def fused_two_stage(
@@ -570,14 +649,17 @@ def make_sharded_fused_query(
 ):
     """The fused two-stage pipeline over a corpus-sharded mesh.
 
-    Each device runs the FULL fused program (embed -> local masked top-k
-    -> local HBM token gather -> cross-encoder) on its corpus shard —
-    rerank compute per device equals the single-chip case and the
-    candidate token ids never cross devices.  Partial (rows, bi, ce)
-    triplets all-gather over ICI and every device selects the same
-    global bi-score top-k (exactly the reference's retrieve-15 set;
-    cross-shard candidates outside it are discarded even if their
-    cross-encoder score is higher, preserving two-stage semantics).
+    Each device runs embed + local masked top-k on its corpus shard,
+    the (B, k) partials all-gather over ICI, and every device selects
+    the same global bi-score top-k (exactly the reference's retrieve-15
+    set; cross-shard candidates outside it are discarded even if their
+    cross-encoder score would be higher, preserving two-stage
+    semantics).  The cross-encoder then runs WORK-BALANCED over the
+    merged set (:func:`_sharded_balanced_rerank`): one psum ships the
+    owned candidate token rows everywhere, each shard scores an even
+    1/S slice of the B*k pairs, and one all_gather reassembles the
+    logits — rerank FLOPs per device drop S-fold versus every shard
+    cross-encoding its own local top-k.
 
     Inputs: queries replicated; corpus emb (N,D) / doc_tokens (N,L)
     sharded on rows; codes (2,N) sharded on columns.
@@ -585,6 +667,8 @@ def make_sharded_fused_query(
     from jax.sharding import PartitionSpec as P
 
     from financial_rag_system_tpu.parallel.mesh import AXIS_CORPUS
+
+    n_shards = mesh.shape[AXIS_CORPUS]
 
     def local_fn(
         embed_params, rerank_params, q_ids, q_types, q_mask, qf,
@@ -594,19 +678,28 @@ def make_sharded_fused_query(
         sid = jax.lax.axis_index(AXIS_CORPUS)
         base = sid * shard_rows
         local_valid = jnp.clip(n_valid - base, 0, shard_rows)
-        rows_l, bi_l, ce_l = fused_two_stage(
-            embed_params, rerank_params, q_ids, q_types, q_mask, qf,
-            emb_shard, codes_shard, dtok_shard, local_valid,
-            embed_cfg=embed_cfg, rerank_cfg=rerank_cfg,
-            k=k, tile=tile, use_pallas=use_pallas, quantized=quantized,
-        )
+        h = bert.encode(embed_params, q_ids, q_types, q_mask, embed_cfg)
+        cls = h[:, 0, :]
+        qv = cls / jnp.linalg.norm(cls, axis=-1, keepdims=True).clip(1e-12)
+        q = _prep_queries(qv, emb_shard.dtype, quantized)
+        if use_pallas:
+            bi_l, rows_l = masked_topk_pallas(
+                q, emb_shard, codes_shard, qf, local_valid, k, tile=tile,
+            )
+        else:
+            bi_l, rows_l = masked_topk_xla(
+                q, emb_shard, codes_shard, qf, local_valid, k
+            )
         rows_g = jnp.where(jnp.isfinite(bi_l), rows_l + base, -1)
         all_rows = jax.lax.all_gather(rows_g, AXIS_CORPUS, axis=1, tiled=True)
         all_bi = jax.lax.all_gather(bi_l, AXIS_CORPUS, axis=1, tiled=True)
-        all_ce = jax.lax.all_gather(ce_l, AXIS_CORPUS, axis=1, tiled=True)
         top_bi, pos = jax.lax.top_k(all_bi, k)
         rows = jnp.take_along_axis(all_rows, pos, axis=1)
-        ce = jnp.take_along_axis(all_ce, pos, axis=1)
+        local_rows = jnp.where(rows >= 0, rows - base, -1)
+        ce = _sharded_balanced_rerank(
+            rerank_params, q_ids, rows, top_bi, local_rows, dtok_shard,
+            axis=AXIS_CORPUS, n_shards=n_shards, rerank_cfg=rerank_cfg,
+        )
         return rows, top_bi, ce
 
     fn = jax.shard_map(
@@ -637,17 +730,20 @@ def make_sharded_fused_ivf_query(
     quantized: bool = False,
 ):
     """The sub-linear fused pipeline over a corpus-sharded mesh: the
-    composition of :func:`make_sharded_fused_query` (per-shard full fused
-    program + (B,k) all-gather) and :func:`fused_ivf_two_stage` (centroid
-    probing + probed-tiles kernel instead of the flat scan).
+    composition of :func:`make_sharded_fused_query` (per-shard search +
+    (B,k) all-gather merge + work-balanced rerank) and
+    :func:`fused_ivf_two_stage` (centroid probing + probed-tiles kernel
+    instead of the flat scan).
 
     The codebook is global/replicated and the packing is shard-local
     (index/sharded_ivf.py), so the probe list computed from the
     replicated centroids indexes every shard's packing identically —
-    each shard probes only its top-nprobe cluster tiles, gathers ITS
-    token-store rows (``packed_gids`` hold global flat ids; a shard's
-    packed rows all live in its block of ``rows_per_shard`` flat rows),
-    cross-encodes locally, and only (B, k) triplets cross ICI.
+    each shard probes only its top-nprobe cluster tiles.  The merged
+    global top-k then reranks work-balanced
+    (:func:`_sharded_balanced_rerank`): ``packed_gids`` hold global flat
+    ids and a shard's packed rows all live in its block of
+    ``rows_per_shard`` flat rows, so ownership for the psum token fetch
+    is a block test.
 
     ``rows_per_shard`` is captured at build; a capacity-growing upsert
     registers tail rows, which makes the engine fall back to the staged
@@ -660,6 +756,8 @@ def make_sharded_fused_ivf_query(
         ivf_probe_xla,
     )
     from financial_rag_system_tpu.parallel.mesh import AXIS_CORPUS
+
+    n_shards = mesh.shape[AXIS_CORPUS]
 
     def local_fn(
         embed_params, rerank_params, q_ids, q_types, q_mask, qf,
@@ -683,24 +781,20 @@ def make_sharded_fused_ivf_query(
             bi, rows = ivf_probe_xla(
                 q, qf, p_emb, p_codes, p_gids, tile_ids, k, tile=tile,
             )
-        # rows are GLOBAL flat ids; this shard's token-store block covers
-        # [sid*rows_per_shard, (sid+1)*rows_per_shard)
-        sid = jax.lax.axis_index(AXIS_CORPUS)
-        local_rows = jnp.where(rows >= 0, rows - sid * rows_per_shard, -1)
-        ce = _cross_rerank(
-            rerank_params, q_ids, local_rows, bi, dtok,
-            rerank_cfg=rerank_cfg,
-        )
         rows_g = jnp.where(jnp.isfinite(bi), rows, -1)
         all_rows = jax.lax.all_gather(rows_g, AXIS_CORPUS, axis=1, tiled=True)
         all_bi = jax.lax.all_gather(bi, AXIS_CORPUS, axis=1, tiled=True)
-        all_ce = jax.lax.all_gather(ce, AXIS_CORPUS, axis=1, tiled=True)
         top_bi, pos = jax.lax.top_k(all_bi, k)
-        return (
-            jnp.take_along_axis(all_rows, pos, axis=1),
-            top_bi,
-            jnp.take_along_axis(all_ce, pos, axis=1),
+        g_rows = jnp.take_along_axis(all_rows, pos, axis=1)
+        # rows are GLOBAL flat ids; this shard's token-store block covers
+        # [sid*rows_per_shard, (sid+1)*rows_per_shard)
+        sid = jax.lax.axis_index(AXIS_CORPUS)
+        local_rows = jnp.where(g_rows >= 0, g_rows - sid * rows_per_shard, -1)
+        ce = _sharded_balanced_rerank(
+            rerank_params, q_ids, g_rows, top_bi, local_rows, dtok,
+            axis=AXIS_CORPUS, n_shards=n_shards, rerank_cfg=rerank_cfg,
         )
+        return g_rows, top_bi, ce
 
     fn = jax.shard_map(
         local_fn,
@@ -808,11 +902,13 @@ def make_sharded_fused_hnsw_query(
     quantized: bool = False,
     pool_take: int = 0,
 ):
-    """Sharded twin: each shard walks ITS graph (index/sharded_hnsw.py),
-    gathers its token-store rows (walk ids are shard-local, same block as
-    the local dtok shard) and cross-encodes locally; only (B, k) triplets
-    all-gather.  ``pool_take`` > 0 seeds each shard's walk from its own
-    k-center entry pool (one extra trailing (S, P') sharded array)."""
+    """Sharded twin: each shard walks ITS graph (index/sharded_hnsw.py)
+    over its corpus rows; the (B, k) walk partials all-gather for the
+    replicated global merge, then the merged set reranks work-balanced
+    (:func:`_sharded_balanced_rerank` — walk ids are shard-local, same
+    block as the local dtok shard, so ownership is the block test).
+    ``pool_take`` > 0 seeds each shard's walk from its own k-center
+    entry pool (one extra trailing (S, P') sharded array)."""
     from jax.sharding import PartitionSpec as P
 
     from financial_rag_system_tpu.index.hnsw import (
@@ -820,6 +916,8 @@ def make_sharded_fused_hnsw_query(
         pool_take as pool_take_fn,
     )
     from financial_rag_system_tpu.parallel.mesh import AXIS_CORPUS
+
+    n_shards = mesh.shape[AXIS_CORPUS]
 
     def local_fn(
         embed_params, rerank_params, q_ids, q_types, q_mask, qf,
@@ -843,22 +941,20 @@ def make_sharded_fused_hnsw_query(
             q, qf, emb, codes, adj[0], ent, k,
             ef=ef, steps=steps, frontier=frontier, pad_id=per_shard,
         )
-        ce = _cross_rerank(
-            rerank_params, q_ids, rows, bi, dtok, rerank_cfg=rerank_cfg
-        )
         sid = jax.lax.axis_index(AXIS_CORPUS)
         rows_g = jnp.where(
             (rows >= 0) & jnp.isfinite(bi), rows + sid * per_shard, -1
         )
         all_rows = jax.lax.all_gather(rows_g, AXIS_CORPUS, axis=1, tiled=True)
         all_bi = jax.lax.all_gather(bi, AXIS_CORPUS, axis=1, tiled=True)
-        all_ce = jax.lax.all_gather(ce, AXIS_CORPUS, axis=1, tiled=True)
         top_bi, pos = jax.lax.top_k(all_bi, k)
-        return (
-            jnp.take_along_axis(all_rows, pos, axis=1),
-            top_bi,
-            jnp.take_along_axis(all_ce, pos, axis=1),
+        g_rows = jnp.take_along_axis(all_rows, pos, axis=1)
+        local_rows = jnp.where(g_rows >= 0, g_rows - sid * per_shard, -1)
+        ce = _sharded_balanced_rerank(
+            rerank_params, q_ids, g_rows, top_bi, local_rows, dtok,
+            axis=AXIS_CORPUS, n_shards=n_shards, rerank_cfg=rerank_cfg,
         )
+        return g_rows, top_bi, ce
 
     specs = [
         P(), P(), P(), P(), P(), P(),

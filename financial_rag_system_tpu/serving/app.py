@@ -261,8 +261,9 @@ def build_default_engine(mode: str = "batched") -> RAGEngine:
 
     if len(jax.devices()) > 1:
         # multi-device serving: shard the corpus over the mesh.  With the
-        # full model stack each shard runs the complete fused program on
-        # its rows (make_sharded_fused_query) — 1 sync/batch; otherwise
+        # full model stack each shard searches its rows and the merged
+        # top-k reranks work-balanced across shards
+        # (make_sharded_fused_query) — 1 sync/batch; otherwise
         # the staged shard_map pipeline serves.  Multi-PROCESS serving
         # builds the SAME global-mesh index on every process; main()
         # wraps the coordinator's in a BroadcastIndex and runs workers

@@ -285,10 +285,13 @@ class RAGEngine:
                 )
             return None
         if isinstance(index, ShardedFlatIndex):
-            # mesh-sharded corpus: each shard runs the complete fused
-            # program on its rows and (B,k) partials all-gather — same
-            # 1 sync/batch as the single-chip path.  No tail/selective
-            # fallback conditions exist: the sharded flat search is exact.
+            # mesh-sharded corpus: each shard embeds + searches its rows,
+            # (B,k) partials all-gather for the global merge, and the
+            # cross-encoder runs work-balanced over the merged set
+            # (ops/fused_query._sharded_balanced_rerank) — same 1
+            # sync/batch as the single-chip path with 1/S of its rerank
+            # per device.  No tail/selective fallback conditions exist:
+            # the sharded flat search is exact.
             if full_stack and index._doc_tok is not None:
                 from financial_rag_system_tpu.ops.fused_query import (
                     make_sharded_fused_query,

@@ -72,6 +72,59 @@ def test_sharded_fused_matches_single():
     )
 
 
+def test_balanced_rerank_matches_cross_rerank_skewed():
+    """_sharded_balanced_rerank == _cross_rerank even when every merged
+    candidate lives on ONE shard (worst-case ownership skew for the psum
+    token fetch), with empty slots present and B*k (15) not divisible by
+    the shard count (8) — the even pair split pads with clipped
+    duplicates that must not leak into the output."""
+    from jax.sharding import PartitionSpec as P
+
+    from financial_rag_system_tpu.ops.fused_query import (
+        _cross_rerank,
+        _sharded_balanced_rerank,
+    )
+    from financial_rag_system_tpu.parallel.mesh import AXIS_CORPUS
+
+    mesh = create_mesh()
+    s = mesh.shape[AXIS_CORPUS]
+    b, k, lq, dlen, per_shard = 3, 5, 16, 32, 16
+    n = s * per_shard
+    rng = np.random.default_rng(3)
+    rp = bert.init_params(jax.random.PRNGKey(1), TINY_CROSS)
+    q_ids = jnp.asarray(rng.integers(103, 2000, (b, lq)), jnp.int32)
+    dtok = jnp.asarray(rng.integers(103, 2000, (n, dlen)), jnp.int32)
+    # all candidates on shard 0; one empty slot per query
+    rows = rng.integers(0, per_shard, (b, k)).astype(np.int32)
+    rows[:, -1] = -1
+    bi = rng.standard_normal((b, k)).astype(np.float32)
+    bi[:, -1] = -np.inf
+    rows_j, bi_j = jnp.asarray(rows), jnp.asarray(bi)
+
+    single = _cross_rerank(
+        rp, q_ids, rows_j, bi_j, dtok, rerank_cfg=TINY_CROSS
+    )
+
+    def local(q_ids, g_rows, top_bi, dtok_shard):
+        sid = jax.lax.axis_index(AXIS_CORPUS)
+        local_rows = jnp.where(g_rows >= 0, g_rows - sid * per_shard, -1)
+        return _sharded_balanced_rerank(
+            rp, q_ids, g_rows, top_bi, local_rows, dtok_shard,
+            axis=AXIS_CORPUS, n_shards=s, rerank_cfg=TINY_CROSS,
+        )
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(), P(), P(AXIS_CORPUS, None)),
+        out_specs=P(), check_vma=False,
+    )
+    sharded = fn(q_ids, rows_j, bi_j, dtok)
+    np.testing.assert_allclose(
+        np.asarray(sharded), np.asarray(single), rtol=2e-4, atol=2e-4
+    )
+    assert np.all(np.isneginf(np.asarray(sharded)[:, -1]))
+
+
 # ---------------------------------------------------------------------------
 # engine-level: multi-device serving fuses when the full stack is present
 # ---------------------------------------------------------------------------
