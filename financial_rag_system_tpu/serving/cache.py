@@ -286,6 +286,31 @@ class CacheDB:
             ).fetchall()
         return [(q, r) for q, r in rows]
 
+    def export_rated_pairs(
+        self, limit: int = 10000
+    ) -> list[tuple[str, str, int]]:
+        """(query, response, net feedback rating) rows, newest first.
+
+        Joins the cache log with ``user_feedback`` (summing the ±1
+        ratings per query_hash; unrated queries net 0) so training-data
+        consumers can weight or drop entries by user judgment — the
+        feedback table is the reference's quality signal on exactly
+        these cached answers (reference database.py:58-67 + README
+        fine-tuning note).  Grouping by the primary key keeps the query
+        valid on both SQLite and Postgres.
+        """
+        with self._lock:
+            rows = self._db.execute(
+                "SELECT c.query_text, c.response, "
+                "COALESCE(SUM(f.rating), 0) AS net "
+                "FROM query_cache c "
+                "LEFT JOIN user_feedback f ON f.query_hash = c.query_hash "
+                "GROUP BY c.id, c.query_text, c.response "
+                f"ORDER BY c.id DESC LIMIT {self._p}",
+                (limit,),
+            ).fetchall()
+        return [(q, r, int(net)) for q, r, net in rows]
+
     def close(self) -> None:
         with self._lock:
             self._db.close()

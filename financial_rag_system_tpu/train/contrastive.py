@@ -152,14 +152,24 @@ def tokenize_pairs(
     return tuple(out)
 
 
-def pairs_from_cache(cache, index, embedder, *, limit: int = 4096):
+def pairs_from_cache(
+    cache, index, embedder, *, limit: int = 4096, min_rating: int = 0
+):
     """Training pairs from the serving log: cached query -> its top chunk.
 
     This is the closed loop the reference README sketches: production
     queries (with cached answers) become supervision for the retriever.
+    The feedback store gates it: a query whose net user rating
+    (sum of ±1 ``user_feedback`` rows for its hash) falls below
+    ``min_rating`` is excluded — a downvoted answer means the retrieval
+    that produced it is NOT trustworthy supervision, so the default
+    (0) keeps unrated and net-positive queries and drops net-negative
+    ones.  ``min_rating=1`` trains on explicitly-approved traffic only.
     """
     pairs: list[tuple[str, str]] = []
-    for query, _answer in cache.export_pairs(limit):
+    for query, _answer, net in cache.export_rated_pairs(limit):
+        if net < min_rating:
+            continue
         vec = embedder.encode([query])
         hits = index.search(vec, k=1)[0]
         if hits:

@@ -107,6 +107,8 @@ def test_postgres_url_roundtrip(tmp_path, monkeypatch):
     db.add_feedback("h1", -1)
     assert db.feedback_count() == 2
     assert db.export_pairs() == [("q text", "replaced")]
+    # feedback-joined export runs on the pg dialect too (GROUP BY pk)
+    assert db.export_rated_pairs() == [("q text", "replaced", 0)]
 
     assert db.clear_ticker("AAPL") == 1
     assert db.lookup("h1", "AAPL") is None

@@ -218,9 +218,28 @@ def test_pairs_from_cache_closed_loop(tmp_path):
     db.save("h1", "AAPL", "how fast did revenue grow", "cached answer 1")
     db.save("h2", "AAPL", "what legal reserves exist", "cached answer 2")
     pairs = pairs_from_cache(db, index, emb)
-    db.close()
     assert len(pairs) == 2
     by_q = dict(pairs)
     # each logged query pairs with its own top retrieved chunk
     assert by_q["how fast did revenue grow"] == texts[0]
     assert by_q["what legal reserves exist"] == texts[1]
+
+    # feedback gates the loop: a net-downvoted answer means the
+    # retrieval that produced it is not trustworthy supervision
+    db.add_feedback("h2", -1)
+    assert [q for q, _ in pairs_from_cache(db, index, emb)] == [
+        "how fast did revenue grow"
+    ]
+    # an upvote restores it to net 0 (kept by the default min_rating=0)
+    db.add_feedback("h2", 1)
+    assert len(pairs_from_cache(db, index, emb)) == 2
+    # min_rating=1 keeps explicitly-approved traffic only
+    db.add_feedback("h1", 1)
+    assert [q for q, _ in pairs_from_cache(db, index, emb, min_rating=1)] == [
+        "how fast did revenue grow"
+    ]
+    rated = {q: net for q, _r, net in db.export_rated_pairs()}
+    assert rated == {
+        "how fast did revenue grow": 1, "what legal reserves exist": 0,
+    }
+    db.close()
