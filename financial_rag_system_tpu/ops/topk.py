@@ -107,6 +107,8 @@ def _topk_kernel(
     *,
     k: int,
     tile: int,
+    int8_mxu: bool = False,
+    lazy_mask: bool = False,
 ):
     step = pl.program_id(0)
     b = q_ref.shape[0]
@@ -117,33 +119,67 @@ def _topk_kernel(
         out_i_ref[:] = jnp.zeros_like(out_i_ref)
 
     # (B, T) scores on the MXU.  int8 corpora stream at half the HBM
-    # bytes of bf16 and are widened in VMEM: scores fit f32 exactly
-    # (|q|,|c| <= 127), so int8 ranking matches the XLA reference
-    # bit-for-bit.
+    # bytes of bf16 and score exactly either way (|q|,|c| <= 127):
+    #  - int8_mxu: native int8 x int8 -> int32 systolic passes (2x the
+    #    bf16 MXU rate on v5e; no quantization work — operands are
+    #    already int8).  |score| <= 127*127*D < 2^24, so the f32 cast is
+    #    exact and ranking is bit-identical to the widened path.
+    #  - widened: cast to f32 in VMEM and take the bf16 MXU path (the
+    #    values are integers <= 127, exactly representable in bf16).
     q, c = q_ref[:], c_ref[:]
-    if q.dtype == jnp.int8:
-        q, c = q.astype(jnp.float32), c.astype(jnp.float32)
-    s = jnp.dot(q, c.T, preferred_element_type=jnp.float32)
+    if q.dtype == jnp.int8 and int8_mxu:
+        s = jax.lax.dot_general(
+            q,
+            c,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+    else:
+        if q.dtype == jnp.int8:
+            q, c = q.astype(jnp.float32), c.astype(jnp.float32)
+        s = jnp.dot(q, c.T, preferred_element_type=jnp.float32)
 
-    # Metadata + padding mask on the VPU.
-    tick_q = qf_ref[:, 0:1]
-    dt_q = qf_ref[:, 1:2]
-    tick_c = codes_ref[0:1, :]
-    dt_c = codes_ref[1:2, :]
-    match = ((tick_q == -1) | (tick_q == tick_c)) & ((dt_q == -1) | (dt_q == dt_c))
-    local_ids = jax.lax.broadcasted_iota(jnp.int32, (b, tile), 1)
-    gids = local_ids + step * tile
-    match = match & (gids < nvalid_ref[0, 0])
-    s = jnp.where(match, s, NEG_INF)
+    def _mask(scores):
+        # Metadata + padding mask on the VPU.
+        tick_q = qf_ref[:, 0:1]
+        dt_q = qf_ref[:, 1:2]
+        tick_c = codes_ref[0:1, :]
+        dt_c = codes_ref[1:2, :]
+        match = ((tick_q == -1) | (tick_q == tick_c)) & (
+            (dt_q == -1) | (dt_q == dt_c)
+        )
+        local_ids = jax.lax.broadcasted_iota(jnp.int32, (b, tile), 1)
+        gids = local_ids + step * tile
+        match = match & (gids < nvalid_ref[0, 0])
+        return jnp.where(match, scores, NEG_INF), gids
 
-    # Skip the merge when this tile can't improve any row's k-th best.
+    # lazy_mask gates on the UNMASKED tile max (one VPU reduce), so
+    # non-improving tiles skip the whole VPU mask chain; the merge
+    # itself always uses masked scores, so results are bit-identical
+    # either way.  MEASURED NEGATIVE RESULT (scripts/tpu_probes.py
+    # --probe maskgate, interleaved A/B on the v5e, 2.8 GiB int8):
+    # wildcard filters -0.18 ms paired-median (noise), 1/8-ticker
+    # filters -5.97 ms — the raw-max gate fires on far more tiles than
+    # the masked gate when a filter excludes most rows, and each extra
+    # merge pays the k-iteration selection sort over (B, K+T), which
+    # dwarfs the ~0.7 us/tile mask chain it saves.  Default stays eager.
+    if not lazy_mask:
+        s, _ = _mask(s)
     tile_max = jnp.max(s, axis=1)  # (B,)
     kth_best = out_s_ref[:, k - 1]  # (B,)
     can_improve = jnp.any(tile_max > kth_best)
 
     @pl.when(can_improve)
     def _merge():
-        cat_s = jnp.concatenate([out_s_ref[:], s], axis=1)  # (B, K+T)
+        if lazy_mask:
+            ms, gids = _mask(s)
+        else:
+            ms = s
+            gids = (
+                jax.lax.broadcasted_iota(jnp.int32, (b, tile), 1)
+                + step * tile
+            )
+        cat_s = jnp.concatenate([out_s_ref[:], ms], axis=1)  # (B, K+T)
         cat_i = jnp.concatenate([out_i_ref[:], gids], axis=1)
         width = k + tile
         pos = jax.lax.broadcasted_iota(jnp.int32, (b, width), 1)
@@ -184,9 +220,22 @@ def pallas_available() -> bool:
     return jax.devices()[0].platform == "tpu"
 
 
-@functools.partial(
-    jax.jit, static_argnames=("k", "tile", "interpret")
-)
+def int8_mxu_enabled() -> bool:
+    """Score int8 corpora with native int8 x int8 -> int32 MXU passes.
+
+    Measured on the v5e (scripts/tpu_probes.py --probe int8mxu, 2.8 GiB
+    corpus): a consistent ~4% device-time win over widening int8 tiles
+    to f32 in VMEM (8.06 -> 7.73 ms and 13.46 -> 12.09 ms across two
+    sessions) with bit-identical rankings — the scan's per-tile cost is
+    dominated by the VPU mask chain + merge, not the score matmul, so
+    the int8 systolic rate is a small help, not the 2x the peak ratio
+    suggests.  ``FRS_INT8_MXU=0`` is the kill switch.
+    """
+    import os
+
+    return os.environ.get("FRS_INT8_MXU", "1") != "0"
+
+
 def masked_topk_pallas(
     queries: jax.Array,
     corpus: jax.Array,
@@ -197,10 +246,42 @@ def masked_topk_pallas(
     *,
     tile: int = 1024,
     interpret: bool = False,
+    int8_mxu: bool | None = None,
+    lazy_mask: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Streaming fused top-k. corpus rows must be a multiple of ``tile``.
 
-    The (B, K) output blocks use a constant index map, so they stay
+    Resolves the int8 MXU-path default from the environment OUTSIDE the
+    jit cache (``int8_mxu=None``), then dispatches to the jitted kernel
+    builder.
+    """
+    if int8_mxu is None:
+        int8_mxu = int8_mxu_enabled()
+    return _masked_topk_pallas_jit(
+        queries, corpus, codes, query_filter, n_valid, k,
+        tile=tile, interpret=interpret, int8_mxu=int8_mxu,
+        lazy_mask=lazy_mask,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "tile", "interpret", "int8_mxu", "lazy_mask"),
+)
+def _masked_topk_pallas_jit(
+    queries: jax.Array,
+    corpus: jax.Array,
+    codes: jax.Array,
+    query_filter: jax.Array,
+    n_valid: jax.Array | int,
+    k: int,
+    *,
+    tile: int = 1024,
+    interpret: bool = False,
+    int8_mxu: bool = False,
+    lazy_mask: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """The (B, K) output blocks use a constant index map, so they stay
     resident in VMEM across the sequential corpus-tile grid and are the
     running state — no separate scratch or final copy.
     """
@@ -227,7 +308,9 @@ def masked_topk_pallas(
         ],
     )
 
-    kernel = functools.partial(_topk_kernel, k=k, tile=tile)
+    kernel = functools.partial(
+        _topk_kernel, k=k, tile=tile, int8_mxu=int8_mxu, lazy_mask=lazy_mask
+    )
     out_s, out_i = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

@@ -193,6 +193,144 @@ def int8_gate(rows: int) -> None:
         log(f"  xla[0]:    {np.asarray(r_x2)[0]}")
 
 
+def int8mxu(rows: int) -> None:
+    """A/B the int8 score matmul inside the streaming top-k kernel:
+    widened (int8 tiles cast to f32 in VMEM, bf16 MXU passes) vs native
+    int8 x int8 -> int32 systolic passes (v5e: 2x the bf16 rate).
+
+    MEASURED: ~4% device-time win, bit-identical rankings (two sessions:
+    8.06 -> 7.73 ms, 13.46 -> 12.09 ms on 2.8 GiB).  The pre-probe
+    roofline blamed the widened dot (M padded 32->128, ~1.0 us/tile vs
+    ~0.94 us DMA); the measurement shows the dot is minor — the
+    dtype-independent per-tile cost is the VPU mask chain + merge (see
+    --probe maskgate for that A/B).  Rankings must be bit-identical
+    (int32 accumulation is exact; |score| <= 127*127*384 < 2^24 so the
+    f32 cast is too).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from financial_rag_system_tpu.ops.topk import masked_topk_pallas
+
+    floor = rpc_floor()
+    ch = min(1_310_720, max(2048, rows))
+    n = max(2048, (rows // ch) * ch)
+    emb, codes = _device_corpus(n, dtype="int8")
+    log(f"corpus {emb.nbytes / 2**30:.2f} GiB int8 on device")
+    b = 32
+    qs = []
+    for it in range(12):
+        q = jax.random.normal(jax.random.PRNGKey(100 + it), (b, 384), jnp.float32)
+        q = q / jnp.linalg.norm(q, axis=1, keepdims=True)
+        qs.append(jnp.clip(jnp.round(q * 127.0), -127, 127).astype(jnp.int8))
+    qf = jnp.stack(
+        [jnp.arange(b, dtype=jnp.int32) % 8, jnp.full((b,), -1, jnp.int32)],
+        axis=1,
+    )
+
+    # bitwise gate first: same query, both paths
+    s_w, r_w = masked_topk_pallas(
+        qs[0], emb, codes, qf, n, 10, tile=2048, int8_mxu=False
+    )
+    s_m, r_m = masked_topk_pallas(
+        qs[0], emb, codes, qf, n, 10, tile=2048, int8_mxu=True
+    )
+    ids_eq = bool(np.array_equal(np.asarray(r_w), np.asarray(r_m)))
+    sc_eq = bool(np.array_equal(np.asarray(s_w), np.asarray(s_m)))
+    log(f"int8mxu bitwise gate: ids_equal={ids_eq} scores_equal={sc_eq}")
+    if not ids_eq:
+        log(f"  widened[0]: {np.asarray(r_w)[0]}")
+        log(f"  int8mxu[0]: {np.asarray(r_m)[0]}")
+
+    gib = emb.nbytes / 2**30
+    for name, flag in (("widened", False), ("int8-mxu", True)):
+        ts = []
+        for it in range(1, 12):
+            t0 = time.time()
+            _, r = masked_topk_pallas(
+                qs[it], emb, codes, qf, n, 10, tile=2048, int8_mxu=flag
+            )
+            np.asarray(r)
+            ts.append((time.time() - t0) * 1e3)
+        p50 = float(np.percentile(ts, 50))
+        dev_ms = max(p50 - floor, 1e-3)
+        log(
+            f"{name}: p50 {p50:.2f} ms/batch{b} wall | device ~{dev_ms:.2f} ms"
+            f" => ~{gib / (dev_ms / 1e3):.0f} GiB/s"
+        )
+
+
+def maskgate(rows: int) -> None:
+    """INTERLEAVED A/B of the merge gate in the streaming top-k kernel:
+    eager (mask every tile, gate on masked max) vs lazy (gate on raw max,
+    mask only improving tiles).  The tunneled chip drifts several ms
+    between processes, so the two variants alternate call-by-call inside
+    one process and each sample is paired — the only A/B methodology
+    that resolves sub-ms kernel deltas on this rig.
+
+    Runs both a wildcard-filter and a 1/8-ticker-filter query set: the
+    lazy gate's risk case is selective filters (raw max >> masked kth
+    best => extra merges), the win case is the steady-state VPU mask
+    chain it skips.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from financial_rag_system_tpu.ops.topk import masked_topk_pallas
+
+    floor = rpc_floor()
+    ch = min(1_310_720, max(2048, rows))
+    n = max(2048, (rows // ch) * ch)
+    emb, codes = _device_corpus(n, dtype="int8")
+    log(f"corpus {emb.nbytes / 2**30:.2f} GiB int8 on device")
+    b = 32
+    qs = []
+    for it in range(26):
+        q = jax.random.normal(jax.random.PRNGKey(200 + it), (b, 384), jnp.float32)
+        q = q / jnp.linalg.norm(q, axis=1, keepdims=True)
+        qs.append(jnp.clip(jnp.round(q * 127.0), -127, 127).astype(jnp.int8))
+    qf_sel = jnp.stack(
+        [jnp.arange(b, dtype=jnp.int32) % 8, jnp.full((b,), -1, jnp.int32)],
+        axis=1,
+    )
+    qf_wild = jnp.full((b, 2), -1, jnp.int32)
+
+    for fname, qf in (("wildcard", qf_wild), ("ticker-1/8", qf_sel)):
+        # bitwise gate + warm both programs
+        s_e, r_e = masked_topk_pallas(
+            qs[0], emb, codes, qf, n, 10, tile=2048, lazy_mask=False
+        )
+        s_l, r_l = masked_topk_pallas(
+            qs[0], emb, codes, qf, n, 10, tile=2048, lazy_mask=True
+        )
+        ok = bool(np.array_equal(np.asarray(r_e), np.asarray(r_l))) and bool(
+            np.array_equal(np.asarray(s_e), np.asarray(s_l))
+        )
+        log(f"[{fname}] eager-vs-lazy bitwise identical: {ok}")
+        te, tl = [], []
+        for it in range(1, 26):
+            t0 = time.time()
+            np.asarray(masked_topk_pallas(
+                qs[it], emb, codes, qf, n, 10, tile=2048, lazy_mask=False
+            )[1])
+            te.append((time.time() - t0) * 1e3)
+            t0 = time.time()
+            np.asarray(masked_topk_pallas(
+                qs[it], emb, codes, qf, n, 10, tile=2048, lazy_mask=True
+            )[1])
+            tl.append((time.time() - t0) * 1e3)
+        pe = float(np.percentile(te, 50))
+        plz = float(np.percentile(tl, 50))
+        gib = emb.nbytes / 2**30
+        log(
+            f"[{fname}] eager p50 {pe:.2f} ms (dev ~{max(pe-floor,1e-3):.2f},"
+            f" ~{gib/max(pe-floor,1e-3)*1e3:.0f} GiB/s) | "
+            f"lazy p50 {plz:.2f} ms (dev ~{max(plz-floor,1e-3):.2f},"
+            f" ~{gib/max(plz-floor,1e-3)*1e3:.0f} GiB/s) | "
+            f"paired median delta {float(np.median(np.array(te)-np.array(tl))):+.2f} ms"
+        )
+
+
 def hnsw_profile(rows: int, m: int = 16, efc: int = 100) -> None:
     """Recall@15-vs-steps and latency for the device HNSW walk at scale,
     against the exact flat scan — the data that sets the steps/frontier
@@ -533,8 +671,8 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--probe",
-        choices=("floor", "scan", "int8", "hnsw", "flash", "bf16act",
-                 "int8rerank"),
+        choices=("floor", "scan", "int8", "int8mxu", "hnsw", "flash",
+                 "bf16act", "int8rerank", "maskgate"),
         default="floor",
     )
     ap.add_argument("--rows", type=int, default=1_048_576)
@@ -550,8 +688,8 @@ if __name__ == "__main__":
 
     enable_compilation_cache()
     log(f"platform: {jax.devices()[0].platform}")
-    if args.probe in ("scan", "int8", "hnsw", "flash", "bf16act",
-                      "int8rerank") and (
+    if args.probe in ("scan", "int8", "int8mxu", "hnsw", "flash",
+                      "bf16act", "int8rerank", "maskgate") and (
         jax.devices()[0].platform != "tpu"
     ):
         raise SystemExit(
@@ -564,6 +702,10 @@ if __name__ == "__main__":
         scan(args.rows, dtype=args.dtype)
     elif args.probe == "int8":
         int8_gate(args.rows)
+    elif args.probe == "int8mxu":
+        int8mxu(args.rows)
+    elif args.probe == "maskgate":
+        maskgate(args.rows)
     elif args.probe == "flash":
         flash_gate()
     elif args.probe == "bf16act":
