@@ -108,6 +108,7 @@ def _ivf_kernel(
     *,
     k: int,
     tile: int,
+    int8_mxu: bool = False,
 ):
     step = pl.program_id(0)
     b = q_ref.shape[0]
@@ -119,11 +120,21 @@ def _ivf_kernel(
 
     @pl.when(tile_ids_ref[step] >= 0)
     def _process():
-        # int8 tiles widen in VMEM (see ops/topk.py _topk_kernel)
+        # int8 scoring mirrors ops/topk.py _topk_kernel: native
+        # int8 x int8 -> int32 systolic passes when int8_mxu (exact —
+        # |score| <= 127*127*D < 2^24), else widen tiles to f32 in VMEM.
         q, c = q_ref[:], c_ref[:]
-        if q.dtype == jnp.int8:
-            q, c = q.astype(jnp.float32), c.astype(jnp.float32)
-        s = jnp.dot(q, c.T, preferred_element_type=jnp.float32)
+        if q.dtype == jnp.int8 and int8_mxu:
+            s = jax.lax.dot_general(
+                q,
+                c,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+        else:
+            if q.dtype == jnp.int8:
+                q, c = q.astype(jnp.float32), c.astype(jnp.float32)
+            s = jnp.dot(q, c.T, preferred_element_type=jnp.float32)
         tick_q = qf_ref[:, 0:1]
         dt_q = qf_ref[:, 1:2]
         tick_c = codes_ref[0:1, :]
@@ -157,9 +168,6 @@ def _ivf_kernel(
                 cat_s = jnp.where(sel, NEG_INF, cat_s)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("k", "tile", "probe_budget", "interpret")
-)
 def ivf_probe_pallas(
     queries: jax.Array,  # (B, D)
     query_filter: jax.Array,  # (B, 2)
@@ -172,6 +180,43 @@ def ivf_probe_pallas(
     tile: int,
     probe_budget: int,
     interpret: bool = False,
+    int8_mxu: bool | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Probed-tiles fused top-k over the cluster-major packing.
+
+    ``int8_mxu=None`` resolves the native-int8-MXU default from the
+    environment (ops/topk.py int8_mxu_enabled).  Callers inside jitted
+    program builders resolve it at trace time — FRS_INT8_MXU is a
+    process-start kill switch, same contract as the fused programs.
+    """
+    if int8_mxu is None:
+        from financial_rag_system_tpu.ops.topk import int8_mxu_enabled
+
+        int8_mxu = int8_mxu_enabled()
+    return _ivf_probe_pallas_jit(
+        queries, query_filter, packed_emb, packed_codes, packed_gids,
+        tile_ids, k, tile=tile, probe_budget=probe_budget,
+        interpret=interpret, int8_mxu=int8_mxu,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "tile", "probe_budget", "interpret", "int8_mxu"),
+)
+def _ivf_probe_pallas_jit(
+    queries: jax.Array,  # (B, D)
+    query_filter: jax.Array,  # (B, 2)
+    packed_emb: jax.Array,  # (K_cl*C_max, D)
+    packed_codes: jax.Array,  # (2, K_cl*C_max)
+    packed_gids: jax.Array,  # (1, K_cl*C_max)
+    tile_ids: jax.Array,  # (probe_budget,) int32, -1 padded
+    k: int,
+    *,
+    tile: int,
+    probe_budget: int,
+    interpret: bool = False,
+    int8_mxu: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     b, d = queries.shape
 
@@ -198,7 +243,9 @@ def ivf_probe_pallas(
             pl.BlockSpec((b, k), lambda i, tid: (0, 0), memory_space=pltpu.VMEM),
         ],
     )
-    kernel = functools.partial(_ivf_kernel, k=k, tile=tile)
+    kernel = functools.partial(
+        _ivf_kernel, k=k, tile=tile, int8_mxu=int8_mxu
+    )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

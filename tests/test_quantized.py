@@ -170,3 +170,86 @@ def test_int8_ivf_save_load_keeps_probing(data, tmp_path):
     assert [[h["row"] for h in hl] for hl in before] == [
         [h["row"] for h in hl] for hl in after
     ]
+
+
+def _quantize(v):
+    return np.clip(np.round(v * 127.0), -127, 127).astype(np.int8)
+
+
+def test_int8_mxu_flat_kernel_bit_identical(data):
+    """Native int8xint8->int32 MXU scoring (FRS_INT8_MXU) must produce
+    bit-identical (scores, rows) to the widened-f32 path: int32
+    accumulation is exact for |q|,|c| <= 127 at these dims."""
+    from financial_rag_system_tpu.ops.topk import masked_topk_pallas
+
+    v, q = data
+    n, d = v.shape
+    qi, ci = jnp.array(_quantize(q)), jnp.array(_quantize(v[:1024]))
+    codes = jnp.array(
+        np.stack(
+            [
+                np.arange(1024, dtype=np.int32) % 3,
+                np.zeros(1024, dtype=np.int32),
+            ]
+        )
+    )
+    qf = jnp.array(
+        np.stack(
+            [np.arange(8, dtype=np.int32) % 3 - 1,
+             np.full(8, -1, dtype=np.int32)],
+            axis=1,
+        )
+    )
+    s_mxu, i_mxu = masked_topk_pallas(
+        qi, ci, codes, qf, 1000, 10, tile=256, interpret=True, int8_mxu=True
+    )
+    s_wide, i_wide = masked_topk_pallas(
+        qi, ci, codes, qf, 1000, 10, tile=256, interpret=True, int8_mxu=False
+    )
+    np.testing.assert_array_equal(np.asarray(s_mxu), np.asarray(s_wide))
+    np.testing.assert_array_equal(np.asarray(i_mxu), np.asarray(i_wide))
+
+
+def test_int8_mxu_ivf_kernel_bit_identical(data):
+    """The IVF probed-tiles kernel's int8 MXU path (mirrors the flat
+    kernel) is exact: identical to both the widened path and the XLA
+    gather-then-score reference."""
+    from financial_rag_system_tpu.index.ivf import (
+        ivf_probe_pallas,
+        ivf_probe_xla,
+    )
+
+    v, q = data
+    tile, num_tiles = 128, 8
+    n = tile * num_tiles
+    qi, ci = jnp.array(_quantize(q)), jnp.array(_quantize(v[:n]))
+    codes = jnp.array(
+        np.stack(
+            [np.arange(n, dtype=np.int32) % 3, np.zeros(n, dtype=np.int32)]
+        )
+    )
+    gids = jnp.array(np.arange(n, dtype=np.int32)[None, :])
+    qf = jnp.array(
+        np.stack(
+            [np.arange(8, dtype=np.int32) % 3 - 1,
+             np.full(8, -1, dtype=np.int32)],
+            axis=1,
+        )
+    )
+    # probe 5 of the 8 tiles, -1 padded to a budget of 6
+    tids = jnp.array(np.array([0, 2, 3, 5, 7, -1], dtype=np.int32))
+    s_mxu, i_mxu = ivf_probe_pallas(
+        qi, qf, ci, codes, gids, tids, 10,
+        tile=tile, probe_budget=6, interpret=True, int8_mxu=True,
+    )
+    s_wide, i_wide = ivf_probe_pallas(
+        qi, qf, ci, codes, gids, tids, 10,
+        tile=tile, probe_budget=6, interpret=True, int8_mxu=False,
+    )
+    np.testing.assert_array_equal(np.asarray(s_mxu), np.asarray(s_wide))
+    np.testing.assert_array_equal(np.asarray(i_mxu), np.asarray(i_wide))
+    s_ref, i_ref = ivf_probe_xla(
+        qi, qf, ci, codes, gids, tids, 10, tile=tile
+    )
+    np.testing.assert_array_equal(np.asarray(s_mxu), np.asarray(s_ref))
+    np.testing.assert_array_equal(np.asarray(i_mxu), np.asarray(i_ref))
