@@ -370,6 +370,11 @@ if __name__ == "__main__":
                     help="export the trained model(s) as HF checkpoints "
                          "for serving via RAG_TPU_BGE_DIR / "
                          "RAG_TPU_RERANKER_DIR")
+    ap.add_argument("--distill", type=int, default=0, metavar="STEPS",
+                    help="after both trainers, refine the bi-encoder for "
+                         "STEPS Margin-MSE steps against the trained "
+                         "cross-encoder's pairwise margins "
+                         "(train/distill.py; requires --two-stage)")
     args = ap.parse_args()
     hard = args.hard or args.trained
     corpus = args.corpus or (65536 if hard else 2048)
@@ -384,6 +389,26 @@ if __name__ == "__main__":
         if args.two_stage:
             rr = trained_reranker(
                 steps=args.train_steps, arch=args.trained_arch
+            )
+        if args.distill and rr is not None:
+            from financial_rag_system_tpu.data.synthetic import (
+                make_filler_triples,
+                make_train_triples,
+            )
+            from financial_rag_system_tpu.train.distill import distill
+
+            triples = make_train_triples() + make_filler_triples()
+            t0 = time.time()
+            emb.params, dlosses = distill(
+                emb.params, emb.cfg, rr.params, rr.cfg, triples,
+                steps=args.distill, teacher_max_len=rr.max_len,
+                max_len=emb.max_len,
+            )
+            print(
+                f"distilled cross-encoder margins into the bi-encoder: "
+                f"{len(dlosses)} steps on {len(triples)} triples in "
+                f"{time.time()-t0:.0f}s, loss "
+                f"{dlosses[0]:.3f} -> {dlosses[-1]:.3f}"
             )
         if args.save_trained:
             save_trained(emb, rr, args.save_trained)

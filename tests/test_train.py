@@ -243,3 +243,47 @@ def test_pairs_from_cache_closed_loop(tmp_path):
         "how fast did revenue grow": 1, "what legal reserves exist": 0,
     }
     db.close()
+
+
+def test_distill_margins_move_toward_teacher():
+    """Margin-MSE distillation: the student's pairwise margins move
+    toward the teacher's, and the loss decreases."""
+    from financial_rag_system_tpu.train.distill import (
+        distill,
+        teacher_margins,
+    )
+
+    # full hash-vocab ids (distill tokenizes internally, no remap hook)
+    cfg = bert.BertConfig(
+        vocab_size=30522, hidden=32, layers=2, heads=2, intermediate=64,
+        max_positions=64,
+    )
+    ce_cfg = bert.BertConfig(
+        vocab_size=30522, hidden=32, layers=2, heads=2, intermediate=64,
+        max_positions=64, with_pooler=True, num_labels=1,
+    )
+    rng = jax.random.PRNGKey(0)
+    bi = bert.init_params(rng, cfg)
+    ce = bert.init_params(jax.random.PRNGKey(1), ce_cfg)
+    triples = [
+        (q, p, PAIRS[(i + 3) % len(PAIRS)][1])
+        for i, (q, p) in enumerate(PAIRS)
+    ]
+    tok = Tokenizer()
+    m = teacher_margins(ce, ce_cfg, triples, tokenizer=tok, max_len=32)
+    assert m.shape == (len(triples),)
+    assert np.all(np.isfinite(m))
+    out, losses = distill(
+        bi, cfg, ce, ce_cfg, triples,
+        tokenizer=tok, steps=12, batch_size=8, lr=1e-3,
+        max_len=16, teacher_max_len=32,
+    )
+    assert losses[-1] < losses[0]
+    # params actually moved
+    moved = any(
+        not np.allclose(a, b)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(bi), jax.tree_util.tree_leaves(out)
+        )
+    )
+    assert moved
