@@ -397,8 +397,17 @@ def main() -> None:
             return 4.0 * cfg.layers * n_seqs * seq * seq * cfg.hidden
 
         lq = int(jqi.shape[1])
-        pairs = ((BATCH * RETRIEVE_K + 127) // 128) * 128
+        # mirror the fused program's ACTUAL padding (ops/fused_query.py):
+        # pair batch rounds to the 8-sublane multiple (480, not 128-lane
+        # 512), and pair length rounds to the flash block only when the
+        # flash path engages (opt-in, default off)
+        pairs = ((BATCH * RETRIEVE_K + 7) // 8) * 8
         plen = lq + DLEN
+        plen_up = ((plen + 127) // 128) * 128
+        if plen_up != plen and bert._flash_enabled(
+            plen_up, bert.MINILM_L6_CROSS.heads
+        ):
+            plen = plen_up
         embed_fl = 2.0 * mm_params(bert.BGE_SMALL) * BATCH * lq + attn_flops(
             bert.BGE_SMALL, BATCH, lq
         )

@@ -675,11 +675,19 @@ class HNSWIndex(SearchMixin):
             self.native_built = native is not None
             if native is not None:
                 state = self._native_state(native, n)
-                self._native = native
-                if old_native is not None and old_native is not native:
-                    old_native.close()
+                # swap + destroy under _native_lock: every other user of
+                # the handle (_online_insert, save) holds the lock for the
+                # duration of its native calls, so the old handle is never
+                # freed mid-use (frs_hnsw_destroy has no liveness check)
+                with self._native_lock:
+                    self._native = native
+                    if old_native is not None and old_native is not native:
+                        old_native.close()
                 return state
-            self._native = None
+            with self._native_lock:
+                self._native = None
+                if old_native is not None:
+                    old_native.close()
             if n > self.MAX_FALLBACK_ROWS:
                 raise RuntimeError(
                     f"native HNSW builder unavailable and the exact-kNN "
@@ -935,10 +943,14 @@ class HNSWIndex(SearchMixin):
         would alias the sentinel with a real row — those rows tail until
         rebuild()).
         """
-        native = self._native
-        if native is None:
+        if self._native is None:  # cheap pre-check; authoritative read below
             return False
         with self._native_lock:
+            # re-read under the lock: a concurrent rebuild() may have
+            # swapped (and destroyed) the handle after the pre-check
+            native = self._native
+            if native is None:
+                return False
             state = self._graph_state
             (adj_pad, entries_dev, pad_id, ef, rbt, n_graph, hier,
              pool) = state
@@ -1032,17 +1044,20 @@ class HNSWIndex(SearchMixin):
     def save(self, directory: str) -> None:
         self.flat.save(directory)
         extra = {}
-        if self._native is not None:
-            # the host copy from build time goes stale under online
-            # inserts: export the live graph (+ hierarchy)
-            with self._native_lock:
-                adj = self._native.adjacency()
-                entries = self._native.entries(self.entries_cap)
-                hi_ids, hi_levels, hi_adj = self._native.hierarchy()
+        # the host copy from build time goes stale under online inserts:
+        # export the live graph (+ hierarchy).  Handle read + use under
+        # _native_lock — a concurrent rebuild() swap/close between an
+        # unlocked check and the native calls would use freed memory.
+        with self._native_lock:
+            native = self._native
+            if native is not None:
+                adj = native.adjacency()
+                entries = native.entries(self.entries_cap)
+                hi_ids, hi_levels, hi_adj = native.hierarchy()
                 extra = dict(
                     hi_ids=hi_ids, hi_levels=hi_levels, hi_adj=hi_adj
                 )
-        else:
+        if not extra:
             adj, entries = self._host_graph
         pool_rows, pool_tau = self._host_pool
         np.savez(

@@ -309,18 +309,18 @@ class ShardedIVFIndex(SearchMixin):
         _c_max, tiles_per_cluster, _packed_local, num_tiles_local = geom
         tail = self._tail_rows
         b = query_vecs.shape[0]
-        budget = min(
-            num_tiles_local, b * self.nprobe * tiles_per_cluster
-        )
+        nprobe = self.nprobe  # snapshot: mutable tuning attribute
+        budget = min(num_tiles_local, b * nprobe * tiles_per_cluster)
         q = self.flat.prep_queries(query_vecs)
-        # keyed by the full probe geometry: tpc/budget are baked into the
-        # program as Python constants (same rationale as the sharded-HNSW
-        # walk cache)
-        key = (k, budget, tiles_per_cluster)
+        # keyed by the full probe geometry: nprobe/tpc/budget are baked
+        # into the program as Python constants (same rationale as the
+        # sharded-HNSW walk cache); nprobe is a mutable tuning attribute,
+        # so a budget-preserving change must still recompile
+        key = (k, budget, tiles_per_cluster, nprobe)
         fn = self._probe_cache.get(key)
         if fn is None:
             fn = make_sharded_ivf_probe(
-                self.mesh, k=k, tile=self.tile, nprobe=self.nprobe,
+                self.mesh, k=k, tile=self.tile, nprobe=nprobe,
                 tpc=tiles_per_cluster, budget=budget,
             )
             self._probe_cache[key] = fn

@@ -153,12 +153,16 @@ class ControlServer:
         self._conns: list[socket.socket] = []
         while len(self._conns) < n_workers:
             conn, _addr = self._listener.accept()
-            # timeout BEFORE the handshake: a silent peer must not be able
-            # to park the accept loop and lock real workers out
-            conn.settimeout(accept_timeout_s)
+            # SHORT deadline for the handshake itself: the accept loop is
+            # serial, so a silent peer holding the op-stream timeout
+            # (600 s) would park it and lock real workers out — the
+            # handshake is three tiny frames, the ack deadline (30 s)
+            # bounds it generously
+            conn.settimeout(self._ack_deadline)
             if key is not None and not _server_handshake(conn, key):
-                conn.close()  # unauthenticated peer: drop, keep listening
+                conn.close()  # unauthenticated/silent peer: drop, listen on
                 continue
+            conn.settimeout(accept_timeout_s)
             conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
             self._conns.append(conn)
 
