@@ -397,23 +397,30 @@ def main() -> None:
             return 4.0 * cfg.layers * n_seqs * seq * seq * cfg.hidden
 
         lq = int(jqi.shape[1])
-        # mirror the fused program's ACTUAL padding (ops/fused_query.py):
-        # pair batch rounds to the 8-sublane multiple (480, not 128-lane
-        # 512), and pair length rounds to the flash block only when the
-        # flash path engages (opt-in, default off)
+        # mirror the fused program's ACTUAL padding AND trimming
+        # (ops/fused_query.py): pair batch rounds to the 8-sublane
+        # multiple (480, not 128-lane 512); the doc portion truncates to
+        # the LIVE reranker config's trained length when set (first-party
+        # trained exports — _cross_encode_pairs); pair length rounds to
+        # the flash block only when the flash path engages (opt-in,
+        # default off).  Model dims come from the loaded reranker/embedder
+        # configs, not constants, so a RAG_TPU_RERANKER_DIR-style override
+        # keeps the accounting honest (ADVICE r3).
+        e_cfg, r_cfg = embedder.cfg, reranker.cfg
         pairs = ((BATCH * RETRIEVE_K + 7) // 8) * 8
-        plen = lq + DLEN
+        dlen_eff = DLEN
+        if r_cfg.max_seq_length and lq + DLEN > r_cfg.max_seq_length:
+            dlen_eff = max(8, r_cfg.max_seq_length - lq)
+        plen = lq + dlen_eff
         plen_up = ((plen + 127) // 128) * 128
-        if plen_up != plen and bert._flash_enabled(
-            plen_up, bert.MINILM_L6_CROSS.heads
-        ):
+        if plen_up != plen and bert._flash_enabled(plen_up, r_cfg.heads):
             plen = plen_up
-        embed_fl = 2.0 * mm_params(bert.BGE_SMALL) * BATCH * lq + attn_flops(
-            bert.BGE_SMALL, BATCH, lq
+        embed_fl = 2.0 * mm_params(e_cfg) * BATCH * lq + attn_flops(
+            e_cfg, BATCH, lq
         )
         search_fl = 2.0 * BATCH * corpus_n * DIM
-        rerank_fl = 2.0 * mm_params(bert.MINILM_L6_CROSS) * pairs * plen + (
-            attn_flops(bert.MINILM_L6_CROSS, pairs, plen)
+        rerank_fl = 2.0 * mm_params(r_cfg) * pairs * plen + (
+            attn_flops(r_cfg, pairs, plen)
         )
         total_fl = embed_fl + search_fl + rerank_fl
         kind = jax.devices()[0].device_kind.lower()

@@ -656,9 +656,25 @@ class HNSWIndex(SearchMixin):
     # serving process when the native builder is unavailable at scale
     MAX_FALLBACK_ROWS = 200_000
 
+    def _publish(self, state, native):
+        """Atomically publish a freshly built graph: swap the native
+        handle, graph snapshot, and tail list in ONE ``_native_lock``
+        critical section.  The old handle is captured here (not at the
+        top of ``_build``), so two concurrent rebuilds can never both
+        capture-and-close the same handle (frs_hnsw_destroy has no
+        liveness check), and ``_online_insert`` — which re-reads both
+        ``_native`` and ``_graph_state`` under this lock — can never see
+        a mixed old-snapshot/new-handle pair (ADVICE r3)."""
+        with self._native_lock:
+            old_native, self._native = self._native, native
+            self._graph_state = state
+            self._tail_rows = list(range(state[5], self.flat.n_valid))
+            if old_native is not None and old_native is not native:
+                old_native.close()
+        return state
+
     def _build(self, graph=None, hier=None) -> None:
         flat = self.flat
-        old_native = self._native
         if graph is None:
             n = flat.n_valid
             vecs = np.asarray(flat._emb[:n], np.float32)
@@ -674,20 +690,7 @@ class HNSWIndex(SearchMixin):
             )
             self.native_built = native is not None
             if native is not None:
-                state = self._native_state(native, n)
-                # swap + destroy under _native_lock: every other user of
-                # the handle (_online_insert, save) holds the lock for the
-                # duration of its native calls, so the old handle is never
-                # freed mid-use (frs_hnsw_destroy has no liveness check)
-                with self._native_lock:
-                    self._native = native
-                    if old_native is not None and old_native is not native:
-                        old_native.close()
-                return state
-            with self._native_lock:
-                self._native = None
-                if old_native is not None:
-                    old_native.close()
+                return self._publish(self._native_state(native, n), native)
             if n > self.MAX_FALLBACK_ROWS:
                 raise RuntimeError(
                     f"native HNSW builder unavailable and the exact-kNN "
@@ -702,8 +705,8 @@ class HNSWIndex(SearchMixin):
         else:
             # loaded graph: it covers the first adj.shape[0] rows; any
             # rows upserted after the save become the brute-forced tail
+            # (_publish swaps/clears the native handle at the end)
             self.native_built = None
-            self._native = None
             n = graph[0].shape[0]
         adj, entries = graph
         # the walk reads the flat index's HBM arrays directly — sentinel
@@ -738,9 +741,12 @@ class HNSWIndex(SearchMixin):
         # one-tuple snapshot: concurrent searches read a consistent
         # (adjacency, entries, sentinel, ef, inverted-lists, row-count,
         # hierarchy, entry-pool) state
-        return (
-            adj_pad, jnp.asarray(entries, jnp.int32), n, ef, rows_by_ticker,
-            n, hier_dev, pool_state,
+        return self._publish(
+            (
+                adj_pad, jnp.asarray(entries, jnp.int32), n, ef,
+                rows_by_ticker, n, hier_dev, pool_state,
+            ),
+            None,
         )
 
     def _build_pool(self, n: int, pad_id: int, pool_init=None):
@@ -831,14 +837,13 @@ class HNSWIndex(SearchMixin):
 
         The old graph + tail keep serving while the build runs (it can
         take minutes at scale, off the GIL in the native library); the
-        swap is a single snapshot assignment, and rows upserted *during*
-        the build land in the fresh tail.  With the live native handle
-        rebuild() is optional compaction — online inserts keep the graph
-        current — but still re-runs heuristic selection from scratch.
+        handle/snapshot/tail swap is one ``_native_lock`` critical
+        section (:meth:`_publish`), and rows upserted *during* the build
+        land in the fresh tail.  With the live native handle rebuild()
+        is optional compaction — online inserts keep the graph current —
+        but still re-runs heuristic selection from scratch.
         """
-        state = self._build()
-        new_tail = list(range(state[5], self.flat.n_valid))
-        self._graph_state, self._tail_rows = state, new_tail
+        self._build()
 
     @property
     def n_valid(self) -> int:
