@@ -207,6 +207,7 @@ def save_trained(embedder, reranker, out_dir: str) -> None:
 def run_evaluation(
     k: int = 5, n_chunks: int = 2048, two_stage: bool = False,
     tier: str = "flat", hard: bool = False, embedder=None, reranker=None,
+    index=None,
 ):
     from financial_rag_system_tpu.data.synthetic import (
         GOLDEN_SET,
@@ -220,7 +221,9 @@ def run_evaluation(
     embedder = embedder or get_embedder()
     index_dir = os.environ.get("INDEX_DIR", "")
     use_pallas = os.environ.get("JAX_PLATFORMS", "") not in ("cpu",)
-    if index_dir and os.path.exists(os.path.join(index_dir, "flat_index.npz")):
+    if index is not None:
+        pass  # caller-built flat index (--report full reuses one build)
+    elif index_dir and os.path.exists(os.path.join(index_dir, "flat_index.npz")):
         index = FlatIndex.load(index_dir)
         print(f"loaded index from {index_dir}: {index.n_valid} chunks")
     else:
@@ -375,6 +378,21 @@ if __name__ == "__main__":
                          "STEPS Margin-MSE steps against the trained "
                          "cross-encoder's pairwise margins "
                          "(train/distill.py; requires --two-stage)")
+    ap.add_argument("--distill-triples", choices=("both", "bait", "filler"),
+                    default="both",
+                    help="which triple sets feed the distillation: bait "
+                         "near-duplicates, filler-genre notes, or both")
+    ap.add_argument("--distill-temp", type=float, default=0.05,
+                    help="distillation temperature: the student's cosine "
+                         "margin divides by this before regressing onto "
+                         "the teacher's logit margin, so it sets how much "
+                         "geometric separation a given teacher margin "
+                         "demands (lower = gentler geometry distortion)")
+    ap.add_argument("--report", choices=("one", "full"), default="one",
+                    help="full = evaluate BOTH gates (hard 64k + easy "
+                         "2048) single- AND two-stage from the one "
+                         "trained stack, reusing each corpus build — "
+                         "the both-gates discipline in one command")
     args = ap.parse_args()
     hard = args.hard or args.trained
     corpus = args.corpus or (65536 if hard else 2048)
@@ -397,12 +415,16 @@ if __name__ == "__main__":
             )
             from financial_rag_system_tpu.train.distill import distill
 
-            triples = make_train_triples() + make_filler_triples()
+            triples = []
+            if args.distill_triples in ("both", "bait"):
+                triples += make_train_triples()
+            if args.distill_triples in ("both", "filler"):
+                triples += make_filler_triples()
             t0 = time.time()
             emb.params, dlosses = distill(
                 emb.params, emb.cfg, rr.params, rr.cfg, triples,
                 steps=args.distill, teacher_max_len=rr.max_len,
-                max_len=emb.max_len,
+                max_len=emb.max_len, temperature=args.distill_temp,
             )
             print(
                 f"distilled cross-encoder margins into the bi-encoder: "
@@ -414,5 +436,29 @@ if __name__ == "__main__":
             save_trained(emb, rr, args.save_trained)
         if args.trained_arch != "bge":
             corpus = min(corpus, args.corpus or 8192)  # CPU-feasible embed
-    run_evaluation(args.k, corpus, args.two_stage, tier=args.tier,
-                   hard=hard, embedder=emb, reranker=rr)
+    if args.report == "full":
+        from financial_rag_system_tpu.models.embedder import get_embedder
+        from financial_rag_system_tpu.models.reranker import get_reranker
+
+        emb = emb or get_embedder()
+        rr = rr or get_reranker()
+        use_pallas = os.environ.get("JAX_PLATFORMS", "") not in ("cpu",)
+        results = {}
+        for gate, n_c in (("hard", corpus), ("easy", args.corpus or 2048)):
+            t0 = time.time()
+            idx = build_index(n_c, emb, use_pallas, hard=gate == "hard")
+            print(f"[{gate}] corpus built: {idx.n_valid} chunks in "
+                  f"{time.time()-t0:.0f}s", flush=True)
+            for stage, two in (("single", False), ("two", True)):
+                print(f"--- {gate} / {stage}-stage ---", flush=True)
+                results[f"{gate}_{stage}"] = run_evaluation(
+                    args.k, n_c, two, tier=args.tier, hard=gate == "hard",
+                    embedder=emb, reranker=rr if two else None, index=idx,
+                )
+        print("== full report ==")
+        for name, r in results.items():
+            print(f"{name:12s} Hit@{args.k} {r['hit_rate']:5.1f}%  "
+                  f"MRR {r['mrr']:.3f}")
+    else:
+        run_evaluation(args.k, corpus, args.two_stage, tier=args.tier,
+                       hard=hard, embedder=emb, reranker=rr)
