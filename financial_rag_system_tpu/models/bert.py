@@ -157,6 +157,35 @@ def _flash_attention(q, k, v, attention_mask, inv_sqrt):
     return ctx.transpose(0, 2, 1, 3).reshape(b, seq, nh * hd).astype(jnp.float32)
 
 
+def _fused_block_enabled(params_layers: dict) -> bool:
+    """Gate for the VMEM-fused encoder-block kernels (ops/fused_bert.py).
+
+    Default ON for TPU serving (kill switch RAG_TPU_FUSED_BLOCK=0): the
+    rerank stage is HBM-traffic bound on XLA's materialized layer
+    intermediates (measured, scripts/tpu_probes.py --probe rerankprof),
+    and the fused FFN/residual-LN kernels remove those round trips.
+    Construction-time gates, same policy as every use_pallas flag:
+    compiled Pallas doesn't lower on CPU; the int8-PTQ weight path keeps
+    the XLA graph (its per-channel dequant isn't plumbed through the
+    kernels); a forced exact-erf GELU keeps the XLA graph too (the
+    kernel bakes the tanh approximation TPU serving already defaults to).
+    """
+    import os
+
+    if os.environ.get("RAG_TPU_FUSED_BLOCK", "auto").lower() in (
+        "0", "false"
+    ):
+        return False
+    if os.environ.get("RAG_TPU_FAST_GELU", "auto").lower() in ("0", "false"):
+        return False
+    if any(k.endswith(_SCALE_SUFFIX) for k in params_layers):
+        return False
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover — uninitialized backend
+        return False
+
+
 def _act_dtype():
     """Inter-op activation dtype for the encoder stack (trace-time).
 
@@ -301,6 +330,7 @@ def encode(
     bias = jnp.where(attention_mask[:, None, None, :] > 0, 0.0, neg)  # (B,1,1,L)
     inv_sqrt = 1.0 / (hd**0.5)
     use_flash = _flash_enabled(seq, nh)
+    use_fused_block = _fused_block_enabled(params["layers"])
 
     def layer(hidden, lp):
         # NOTE separate Q/K/V projections are deliberate: a fused
@@ -342,6 +372,26 @@ def encode(
                 v.astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32,
             ).reshape(b, seq, cfg.hidden)
+        if use_fused_block:
+            # VMEM-fused o-proj+LN and FFN+LN (ops/fused_bert.py): the
+            # block's intermediates — including the (R, 4H) FFN
+            # activation — never touch HBM
+            from financial_rag_system_tpu.ops.fused_bert import (
+                fused_ffn_ln,
+                fused_resid_ln,
+            )
+
+            h2 = fused_resid_ln(
+                hidden.reshape(b * seq, cfg.hidden),
+                ctx.reshape(b * seq, cfg.hidden),
+                lp["o_w"], lp["o_b"],
+                lp["attn_ln_scale"], lp["attn_ln_bias"], cfg.ln_eps,
+            )
+            h2 = fused_ffn_ln(
+                h2, lp["in_w"], lp["in_b"], lp["out_w"], lp["out_b"],
+                lp["mlp_ln_scale"], lp["mlp_ln_bias"], cfg.ln_eps,
+            )
+            return h2.reshape(b, seq, cfg.hidden).astype(act), None
         attn_out = proj(ctx, "o_w").astype(act)
         hidden = _ln(
             hidden + attn_out, lp["attn_ln_scale"], lp["attn_ln_bias"], cfg.ln_eps

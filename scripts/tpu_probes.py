@@ -667,12 +667,215 @@ def int8rerank_gate(pairs: int = 480, seq: int = 128) -> None:
     assert rho > 0.98, "int8 rerank ordering diverged"
 
 
+def rerank_profile(pairs: int = 480, seq: int = 112) -> None:
+    """Attribute the rerank stage's device time at the SERVING shape.
+
+    The fused batch is ~84% cross-encoder (BENCH_r03 split: 18.79 of
+    22.4 ms) at 28.6% MFU — this probe names where the other ~71% of MXU
+    cycles go, replacing the r3 A/B guesswork (VERDICT r3 next #1):
+
+      1. isolated-matmul roofline: chained (R,384)x(384,384) and
+         FFN-shaped matmuls — the MXU ceiling XLA reaches at these exact
+         shapes (if this is low, the shape itself caps the stage);
+      2. layer sweep L in {1..6}: marginal per-layer cost (embedding/
+         head overhead falls out of the difference);
+      3. component ablations at L=6 (one toggle each, same trace
+         skeleton): no-attention (QK^T/softmax/ctx replaced by identity),
+         no-layernorm, no-gelu, matmul-only (all three off) — the
+         difference from the full forward prices each VPU/memory
+         component.
+
+    All timings interleave against an rpc-floor op and report
+    floor-subtracted device ms + implied TFLOP/s against the variant's
+    own FLOPs.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from financial_rag_system_tpu.models import bert
+
+    rng = np.random.default_rng(0)
+    floor = rpc_floor()
+    r = pairs * seq
+    h, inter, layers, heads = 384, 1536, 6, 12
+    hd = h // heads
+    kind = jax.devices()[0].device_kind.lower()
+    peak = 197e12 if ("v5 lite" in kind or "v5e" in kind) else 275e12
+
+    def timed(fn, *args, n=10):
+        # np.asarray readback, never block_until_ready: the axon plugin's
+        # block_until_ready can return early (documented rig behavior)
+        np.asarray(fn(*args))
+        ts = []
+        for _ in range(n):
+            t0 = time.time()
+            np.asarray(fn(*args))
+            ts.append((time.time() - t0) * 1e3)
+        return max(float(np.percentile(ts, 50)) - floor, 1e-3)
+
+    # --- 1. isolated matmul roofline ------------------------------------
+    w_sq = jnp.asarray(rng.standard_normal((h, h)), jnp.bfloat16)
+    w_up = jnp.asarray(rng.standard_normal((h, inter)), jnp.bfloat16)
+    w_dn = jnp.asarray(rng.standard_normal((inter, h)), jnp.bfloat16)
+    x0 = jnp.asarray(rng.standard_normal((r, h)), jnp.bfloat16)
+    reps = 24
+
+    @jax.jit
+    def chain_sq(x):
+        def body(y, _):
+            y = jnp.dot(y, w_sq, preferred_element_type=jnp.float32)
+            return y.astype(jnp.bfloat16), None
+        y, _ = jax.lax.scan(body, x, None, length=reps)
+        return y.sum()
+
+    @jax.jit
+    def chain_ffn(x):
+        def body(y, _):
+            u = jnp.dot(y, w_up, preferred_element_type=jnp.float32)
+            y = jnp.dot(u.astype(jnp.bfloat16), w_dn,
+                        preferred_element_type=jnp.float32)
+            return y.astype(jnp.bfloat16), None
+        y, _ = jax.lax.scan(body, x, None, length=reps)
+        return y.sum()
+
+    t = timed(chain_sq, x0)
+    fl = 2.0 * r * h * h * reps
+    log(f"matmul roofline ({r}x{h})x({h}x{h}) x{reps}: {t:.2f} ms "
+        f"device = {fl/t/1e9:.1f} TFLOP/s ({100*(fl/(t/1e3))/peak:.1f}% "
+        f"of peak)")
+    t = timed(chain_ffn, x0)
+    fl = 2.0 * r * h * inter * 2 * reps
+    log(f"matmul roofline FFN pair ({h}->{inter}->{h}) x{reps}: {t:.2f} ms "
+        f"device = {fl/t/1e9:.1f} TFLOP/s ({100*(fl/(t/1e3))/peak:.1f}% "
+        f"of peak)")
+
+    # --- shared inputs at the serving shape ------------------------------
+    ids = rng.integers(103, 30000, (pairs, seq)).astype(np.int32)
+    lens = rng.integers(seq // 2, seq, pairs)
+    mask = (np.arange(seq)[None, :] < lens[:, None]).astype(np.int32)
+    ids = ids * mask
+    types = np.zeros_like(ids)
+    types[:, 32:] = 1
+    j = (jnp.asarray(ids), jnp.asarray(types), jnp.asarray(mask))
+
+    def mm_flops(n_layers):
+        per = 4 * h * h + 2 * h * inter
+        return 2.0 * (n_layers * per + h * h + h) * r
+
+    def attn_flops(n_layers):
+        return 4.0 * n_layers * pairs * seq * seq * h
+
+    # --- 2. layer sweep ---------------------------------------------------
+    prev = None
+    for nl in (1, 2, 4, 6):
+        cfg = bert.BertConfig(layers=nl, with_pooler=True, num_labels=1)
+        params = bert.init_params(jax.random.PRNGKey(1), cfg)
+        fn = jax.jit(functools.partial(
+            lambda p, i, t_, m, c: bert.cross_score(p, i, t_, m, c), c=cfg
+        ))
+        tms = timed(fn, params, *j)
+        fl = mm_flops(nl) + attn_flops(nl)
+        marg = f" | marginal {(tms - prev[0]) / (nl - prev[1]):.2f} ms/layer" \
+            if prev else ""
+        log(f"cross fwd L={nl} ({pairs}x{seq}): {tms:.2f} ms device = "
+            f"{fl/tms/1e9:.1f} TFLOP/s ({100*(fl/(tms/1e3))/peak:.1f}%)"
+            f"{marg}")
+        prev = (tms, nl)
+
+    # --- 3. component ablations at L=6 ------------------------------------
+    cfg = bert.BertConfig(layers=layers, with_pooler=True, num_labels=1)
+    params = bert.init_params(jax.random.PRNGKey(1), cfg)
+
+    def fwd(p, i, t_, m, *, attn=True, ln=True, gelu=True):
+        emb = p["embeddings"]
+        x = (emb["word"][i] + emb["position"][:seq][None]
+             + emb["type"][t_])
+        x = bert._ln(x, emb["ln_scale"], emb["ln_bias"], cfg.ln_eps) \
+            if ln else x
+        bias = jnp.where(m[:, None, None, :] > 0, 0.0, -1e9)
+        inv = 1.0 / (hd ** 0.5)
+
+        def mln(y, s, b_):
+            return bert._ln(y, s, b_, cfg.ln_eps) if ln else y
+
+        def layer(hid, lp):
+            q = bert._matmul(hid, lp["q_w"], lp["q_b"])
+            k = bert._matmul(hid, lp["k_w"], lp["k_b"])
+            v = bert._matmul(hid, lp["v_w"], lp["v_b"])
+            if attn == "flash":
+                ctx = bert._flash_attention(
+                    q.reshape(pairs, seq, heads, hd).astype(jnp.bfloat16),
+                    k.reshape(pairs, seq, heads, hd).astype(jnp.bfloat16),
+                    v.reshape(pairs, seq, heads, hd).astype(jnp.bfloat16),
+                    m, inv,
+                )
+            elif attn:
+                qh = q.reshape(pairs, seq, heads, hd)
+                kh = k.reshape(pairs, seq, heads, hd)
+                vh = v.reshape(pairs, seq, heads, hd)
+                lg = jnp.einsum(
+                    "bqhd,bkhd->bhqk", qh.astype(jnp.bfloat16),
+                    kh.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                ) * inv + bias
+                pr = jax.nn.softmax(lg, axis=-1)
+                ctx = jnp.einsum(
+                    "bhqk,bkhd->bqhd", pr.astype(jnp.bfloat16),
+                    vh.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                ).reshape(pairs, seq, h)
+            else:
+                ctx = q + k + v  # keep all three matmuls live, no attn
+            ao = bert._matmul(ctx, lp["o_w"], lp["o_b"])
+            hid = mln(hid + ao, lp["attn_ln_scale"], lp["attn_ln_bias"])
+            up = bert._matmul(hid, lp["in_w"], lp["in_b"])
+            up = jax.nn.gelu(up, approximate=True) if gelu else up
+            mlp = bert._matmul(up, lp["out_w"], lp["out_b"])
+            hid = mln(hid + mlp, lp["mlp_ln_scale"], lp["mlp_ln_bias"])
+            return hid.astype(jnp.float32), None
+
+        x, _ = jax.lax.scan(layer, x.astype(jnp.float32), p["layers"])
+        pooled = jnp.tanh(bert._matmul(
+            x[:, 0, :], p["pooler"]["w"], p["pooler"]["b"]))
+        return bert._matmul(
+            pooled, p["classifier"]["w"], p["classifier"]["b"])[:, 0].sum()
+
+    base_fl = mm_flops(layers) + attn_flops(layers)
+    variants = [
+        ("full (reimpl)", dict(), base_fl),
+        ("no-attention", dict(attn=False), mm_flops(layers)),
+        ("no-layernorm", dict(ln=False), base_fl),
+        ("no-gelu", dict(gelu=False), base_fl),
+        ("matmul-only", dict(attn=False, ln=False, gelu=False),
+         mm_flops(layers)),
+    ]
+    try:  # fused (never-materialized) attention via the pallas ops kernel
+        from jax.experimental.pallas.ops.tpu import flash_attention  # noqa
+        variants.insert(1, ("flash-attn", dict(attn="flash"), base_fl))
+    except Exception:
+        pass
+    t_full = None
+    for name, kw, fl in variants:
+        fn = jax.jit(functools.partial(fwd, **kw))
+        try:
+            tms = timed(fn, params, *j)
+        except Exception as exc:
+            log(f"{name:14s}: failed ({type(exc).__name__}: {exc})")
+            continue
+        if t_full is None:
+            t_full = tms
+        log(f"{name:14s}: {tms:.2f} ms device = {fl/tms/1e9:.1f} TFLOP/s "
+            f"({100*(fl/(tms/1e3))/peak:.1f}%)"
+            + (f" | saves {t_full - tms:.2f} ms" if name != "full (reimpl)"
+               else ""))
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--probe",
         choices=("floor", "scan", "int8", "int8mxu", "hnsw", "flash",
-                 "bf16act", "int8rerank", "maskgate"),
+                 "bf16act", "int8rerank", "maskgate", "rerankprof"),
         default="floor",
     )
     ap.add_argument("--rows", type=int, default=1_048_576)
@@ -689,7 +892,8 @@ if __name__ == "__main__":
     enable_compilation_cache()
     log(f"platform: {jax.devices()[0].platform}")
     if args.probe in ("scan", "int8", "int8mxu", "hnsw", "flash",
-                      "bf16act", "int8rerank", "maskgate") and (
+                      "bf16act", "int8rerank", "maskgate",
+                      "rerankprof") and (
         jax.devices()[0].platform != "tpu"
     ):
         raise SystemExit(
@@ -712,5 +916,7 @@ if __name__ == "__main__":
         bf16act_gate()
     elif args.probe == "int8rerank":
         int8rerank_gate()
+    elif args.probe == "rerankprof":
+        rerank_profile()
     else:
         hnsw_profile(args.rows, m=args.m, efc=args.efc)

@@ -1,0 +1,97 @@
+"""VMEM-fused encoder-block kernels vs the reference XLA composition.
+
+Interpret mode on CPU validates semantics (same policy as the top-k
+kernel suite); the compiled path is exercised on hardware by
+scripts/tpu_probes.py --probe rerankprof and the serving bench.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from financial_rag_system_tpu.models import bert
+from financial_rag_system_tpu.ops.fused_bert import (
+    fused_ffn_ln,
+    fused_resid_ln,
+)
+
+
+def _ref_ffn_ln(x, w_in, b_in, w_out, b_out, s, b_, eps):
+    up = jax.nn.gelu(
+        jnp.dot(x.astype(jnp.bfloat16), w_in.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32) + b_in,
+        approximate=True,
+    )
+    out = jnp.dot(up.astype(jnp.bfloat16), w_out.astype(jnp.bfloat16),
+                  preferred_element_type=jnp.float32) + b_out
+    return bert._ln(x.astype(jnp.float32) + out, s, b_, eps)
+
+
+def _ref_resid_ln(x, ctx, w, b, s, b_, eps):
+    out = jnp.dot(ctx.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+                  preferred_element_type=jnp.float32) + b
+    return bert._ln(x.astype(jnp.float32) + out, s, b_, eps)
+
+
+@pytest.mark.parametrize("r", [64, 100, 512, 777])
+def test_ffn_ln_matches_reference(rng, r):
+    h, i = 128, 512
+    x = jnp.asarray(rng.standard_normal((r, h)), jnp.float32)
+    w_in = jnp.asarray(0.05 * rng.standard_normal((h, i)), jnp.float32)
+    b_in = jnp.asarray(0.01 * rng.standard_normal(i), jnp.float32)
+    w_out = jnp.asarray(0.05 * rng.standard_normal((i, h)), jnp.float32)
+    b_out = jnp.asarray(0.01 * rng.standard_normal(h), jnp.float32)
+    s = jnp.asarray(1.0 + 0.1 * rng.standard_normal(h), jnp.float32)
+    b_ = jnp.asarray(0.1 * rng.standard_normal(h), jnp.float32)
+    got = fused_ffn_ln(
+        x, w_in, b_in, w_out, b_out, s, b_, 1e-12,
+        interpret=True, block=64,
+    )
+    want = _ref_ffn_ln(x, w_in, b_in, w_out, b_out, s, b_, 1e-12)
+    assert got.shape == (r, h)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-3, rtol=2e-3)
+
+
+@pytest.mark.parametrize("r", [64, 130])
+def test_resid_ln_matches_reference(rng, r):
+    h = 128
+    x = jnp.asarray(rng.standard_normal((r, h)), jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((r, h)), jnp.float32)
+    w = jnp.asarray(0.05 * rng.standard_normal((h, h)), jnp.float32)
+    b = jnp.asarray(0.01 * rng.standard_normal(h), jnp.float32)
+    s = jnp.asarray(1.0 + 0.1 * rng.standard_normal(h), jnp.float32)
+    b_ = jnp.asarray(0.1 * rng.standard_normal(h), jnp.float32)
+    got = fused_resid_ln(x, ctx, w, b, s, b_, 1e-12,
+                         interpret=True, block=64)
+    want = _ref_resid_ln(x, ctx, w, b, s, b_, 1e-12)
+    assert got.shape == (r, h)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-3, rtol=2e-3)
+
+
+def test_gate_off_on_cpu():
+    """The construction-time gate must refuse the fused path off-TPU and
+    for int8-PTQ params."""
+    params = bert.init_params(jax.random.PRNGKey(0), bert.MINILM_L6_CROSS)
+    assert not bert._fused_block_enabled(params["layers"])  # CPU backend
+    q = bert.quantize_params(params)
+    assert not bert._fused_block_enabled(q["layers"])
+
+
+def test_encode_unchanged_with_gate_off(rng):
+    """encode() on CPU (gate off) still produces the reference layer
+    math — the fused branch must be dead here."""
+    cfg = bert.BertConfig(
+        vocab_size=512, hidden=64, layers=2, heads=4, intermediate=128,
+        max_positions=32, with_pooler=True, num_labels=1,
+    )
+    params = bert.init_params(jax.random.PRNGKey(0), cfg)
+    ids = jnp.asarray(rng.integers(1, 500, (3, 16)), jnp.int32)
+    mask = jnp.ones((3, 16), jnp.int32)
+    types = jnp.zeros((3, 16), jnp.int32)
+    out = bert.cross_score(params, ids, types, mask, cfg)
+    assert out.shape == (3,)
+    assert np.all(np.isfinite(np.asarray(out)))
