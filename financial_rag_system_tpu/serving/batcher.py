@@ -44,10 +44,20 @@ class DynamicBatcher:
         window_s: float = 0.05,
         max_batch: int = 32,
         max_inflight: int = 8,
+        eager_idle_s: float = 0.0,
     ):
         self.batch_fn = batch_fn
         self.window_s = window_s
         self.max_batch = max_batch
+        # eager idle dispatch (> 0 enables): after the first request,
+        # keep draining up to the full window/32 while traffic flows, but
+        # once the queue has stayed empty for one eager_idle_s grace
+        # slice, dispatch immediately.  A LONE request then pays ~one
+        # slice instead of the whole window (the reference's fixed sleep
+        # charges every isolated request 50 ms before any compute —
+        # main2.py:286 — which dominates the warm trained /ask); a burst
+        # still fills batches because arrivals keep the queue non-empty.
+        self.eager_idle_s = eager_idle_s
         self.queue: asyncio.Queue[_Item] = asyncio.Queue()
         self._task: asyncio.Task | None = None
         self._closed = False
@@ -98,13 +108,28 @@ class DynamicBatcher:
     async def _run(self) -> None:
         while not self._closed:
             first = await self.queue.get()
-            await asyncio.sleep(self.window_s)  # batching window (main2.py:286)
             batch = [first]
-            while len(batch) < self.max_batch:
-                try:
-                    batch.append(self.queue.get_nowait())
-                except asyncio.QueueEmpty:
-                    break
+            if self.eager_idle_s > 0:
+                deadline = time.time() + self.window_s
+                while len(batch) < self.max_batch and time.time() < deadline:
+                    try:
+                        batch.append(self.queue.get_nowait())
+                        continue  # queue flowing: keep draining
+                    except asyncio.QueueEmpty:
+                        pass
+                    await asyncio.sleep(
+                        min(self.eager_idle_s, max(deadline - time.time(), 0))
+                    )
+                    if self.queue.qsize() == 0:
+                        break  # one grace slice with no arrivals: dispatch
+            else:
+                # reference semantics: fixed window (main2.py:286)
+                await asyncio.sleep(self.window_s)
+                while len(batch) < self.max_batch:
+                    try:
+                        batch.append(self.queue.get_nowait())
+                    except asyncio.QueueEmpty:
+                        break
             await self._inflight.acquire()
             task = asyncio.get_running_loop().create_task(self._process(batch))
             self._pending.add(task)

@@ -85,6 +85,7 @@ class RAGEngine:
                 self._dispatch_batch,
                 window_s=cfg.batch_window_s,
                 max_batch=cfg.max_batch_size,
+                eager_idle_s=cfg.batch_eager_idle_s,
             )
 
     @property

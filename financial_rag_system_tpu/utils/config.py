@@ -46,6 +46,11 @@ class Config:
 
     # --- dynamic batching (reference main2.py:50-53) ---------------------
     batch_window_s: float = 0.05
+    # > 0: dispatch a batch once the queue has idled this long instead of
+    # always sleeping the full window — a lone request pays ~one slice,
+    # bursts still fill 32 (serving/batcher.py).  0 = reference fixed
+    # window semantics (main2.py:286).
+    batch_eager_idle_s: float = 0.005
     max_batch_size: int = 32
     max_concurrent_llm: int = 25
     request_timeout_s: float = 90.0  # reference main2.py:330
@@ -117,6 +122,7 @@ class Config:
             corpus_tile=_env_int("RAG_TPU_CORPUS_TILE", 1024),
             max_corpus=_env_int("RAG_TPU_MAX_CORPUS", 1 << 15),
             batch_window_s=_env_float("RAG_TPU_BATCH_WINDOW_S", 0.05),
+            batch_eager_idle_s=_env_float("RAG_TPU_BATCH_EAGER_IDLE_S", 0.005),
             max_batch_size=_env_int("RAG_TPU_MAX_BATCH", 32),
             port=_env_int("RAG_TPU_PORT", 8001),
             control_port=_env_int("FRS_CONTROL_PORT", 17077),
