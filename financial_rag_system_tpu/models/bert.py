@@ -349,9 +349,21 @@ def encode(
                 return _matmul_q(h_, lp[name], lp[sk], bias)
             return _matmul(h_, lp[name], bias)
 
-        q = proj(hidden, "q_w").astype(act).reshape(b, seq, nh, hd)
-        k = proj(hidden, "k_w").astype(act).reshape(b, seq, nh, hd)
-        v = proj(hidden, "v_w").astype(act).reshape(b, seq, nh, hd)
+        if use_fused_block:
+            from financial_rag_system_tpu.ops.fused_bert import fused_qkv
+
+            qf, kf, vf = fused_qkv(
+                hidden.reshape(b * seq, cfg.hidden),
+                lp["q_w"], lp["q_b"], lp["k_w"], lp["k_b"],
+                lp["v_w"], lp["v_b"],
+            )
+            q = qf.astype(act).reshape(b, seq, nh, hd)
+            k = kf.astype(act).reshape(b, seq, nh, hd)
+            v = vf.astype(act).reshape(b, seq, nh, hd)
+        else:
+            q = proj(hidden, "q_w").astype(act).reshape(b, seq, nh, hd)
+            k = proj(hidden, "k_w").astype(act).reshape(b, seq, nh, hd)
+            v = proj(hidden, "v_w").astype(act).reshape(b, seq, nh, hd)
         if use_flash:
             ctx = _flash_attention(q, k, v, attention_mask, inv_sqrt)
         else:

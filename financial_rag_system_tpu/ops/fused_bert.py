@@ -70,6 +70,22 @@ def _ffn_ln_kernel(
     y_ref[:] = (res - mu) * jax.lax.rsqrt(var + eps_ref[0]) * s_ref[:] + b_ref[:]
 
 
+def _qkv_kernel(
+    x_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
+    q_ref, k_ref, v_ref,
+):
+    x = x_ref[:].astype(jnp.bfloat16)
+    q_ref[:] = (
+        jnp.dot(x, wq_ref[:], preferred_element_type=jnp.float32) + bq_ref[:]
+    )
+    k_ref[:] = (
+        jnp.dot(x, wk_ref[:], preferred_element_type=jnp.float32) + bk_ref[:]
+    )
+    v_ref[:] = (
+        jnp.dot(x, wv_ref[:], preferred_element_type=jnp.float32) + bv_ref[:]
+    )
+
+
 def _resid_ln_kernel(
     x_ref, ctx_ref, w_ref, b_ref, s_ref, lb_ref, eps_ref, y_ref
 ):
@@ -143,6 +159,42 @@ def fused_ffn_ln(
         jnp.asarray([eps], jnp.float32),
     )
     return y[:r]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "block"))
+def fused_qkv(
+    x: jax.Array,   # (R, H)
+    wq: jax.Array, bq: jax.Array,
+    wk: jax.Array, bk: jax.Array,
+    wv: jax.Array, bv: jax.Array,
+    *,
+    interpret: bool = False,
+    block: int = BLOCK_R,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """q, k, v = x @ w{q,k,v} + b{q,k,v} with ONE read of x per block —
+    the three separate XLA projections each re-read the activations."""
+    xp, r = _row_padded(x, block)
+    rp, h = xp.shape
+    grid = (rp // block,)
+    w_spec = pl.BlockSpec((h, h), lambda g: (0, 0), memory_space=pltpu.VMEM)
+    b_spec = pl.BlockSpec((1, h), lambda g: (0, 0), memory_space=pltpu.VMEM)
+    r_spec = pl.BlockSpec((block, h), lambda g: (g, 0),
+                          memory_space=pltpu.VMEM)
+    out = jax.ShapeDtypeStruct((rp, h), jnp.float32)
+    q, k, v = pl.pallas_call(
+        _qkv_kernel,
+        grid=grid,
+        in_specs=[r_spec, w_spec, b_spec, w_spec, b_spec, w_spec, b_spec],
+        out_specs=(r_spec, r_spec, r_spec),
+        out_shape=(out, out, out),
+        interpret=interpret,
+    )(
+        xp,
+        wq.astype(jnp.bfloat16), bq.reshape(1, h).astype(jnp.float32),
+        wk.astype(jnp.bfloat16), bk.reshape(1, h).astype(jnp.float32),
+        wv.astype(jnp.bfloat16), bv.reshape(1, h).astype(jnp.float32),
+    )
+    return q[:r], k[:r], v[:r]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "block"))

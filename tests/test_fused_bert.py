@@ -95,3 +95,23 @@ def test_encode_unchanged_with_gate_off(rng):
     out = bert.cross_score(params, ids, types, mask, cfg)
     assert out.shape == (3,)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+@pytest.mark.parametrize("r", [64, 100])
+def test_qkv_matches_reference(rng, r):
+    from financial_rag_system_tpu.ops.fused_bert import fused_qkv
+
+    h = 128
+    x = jnp.asarray(rng.standard_normal((r, h)), jnp.float32)
+    ws = [jnp.asarray(0.05 * rng.standard_normal((h, h)), jnp.float32)
+          for _ in range(3)]
+    bs = [jnp.asarray(0.01 * rng.standard_normal(h), jnp.float32)
+          for _ in range(3)]
+    q, k, v = fused_qkv(
+        x, ws[0], bs[0], ws[1], bs[1], ws[2], bs[2],
+        interpret=True, block=64,
+    )
+    for got, w, b in zip((q, k, v), ws, bs):
+        want = bert._matmul(x, w, b)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-3, rtol=2e-3)
