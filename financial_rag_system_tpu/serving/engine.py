@@ -407,9 +407,14 @@ class RAGEngine:
         # ~22 tokens) capped by the embedder's trained length — positions
         # past a first-party checkpoint's trained length are random init
         lq = min(64, getattr(self.embedder, "max_len", 64) or 64)
+        # per-stage wall breakdown for the warm-/ask audit (VERDICT r4
+        # #5): host tokenize vs device program+fetch vs hit assembly,
+        # logged as metrics so /metrics exposes p50/p95 of each
+        t0 = time.time()
         encs = [tok.encode(q, lq) for q in queries]
         ids, types, mask = pad_batch(encs)
         codes = [index.store.query_codes(t, d) for t, d in filters]
+        t_tok = time.time()
         if isinstance(index, BroadcastIndex):
             # one broadcast per batch; eligibility + state reads happen
             # INSIDE the op lock (identically on every process)
@@ -425,6 +430,9 @@ class RAGEngine:
         import jax
 
         rows, bi, ce = jax.device_get((rows, bi, ce))
+        t_dev = time.time()
+        self.tracer.log_metric("fused_tokenize_ms", (t_tok - t0) * 1000)
+        self.tracer.log_metric("fused_device_ms", (t_dev - t_tok) * 1000)
         b = len(queries)
         vecs = list(np.asarray(qv)[:b]) if qv is not None else [None] * b
         store = index.store
@@ -443,6 +451,7 @@ class RAGEngine:
                     payload["rerank_score"] = float(c)
                 hits.append(payload)
             out.append((vecs[i], hits))
+        self.tracer.log_metric("fused_assemble_ms", (time.time() - t_dev) * 1000)
         return out
 
     def _fused_exec(self, ids, types, mask, codes):

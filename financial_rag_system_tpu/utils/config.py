@@ -197,6 +197,24 @@ def enable_compilation_cache() -> bool:
     try:
         import jax
 
+        # scope the namespace by (configured platform, XLA_FLAGS): XLA:CPU
+        # persists AOT results stamped with the COMPILING process's
+        # machine-feature preferences, and a later CPU process configured
+        # differently loads them anyway and can SIGILL (observed on this
+        # rig: an 8-virtual-device eval crashed on entries another CPU
+        # variant wrote).  Scope is derived WITHOUT initializing a
+        # backend — jax.default_backend() here would pin the platform
+        # before bench.py's probe-based CPU fallback gets to choose.
+        import hashlib
+
+        try:
+            plat = jax.config.jax_platforms or "default"
+        except AttributeError:  # pragma: no cover — very old jax
+            plat = "default"
+        scope = hashlib.md5(
+            f"{plat}|{os.environ.get('XLA_FLAGS', '')}".encode()
+        ).hexdigest()[:8]
+        cache_dir = os.path.join(cache_dir, f"{plat.split(',')[0]}-{scope}")
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -37,13 +37,18 @@ def test_enables_and_is_idempotent(monkeypatch, tmp_path):
     try:
         assert enable_compilation_cache() is True
         assert os.path.isdir(cache_dir)
-        assert jax.config.jax_compilation_cache_dir == str(cache_dir)
+        # the live dir is a (platform, XLA_FLAGS)-scoped SUBDIR of the
+        # configured root: CPU AOT entries written under one flag set
+        # can SIGILL a process running another (observed on this rig)
+        live = jax.config.jax_compilation_cache_dir
+        assert live.startswith(str(cache_dir) + os.sep)
+        assert os.path.isdir(live)
         # second call is a no-op (does not re-point at a changed env)
         monkeypatch.setenv(
             "RAG_TPU_COMPILE_CACHE_DIR", str(tmp_path / "other")
         )
         assert enable_compilation_cache() is True
-        assert jax.config.jax_compilation_cache_dir == str(cache_dir)
+        assert jax.config.jax_compilation_cache_dir == live
     finally:
         # restore the process-global jax config for later tests
         jax.config.update("jax_compilation_cache_dir", prev_dir)
