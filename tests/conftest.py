@@ -12,9 +12,18 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"  # the session env pins a TPU platform
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
+    # 8 virtual devices time-slice ONE core here: a >5 s per-device
+    # program between two collectives makes the slowest participant miss
+    # XLA:CPU's default 40 s rendezvous deadline, which KILLS the process
+    # ("Termination timeout ... Exiting to ensure a consistent program
+    # state" — observed on the 64k sharded-IVF k-means).  Raise it; real
+    # meshes run participants in parallel and never get near it.
+    flags = (
+        flags + " --xla_cpu_collective_call_terminate_timeout_seconds=900"
     ).strip()
+os.environ["XLA_FLAGS"] = flags
 os.environ["TESTING"] = "True"
 os.environ.setdefault("DATABASE_URL", ":memory:")
 
