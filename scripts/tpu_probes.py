@@ -869,6 +869,65 @@ def rerank_profile(pairs: int = 480, seq: int = 112) -> None:
             + (f" | saves {t_full - tms:.2f} ms" if name != "full (reimpl)"
                else ""))
 
+    # --- 4. the REAL serving forward, env-gated variants -------------------
+    # bert.encode reads its gates at trace time; a fresh python fn object
+    # per env setting forces a fresh trace.  seq padded to 128 for the
+    # flash arms (the fused pipeline pads the pair length when flash
+    # engages — ops/fused_query.py), so those FLOPs are the 128 ones.
+    def bert_cross(p, i, t_, m):
+        hh = bert.encode(p, i, t_, m, cfg)
+        pooled = jnp.tanh(bert._matmul(
+            hh[:, 0, :], p["pooler"]["w"], p["pooler"]["b"]))
+        return bert._matmul(
+            pooled, p["classifier"]["w"], p["classifier"]["b"])[:, 0]
+
+    ids128 = np.zeros((pairs, 128), np.int32)
+    ids128[:, :seq] = ids
+    mask128 = np.zeros((pairs, 128), np.int32)
+    mask128[:, :seq] = mask
+    types128 = np.zeros((pairs, 128), np.int32)
+    types128[:, 32:] = mask128[:, 32:]
+    j128 = tuple(map(jnp.asarray, (ids128, types128, mask128)))
+
+    def fl_at(s):
+        per = 4 * h * h + 2 * h * inter
+        return (2.0 * (layers * per + h * h + h) * pairs * s
+                + 4.0 * layers * pairs * s * s * h)
+
+    out_ref = None
+    for name, env, jj, fl in (
+        ("bert XLA graph", {"RAG_TPU_FUSED_BLOCK": "0"}, j, fl_at(seq)),
+        ("bert fused-blk", {"RAG_TPU_FUSED_BLOCK": "1"}, j, fl_at(seq)),
+        ("bert fused+fl128",
+         {"RAG_TPU_FUSED_BLOCK": "1", "RAG_TPU_FLASH": "1"}, j128,
+         fl_at(128)),
+        ("bert xla+fl128",
+         {"RAG_TPU_FUSED_BLOCK": "0", "RAG_TPU_FLASH": "1"}, j128,
+         fl_at(128)),
+    ):
+        old = {k: os.environ.get(k) for k in env}
+        os.environ.update(env)
+        try:
+            fn = jax.jit(lambda p, i, t_, m: bert_cross(p, i, t_, m))
+            tms = timed(fn, params, *jj)
+            out = np.asarray(fn(params, *jj))
+            if out_ref is None:
+                out_ref = out
+                agree = ""
+            else:
+                agree = (f" | max|dlogit| {np.max(np.abs(out - out_ref)):.4f}"
+                         if out.shape == out_ref.shape else "")
+            log(f"{name:16s}: {tms:.2f} ms device = {fl/tms/1e9:.1f} "
+                f"TFLOP/s ({100*(fl/(tms/1e3))/peak:.1f}%){agree}")
+        except Exception as exc:
+            log(f"{name:16s}: failed ({type(exc).__name__}: {exc})")
+        finally:
+            for k, val in old.items():
+                if val is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = val
+
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
