@@ -155,6 +155,14 @@ class RAGEngine:
                 use_pallas=flat.use_pallas,
                 quantized=quantized,
             )
+            # geometry captured at build: a churn-triggered auto-rebuild
+            # (index/ivf.py _maintenance_due) can re-derive
+            # nprobe/c_max/tiles_per_cluster — the fused program's tile
+            # math would then probe silently wrong rows, so _fused_exec
+            # compares this against the live index and falls back staged
+            self._fused_ivf_geom = (
+                index.nprobe, index.tiles_per_cluster, index.c_max,
+            )
             if (
                 isinstance(self.embedder, BiEncoder)
                 and isinstance(self.reranker, CrossEncoderReranker)
@@ -545,6 +553,13 @@ class RAGEngine:
                 # from under the fused program's captured tile math
                 geom = state[5]  # (c_max, tiles_per_cluster, packed_local, _)
                 live = (geom[1], geom[2], index.flat.capacity)
+                if live != self._fused_ivf_geom:
+                    return None
+            else:
+                # single-chip IVF: churn auto-rebuilds re-derive the
+                # codebook/packing geometry (index/ivf.py) — stale
+                # statics would probe wrong tiles
+                live = (index.nprobe, index.tiles_per_cluster, index.c_max)
                 if live != self._fused_ivf_geom:
                     return None
             if selective_rows(rbt, codes, index.SELECTIVE_LIMIT) is not None:

@@ -546,3 +546,50 @@ def test_fused_trained_length_truncation(tmp_path, stack):
     )
     fused_scores = np.asarray([h["rerank_score"] for h in fused[0][1]])
     np.testing.assert_allclose(fused_scores, host_logits, rtol=2e-3, atol=2e-3)
+
+
+def test_ivf_auto_rebuild_geometry_falls_back_staged(tmp_path, stack, rng):
+    """A churn-triggered IVF auto-rebuild can re-derive the packing
+    geometry; the fused program's captured tile statics are then stale
+    and _fused_exec must fall back (return None) instead of probing
+    wrong tiles."""
+    from financial_rag_system_tpu.index.ivf import IVFIndex
+
+    embedder, reranker, index = stack
+    ivf = IVFIndex(index, tile=128)
+    eng = _engine(tmp_path, (embedder, reranker, ivf), mode="sequential")
+    assert eng._fused_fn is not None and eng._fused_kind == "ivf_full"
+    geom0 = eng._fused_ivf_geom
+    assert geom0 == (ivf.nprobe, ivf.tiles_per_cluster, ivf.c_max)
+
+    # grow the corpus enough that the growth trigger fires and the
+    # re-derived geometry changes (n doubles -> c_max re-derives)
+    n0 = ivf.n_valid
+    texts = [f"churn engine text {i} revenue" for i in range(3 * n0)]
+    vecs = embedder.encode(texts)
+    ivf.upsert(
+        [f"ch{i}" for i in range(len(texts))], vecs, texts,
+        [{"ticker": "AAPL", "document_type": "10-Q"}] * len(texts),
+    )
+    assert ivf._built_n > n0  # auto-rebuild fired
+    queries = ["apple services margin"]
+    filters = [("AAPL", None)]
+    if (ivf.nprobe, ivf.tiles_per_cluster, ivf.c_max) != geom0:
+        # stale statics: the fused path must refuse this batch
+        from financial_rag_system_tpu.models.tokenizer import pad_batch
+
+        tok = embedder.tokenizer
+        ids, types, mask = pad_batch([tok.encode(queries[0], 64)])
+        codes = [ivf.store.query_codes(t, d) for t, d in filters]
+        assert eng._fused_exec(ids, types, mask, codes) is None
+    # the serving path still answers correctly through the staged tiers
+    out = eng._embed_retrieve_batch(queries, filters)
+    assert out and out[0][1], "staged fallback returned nothing"
+    assert all(h["ticker"] == "AAPL" for h in out[0][1])
+    # re-deriving the fused program refreshes the captured geometry
+    # (the fused path itself stays off here: every AAPL row is inside
+    # the selective-filter exact path at this corpus size)
+    eng._fused_fn = eng._maybe_build_fused()
+    assert eng._fused_ivf_geom == (
+        ivf.nprobe, ivf.tiles_per_cluster, ivf.c_max
+    )
