@@ -28,7 +28,10 @@ import time
 import numpy as np
 
 
-def build_index(n_chunks: int, embedder, use_pallas: bool, *, hard: bool = False):
+def build_index(
+    n_chunks: int, embedder, use_pallas: bool, *, hard: bool = False,
+    token_store: bool = False,
+):
     from financial_rag_system_tpu.data.synthetic import (
         make_corpus,
         make_hard_corpus,
@@ -46,10 +49,18 @@ def build_index(n_chunks: int, embedder, use_pallas: bool, *, hard: bool = False
     # read through the config layer so evaluate and serving can never
     # interpret the knob differently
     dtype = jnp.dtype(get_config().index_dtype)
+    extra = {}
+    if token_store:
+        # device token store: what the fused serving engine reranks from
+        # (--serving-path evaluates THAT pipeline, not the staged one)
+        extra = dict(
+            token_store_len=96,
+            tokenizer=getattr(embedder, "tokenizer", None),
+        )
     index = FlatIndex(
         dim=embedder.dim, capacity=max(n_chunks, 1024),
         tile=min(1024, max(128, n_chunks // 4 // 128 * 128 or 128)),
-        use_pallas=use_pallas, dtype=dtype,
+        use_pallas=use_pallas, dtype=dtype, **extra,
     )
     bs = 512
     for s in range(0, len(ids), bs):
@@ -207,7 +218,7 @@ def save_trained(embedder, reranker, out_dir: str) -> None:
 def run_evaluation(
     k: int = 5, n_chunks: int = 2048, two_stage: bool = False,
     tier: str = "flat", hard: bool = False, embedder=None, reranker=None,
-    index=None,
+    index=None, serving_path: bool = False,
 ):
     from financial_rag_system_tpu.data.synthetic import (
         GOLDEN_SET,
@@ -227,7 +238,10 @@ def run_evaluation(
         index = FlatIndex.load(index_dir)
         print(f"loaded index from {index_dir}: {index.n_valid} chunks")
     else:
-        index = build_index(n_chunks, embedder, use_pallas, hard=hard)
+        index = build_index(
+            n_chunks, embedder, use_pallas, hard=hard,
+            token_store=serving_path,
+        )
         print(f"built synthetic corpus: {index.n_valid} chunks"
               + (" (hard mode)" if hard else ""))
     if tier == "ivf":
@@ -290,16 +304,65 @@ def run_evaluation(
     else:
         reranker = None
 
+    engine = None
+    if serving_path:
+        # evaluate THROUGH the serving engine's fused batch path — the
+        # pipeline users actually hit (one device program: embed ->
+        # masked top-k -> token gather -> on-device rerank), so the
+        # reported avg latency is the serving path's, not the staged
+        # harness's (the reference's third metric is measured on its
+        # real serving tier, /root/reference/evaluate.py:116-126)
+        from financial_rag_system_tpu.serving.engine import RAGEngine
+        from financial_rag_system_tpu.utils.config import Config
+
+        engine = RAGEngine(
+            Config(
+                testing=True, database_url=":memory:",
+                embed_dim=embedder.dim, retrieve_k=15 if two_stage else k,
+            ),
+            index, embedder, reranker or get_reranker(),
+            mode="sequential",
+        )
+        if engine._fused_fn is None:
+            raise SystemExit(
+                "--serving-path: no fused program for this "
+                "embedder/index combination (needs a token store for "
+                "the full stack — INDEX_DIR caches lack one)"
+            )
+        print(f"serving path: fused kind={engine._fused_kind}")
+
     hits, rrs, total_latency = 0, [], 0.0
     fan_k = 15 if two_stage else k
+    fused_misses = 0
     for item in golden:
         t0 = time.time()
-        vec = embedder.encode([item["query"]])
-        cands = index.search(vec, ticker=item["ticker"], k=fan_k)[0]
-        if two_stage and cands:
-            scores = reranker.score(item["query"], [c["text"] for c in cands])
-            order = np.argsort(scores)[::-1][:k]
-            cands = [cands[int(i)] for i in order]
+        if engine is not None:
+            res = engine._fused_batch([item["query"]], [(item["ticker"], None)])
+            if res is None:  # staged fallback (selective filter etc.)
+                fused_misses += 1
+                vec = embedder.encode([item["query"]])
+                cands = index.search(vec, ticker=item["ticker"], k=fan_k)[0]
+            else:
+                cands = res[0][1]
+            if two_stage and cands and "rerank_score" in cands[0]:
+                cands = sorted(
+                    cands, key=lambda h: -h["rerank_score"]
+                )[:k]
+            elif two_stage and cands:
+                scores = reranker.score(
+                    item["query"], [c["text"] for c in cands]
+                )
+                order = np.argsort(scores)[::-1][:k]
+                cands = [cands[int(i)] for i in order]
+        else:
+            vec = embedder.encode([item["query"]])
+            cands = index.search(vec, ticker=item["ticker"], k=fan_k)[0]
+            if two_stage and cands:
+                scores = reranker.score(
+                    item["query"], [c["text"] for c in cands]
+                )
+                order = np.argsort(scores)[::-1][:k]
+                cands = [cands[int(i)] for i in order]
         latency = (time.time() - t0) * 1000
         total_latency += latency
 
@@ -323,6 +386,8 @@ def run_evaluation(
     avg_ms = total_latency / n
     print("=" * 60)
     print(f"Hit@{k}: {hit_rate:.1f}%   MRR: {mrr:.3f}   avg search: {avg_ms:.1f} ms")
+    if engine is not None:
+        print(f"(fused serving path; staged fallbacks: {fused_misses}/{n})")
     print("=" * 60)
     return {"hit_rate": hit_rate, "mrr": mrr, "avg_latency_ms": avg_ms}
 
@@ -388,6 +453,13 @@ if __name__ == "__main__":
                          "the teacher's logit margin, so it sets how much "
                          "geometric separation a given teacher margin "
                          "demands (lower = gentler geometry distortion)")
+    ap.add_argument("--serving-path", action="store_true",
+                    help="evaluate through the serving engine's FUSED "
+                         "batch program (embed->search->gather->rerank, "
+                         "one device dispatch) instead of the staged "
+                         "harness — quality AND latency of the path "
+                         "users hit; builds the corpus with the device "
+                         "token store")
     ap.add_argument("--report", choices=("one", "full"), default="one",
                     help="full = evaluate BOTH gates (hard 64k + easy "
                          "2048) single- AND two-stage from the one "
@@ -461,4 +533,5 @@ if __name__ == "__main__":
                   f"MRR {r['mrr']:.3f}")
     else:
         run_evaluation(args.k, corpus, args.two_stage, tier=args.tier,
-                       hard=hard, embedder=emb, reranker=rr)
+                       hard=hard, embedder=emb, reranker=rr,
+                       serving_path=args.serving_path)
