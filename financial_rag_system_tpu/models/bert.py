@@ -160,10 +160,15 @@ def _flash_attention(q, k, v, attention_mask, inv_sqrt):
 def _fused_block_enabled(params_layers: dict) -> bool:
     """Gate for the VMEM-fused encoder-block kernels (ops/fused_bert.py).
 
-    Default ON for TPU serving (kill switch RAG_TPU_FUSED_BLOCK=0): the
-    rerank stage is HBM-traffic bound on XLA's materialized layer
-    intermediates (measured, scripts/tpu_probes.py --probe rerankprof),
-    and the fused FFN/residual-LN kernels remove those round trips.
+    Default OFF — a MEASURED NEGATIVE on the v5e at the 480x112 serving
+    shape (interleaved on-chip A/B, --probe rerankprof arms, logits
+    agreeing to 8e-4): XLA graph 13.45 ms device (45.8% MFU) vs
+    fused-block 30.53 ms (20.2%).  The hand kernels do eliminate the HBM
+    round trips the profile attributed (the (R, 4H) FFN activation never
+    leaves VMEM), but they also serialize each block into grid steps
+    Mosaic can't overlap, while XLA's fusion pipeline already hides most
+    of that traffic behind the MXU at these shapes.  Kept as an explicit
+    opt-in (RAG_TPU_FUSED_BLOCK=1) for re-pricing on other topologies.
     Construction-time gates, same policy as every use_pallas flag:
     compiled Pallas doesn't lower on CPU; the int8-PTQ weight path keeps
     the XLA graph (its per-channel dequant isn't plumbed through the
@@ -172,8 +177,8 @@ def _fused_block_enabled(params_layers: dict) -> bool:
     """
     import os
 
-    if os.environ.get("RAG_TPU_FUSED_BLOCK", "auto").lower() in (
-        "0", "false"
+    if os.environ.get("RAG_TPU_FUSED_BLOCK", "auto").lower() not in (
+        "1", "true"
     ):
         return False
     if os.environ.get("RAG_TPU_FAST_GELU", "auto").lower() in ("0", "false"):
