@@ -27,6 +27,7 @@ import os
 import subprocess
 import sys
 import time
+import urllib.error
 import urllib.request
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -100,8 +101,23 @@ def main() -> None:
             raise SystemExit("server never came up; see the log")
         print("server up; warming the fused program ...", flush=True)
         t0 = time.time()
-        _post(base + "/ask", {"query": f"warmup {time.time()}",
-                              "ticker": "AAPL"}, timeout=240)
+        # The first /ask routinely 504s at the server's 90 s request
+        # timeout while the fused program compiles + pays the tunnel's
+        # ~100 s first-readback warmup (rig fact, CLAUDE.md) — the
+        # request keeps compiling server-side, so retry until one lands.
+        for attempt in range(6):
+            try:
+                _post(base + "/ask", {"query": f"warmup {time.time()}",
+                                      "ticker": "AAPL"}, timeout=240)
+                break
+            except urllib.error.HTTPError as e:
+                if e.code != 504:
+                    raise
+                print(f"warmup /ask 504 (attempt {attempt + 1}; compile "
+                      "still in flight server-side) — retrying", flush=True)
+                time.sleep(20)
+        else:
+            raise SystemExit("warmup /ask never completed; see the log")
         print(f"first /ask (compile+warm): {time.time()-t0:.1f}s",
               flush=True)
 
