@@ -942,12 +942,129 @@ def rerank_profile(pairs: int = 480, seq: int = 112) -> None:
                     os.environ[k] = val
 
 
+def dispatch_gate(rows: int = 131_072) -> None:
+    """Price the sustained-throughput methodology itself.
+
+    BENCH_r03 sustained is 22.4 ms/batch while the r4 rerankprof puts
+    the fused batch's device work at ~14.5 ms — is the ~8 ms gap device
+    time the split missed, or host-side serialization in how
+    ``utils/timing.concurrent_ms`` overlaps calls (it dispatches in the
+    CALLER's thread and only threads the fetches)?  Four measurements of
+    the SAME fused serving program at the serving shape (B=32, k=15,
+    DLEN 80, synthetic on-device corpus — no tunnel uploads):
+
+      1. single-call p50 incl. readback (the lone-request view);
+      2. ``concurrent_ms`` exactly as bench.py uses it (workers=8,
+         reps=24; dispatch serial in the caller);
+      3. dispatch-threaded variant: dispatch AND fetch both inside the
+         worker pool, sweep workers in {4, 8, 16};
+      4. dispatch-only serial cost: N back-to-back dispatches with one
+         trailing fetch (what each enqueue RPC costs the caller).
+
+    If (3) beats (2) beyond jitter, the sustained number is dispatch-
+    bound and the bench methodology undersells the chip; fold the
+    threaded-dispatch mode into utils/timing and re-measure.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from financial_rag_system_tpu.models import bert
+    from financial_rag_system_tpu.ops.fused_query import make_fused_query
+    from financial_rag_system_tpu.utils.timing import concurrent_ms
+
+    B, K, DLEN, LQ = 32, 15, 80, 32
+    rng = np.random.default_rng(0)
+    floor, jitter = rpc_floor(with_jitter=True)
+    on_tpu = jax.devices()[0].platform == "tpu"
+
+    eparams = bert.init_params(jax.random.PRNGKey(0), bert.BGE_SMALL)
+    rparams = bert.init_params(jax.random.PRNGKey(1), bert.MINILM_L6_CROSS)
+
+    @jax.jit
+    def build():
+        kk = jax.random.PRNGKey(2)
+        emb = jax.random.normal(kk, (rows, 384), jnp.float32)
+        emb = (emb / jnp.linalg.norm(emb, axis=1, keepdims=True)).astype(
+            jnp.bfloat16)
+        codes = jnp.stack([jnp.arange(rows, dtype=jnp.int32) % 8,
+                           jnp.zeros((rows,), jnp.int32)])
+        toks = jax.random.randint(kk, (rows, DLEN), 1000, 20000, jnp.int32)
+        return emb, codes, toks
+
+    log(f"building {rows}-row synthetic corpus on device ...")
+    emb, codes, toks = map(jax.block_until_ready, build())
+    q_ids = jnp.asarray(rng.integers(1000, 20000, (B, LQ)), jnp.int32)
+    q_types = jnp.zeros((B, LQ), jnp.int32)
+    q_mask = jnp.ones((B, LQ), jnp.int32)
+    qf = jnp.stack([jnp.arange(B, dtype=jnp.int32) % 8,
+                    jnp.full((B,), -1, jnp.int32)], axis=1)
+    nv = jnp.asarray(rows, jnp.int32)
+
+    fused = make_fused_query(
+        bert.BGE_SMALL, bert.MINILM_L6_CROSS, k=K,
+        tile=1024 if on_tpu else 128, use_pallas=on_tpu,
+    )
+
+    def call():
+        return fused(eparams, rparams, q_ids, q_types, q_mask, qf,
+                     emb, codes, toks, nv)
+
+    def fetch(out):
+        for leaf in jax.tree.leaves(out):
+            np.asarray(leaf)
+
+    log("warmup/compile fused pipeline ...")
+    fetch(call())
+
+    # 1. single-call view
+    ts = []
+    for _ in range(12):
+        t0 = time.time()
+        fetch(call())
+        ts.append((time.time() - t0) * 1e3)
+    p50 = float(np.percentile(ts, 50))
+    log(f"single-call p50 {p50:.2f} ms/batch (floor {floor:.2f}, "
+        f"jitter {jitter:.2f}; floor-subtracted ≈ {p50 - floor:.2f} ms)")
+
+    # 2. bench.py's exact methodology
+    cur = concurrent_ms(call, workers=8, reps=24)
+    log(f"concurrent_ms (dispatch serial, fetch threaded, w=8): "
+        f"{cur:.2f} ms/batch => {cur / B:.3f} ms/query")
+
+    # 3. dispatch-threaded sweep
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one():
+        fetch(call())
+
+    for w in (4, 8, 16):
+        one()
+        with ThreadPoolExecutor(w) as ex:
+            t0 = time.time()
+            futs = [ex.submit(one) for _ in range(24)]
+            for f in futs:
+                f.result()
+            t = (time.time() - t0) / 24 * 1e3
+        log(f"dispatch-threaded (w={w}): {t:.2f} ms/batch => "
+            f"{t / B:.3f} ms/query")
+
+    # 4. dispatch-only serial cost
+    n = 24
+    t0 = time.time()
+    outs = [call() for _ in range(n)]
+    t_disp = (time.time() - t0) / n * 1e3
+    fetch(outs[-1])
+    log(f"dispatch-only serial: {t_disp:.2f} ms/call enqueue cost "
+        f"(device queue drains behind it)")
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--probe",
         choices=("floor", "scan", "int8", "int8mxu", "hnsw", "flash",
-                 "bf16act", "int8rerank", "maskgate", "rerankprof"),
+                 "bf16act", "int8rerank", "maskgate", "rerankprof",
+                 "dispatch"),
         default="floor",
     )
     ap.add_argument("--rows", type=int, default=1_048_576)
@@ -965,7 +1082,7 @@ if __name__ == "__main__":
     log(f"platform: {jax.devices()[0].platform}")
     if args.probe in ("scan", "int8", "int8mxu", "hnsw", "flash",
                       "bf16act", "int8rerank", "maskgate",
-                      "rerankprof") and (
+                      "rerankprof", "dispatch") and (
         jax.devices()[0].platform != "tpu"
     ):
         raise SystemExit(
