@@ -115,7 +115,15 @@ def main() -> None:
                     raise
                 print(f"warmup /ask 504 (attempt {attempt + 1}; compile "
                       "still in flight server-side) — retrying", flush=True)
-                time.sleep(20)
+                if attempt < 5:
+                    time.sleep(20)
+            except (urllib.error.URLError, TimeoutError) as e:
+                # A client-side socket timeout at the 240 s cap is the
+                # same tunnel-warmup symptom as the 504 — retry it too.
+                print(f"warmup /ask transport error (attempt {attempt + 1}"
+                      f": {e}) — retrying", flush=True)
+                if attempt < 5:
+                    time.sleep(20)
         else:
             raise SystemExit("warmup /ask never completed; see the log")
         print(f"first /ask (compile+warm): {time.time()-t0:.1f}s",

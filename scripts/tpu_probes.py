@@ -1107,5 +1107,12 @@ if __name__ == "__main__":
         int8rerank_gate()
     elif args.probe == "rerankprof":
         rerank_profile()
-    else:
+    elif args.probe == "dispatch":
+        # dispatch_gate's methodology assumes its own 131k default corpus,
+        # not --rows' 1M default — it measures dispatch overhead, not scan
+        # bandwidth, so the corpus just needs to be big enough to be real.
+        dispatch_gate()
+    elif args.probe == "hnsw":
         hnsw_profile(args.rows, m=args.m, efc=args.efc)
+    else:
+        raise SystemExit(f"unhandled probe {args.probe!r}")
