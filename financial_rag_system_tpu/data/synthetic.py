@@ -97,8 +97,95 @@ def _distractor(rng: random.Random, ticker: str, i: int) -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# realistic chunk lengths
+# ---------------------------------------------------------------------------
+#
+# The reference ingests 1000-char / 200-overlap chunks
+# (/root/reference/ingest.py:71-81), so a realistic chunk is ~1000 chars
+# (~200-260 wordpiece tokens) — the synthetic topic/bait/filler texts above
+# are ~150 chars, ~45% of a realistic rerank pair (VERDICT r4 weak #1).
+# ``expand_chunk`` pads any chunk toward a target length with deterministic
+# filing boilerplate so quality gates and the bench run at the reference's
+# pair lengths.  Every template is verified keyword-free against BOTH eval
+# sets (tests/test_hard_eval.py): substring scoring must never count a hit
+# from padding, so the pool avoids even accidental substrings ("ai" in
+# "certain"/"against", "expense", "billion", "revenue", ...).
+_PAD_TEMPLATES = [
+    "The notes hereto form part of these condensed consolidated statements "
+    "and should be read together with the most recent annual report on "
+    "Form 10-K.",
+    "Management evaluated subsequent events through the date these "
+    "statements were issued and concluded that none required recognition "
+    "or disclosure.",
+    "Amounts are presented in millions of dollars unless otherwise noted, "
+    "and percentages are computed from rounded figures.",
+    "The preparation of these statements requires estimates and judgments "
+    "that affect reported amounts; actual results could differ from those "
+    "estimates.",
+    "No single customer accounted for more than ten percent of consolidated "
+    "totals in any period presented.",
+    "Some prior-period amounts have been reclassified to conform to the "
+    "current presentation; the reclassified amounts were not significant.",
+    "The effective rate for the period reflects discrete items recorded in "
+    "the quarter, none of which was individually significant.",
+    "The recorded balance at period end was {amt} million dollars, compared "
+    "with {amt2} million dollars at the end of the prior period.",
+    "Interest cost on outstanding borrowings totaled {amt} million dollars "
+    "for the period, consistent with the level of debt outstanding.",
+    "Depreciation recognized in cost of sales and in operating costs "
+    "totaled {amt} million dollars for the period.",
+    "The carrying value of the related assets moved {pct} percent during "
+    "the period, reflecting ordinary course activity.",
+    "Accrued liabilities include {amt} million dollars of "
+    "compensation-related amounts expected to be settled within twelve "
+    "months.",
+    "The weighted average borrowing rate on commercial paper was {pct} "
+    "percent for the period, unchanged from the prior quarter.",
+    "Cash equivalents consist of highly liquid instruments with original "
+    "maturities of three months or less at the date of purchase.",
+    "Deferred amounts recognized during the period were consistent with "
+    "the timing of performance obligations under the related contracts.",
+    "The board reviewed these disclosures and found them consistent with "
+    "the company's established accounting policies for the periods "
+    "presented.",
+]
+
+
+def expand_chunk(text: str, chunk_chars: int | None) -> str:
+    """Pad ``text`` toward ``chunk_chars`` chars with deterministic filing
+    boilerplate (appended AFTER the signal text, like a 1000-char splitter
+    window that contains the paragraph plus adjacent document prose).
+
+    Deterministic in the base text alone — the trainers' positives
+    (make_train_pairs et al.) and the corpus builders expand the same
+    string to the same padded chunk regardless of corpus position, so
+    training text always equals the served chunk text.
+    """
+    if not chunk_chars or len(text) >= chunk_chars:
+        return text
+    r = random.Random(f"pad|{len(text)}|{text[:96]}")
+    # the reference splitter emits mostly-full windows with some shorter
+    # tails — draw the per-chunk target from the top decade
+    target = r.randint(int(chunk_chars * 0.9), chunk_chars)
+    parts = [text]
+    n = len(text)
+    while True:
+        t = _PAD_TEMPLATES[r.randrange(len(_PAD_TEMPLATES))]
+        s = t.format(
+            amt=r.randint(1, 9000) / 10, amt2=r.randint(1, 9000) / 10,
+            pct=r.randint(1, 40),
+        ) if "{" in t else t
+        if n + 1 + len(s) > target:
+            break
+        parts.append(s)
+        n += 1 + len(s)
+    return " ".join(parts)
+
+
 def make_corpus(
-    n_chunks: int = 1000, *, seed: int = 0, tickers: list[str] | None = None
+    n_chunks: int = 1000, *, seed: int = 0, tickers: list[str] | None = None,
+    chunk_chars: int | None = None,
 ) -> tuple[list[str], list[str], list[dict[str, Any]]]:
     """Returns (ids, texts, payloads) with the AAPL topic chunks first."""
     rng = random.Random(seed)
@@ -107,7 +194,7 @@ def make_corpus(
 
     for name, para in AAPL_TOPICS.items():
         ids.append(point_id("AAPL", "10-K", f"topic_{name}", 0))
-        texts.append(para)
+        texts.append(expand_chunk(para, chunk_chars))
         payloads.append(
             {"ticker": "AAPL", "document_type": "10-K", "source_file": f"topic_{name}"}
         )
@@ -117,7 +204,7 @@ def make_corpus(
         ticker = tickers[i % len(tickers)]
         ftype = "10-K" if i % 3 else "10-Q"
         ids.append(point_id(ticker, ftype, "distractors", i))
-        texts.append(_distractor(rng, ticker, i))
+        texts.append(expand_chunk(_distractor(rng, ticker, i), chunk_chars))
         payloads.append(
             {"ticker": ticker, "document_type": ftype, "source_file": "distractors"}
         )
@@ -369,7 +456,8 @@ def make_hard_set(tickers: list[str] | None = None) -> list[dict]:
 
 
 def make_hard_corpus(
-    n_chunks: int = 65536, *, seed: int = 0, tickers: list[str] | None = None
+    n_chunks: int = 65536, *, seed: int = 0, tickers: list[str] | None = None,
+    chunk_chars: int | None = None,
 ) -> tuple[list[str], list[str], list[dict[str, Any]]]:
     """Hard-mode corpus: positives + lexical bait + filler to ``n_chunks``.
 
@@ -385,7 +473,7 @@ def make_hard_corpus(
 
     def add(ticker: str, ftype: str, src: str, i: int, text: str) -> None:
         ids.append(point_id(ticker, ftype, src, i))
-        texts.append(text)
+        texts.append(expand_chunk(text, chunk_chars))
         payloads.append(
             {"ticker": ticker, "document_type": ftype, "source_file": src}
         )
@@ -576,7 +664,9 @@ EASY_TRAIN_PARAPHRASES: dict[str, list[str]] = {
 }
 
 
-def make_train_pairs(tickers: list[str] | None = None) -> list[tuple[str, str]]:
+def make_train_pairs(
+    tickers: list[str] | None = None, *, chunk_chars: int | None = None,
+) -> list[tuple[str, str]]:
     """(query paraphrase, positive chunk) pairs for contrastive training.
 
     Every (ticker, intent) contributes its TRAIN_PARAPHRASES against the
@@ -586,23 +676,32 @@ def make_train_pairs(tickers: list[str] | None = None) -> list[tuple[str, str]]:
     positives are the parity-topic paragraphs, which speak of "the
     Company" — ticker-neutral enough to pair with every company's
     paraphrase for weight balance against the hard intents.
+
+    ``chunk_chars`` must match the corpus builder's: training positives
+    are the SERVED chunk text (expand_chunk is deterministic in the base
+    text, so the padded strings agree exactly).
     """
     tickers = tickers or _TICKERS
     pairs: list[tuple[str, str]] = []
     for t in tickers:
         company = _COMPANY[t]
         for intent in HARD_INTENTS:
-            pos = intent["positive"].format(company=company)
+            pos = expand_chunk(
+                intent["positive"].format(company=company), chunk_chars
+            )
             for q in TRAIN_PARAPHRASES[intent["name"]]:
                 pairs.append((q.format(company=company), pos))
         for name, qs in EASY_TRAIN_PARAPHRASES.items():
             for q in qs:
-                pairs.append((q.format(company=company), AAPL_TOPICS[name]))
+                pairs.append((
+                    q.format(company=company),
+                    expand_chunk(AAPL_TOPICS[name], chunk_chars),
+                ))
     return pairs
 
 
 def make_train_triples(
-    tickers: list[str] | None = None,
+    tickers: list[str] | None = None, *, chunk_chars: int | None = None,
 ) -> list[tuple[str, str, str]]:
     """(query paraphrase, positive chunk, hard-negative chunk) triples.
 
@@ -619,24 +718,25 @@ def make_train_triples(
     paraphrases only (negatives are corpus text).
     """
     tickers = tickers or _TICKERS
+    ex = lambda s: expand_chunk(s, chunk_chars)  # noqa: E731
     triples: list[tuple[str, str, str]] = []
     for t in tickers:
         company = _COMPANY[t]
         for intent in HARD_INTENTS:
-            pos = intent["positive"].format(company=company)
-            baits = [b.format(company=company) for b in intent["baits"]]
+            pos = ex(intent["positive"].format(company=company))
+            baits = [ex(b.format(company=company)) for b in intent["baits"]]
             for i, q in enumerate(TRAIN_PARAPHRASES[intent["name"]]):
                 triples.append(
                     (q.format(company=company), pos, baits[i % len(baits)])
                 )
         topic_names = list(EASY_TRAIN_PARAPHRASES)
         for ti, name in enumerate(topic_names):
-            others = [AAPL_TOPICS[k] for k in AAPL_TOPICS if k != name]
+            others = [ex(AAPL_TOPICS[k]) for k in AAPL_TOPICS if k != name]
             for i, q in enumerate(EASY_TRAIN_PARAPHRASES[name]):
                 triples.append(
                     (
                         q.format(company=company),
-                        AAPL_TOPICS[name],
+                        ex(AAPL_TOPICS[name]),
                         others[(ti + i) % len(others)],
                     )
                 )
@@ -644,7 +744,7 @@ def make_train_triples(
 
 
 def make_filler_triples(
-    tickers: list[str] | None = None,
+    tickers: list[str] | None = None, *, chunk_chars: int | None = None,
 ) -> list[tuple[str, str, str]]:
     """(query paraphrase, positive chunk, filler-note negative) triples.
 
@@ -672,6 +772,7 @@ def make_filler_triples(
     all 4 note shapes are repelled for every ticker.
     """
     tickers = tickers or _TICKERS
+    ex = lambda s: expand_chunk(s, chunk_chars)  # noqa: E731
     triples: list[tuple[str, str, str]] = []
     n = 0
 
@@ -680,19 +781,20 @@ def make_filler_triples(
         n += 1
         subj = _FILLER_SUBJECTS[n % len(_FILLER_SUBJECTS)]
         tmpl = _NOTE_TEMPLATES[n % len(_NOTE_TEMPLATES)]
-        return tmpl.format(
+        return ex(tmpl.format(
             i=n, t=t, subj=subj, pct=1 + n % 40, amt=(1 + n * 7 % 900) / 10
-        )
+        ))
 
     for t in tickers:
         company = _COMPANY[t]
         for intent in HARD_INTENTS:
-            pos = intent["positive"].format(company=company)
+            pos = ex(intent["positive"].format(company=company))
             for q in TRAIN_PARAPHRASES[intent["name"]]:
                 triples.append((q.format(company=company), pos, filler(t)))
         for name, qs in EASY_TRAIN_PARAPHRASES.items():
             for q in qs:
                 triples.append(
-                    (q.format(company=company), AAPL_TOPICS[name], filler(t))
+                    (q.format(company=company), ex(AAPL_TOPICS[name]),
+                     filler(t))
                 )
     return triples

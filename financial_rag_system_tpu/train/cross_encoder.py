@@ -30,14 +30,20 @@ def make_cross_examples(
     *,
     fillers_per_intent: int = 2,
     seed: int = 0,
+    chunk_chars: int | None = None,
 ) -> list[tuple[str, str, float]]:
-    """(query, chunk, label) triples from the paraphrase supervision."""
+    """(query, chunk, label) triples from the paraphrase supervision.
+
+    ``chunk_chars`` pads every chunk with the corpus builders' boilerplate
+    (data/synthetic.py expand_chunk) so the reranker trains at the pair
+    lengths it will score at serving time."""
     import random
 
     from financial_rag_system_tpu.data.synthetic import (
         _COMPANY,
         _TICKERS,
         _distractor,
+        expand_chunk,
         AAPL_TOPICS,
         EASY_TRAIN_PARAPHRASES,
         HARD_INTENTS,
@@ -46,12 +52,13 @@ def make_cross_examples(
 
     rng = random.Random(seed)
     tickers = tickers or _TICKERS
+    ex = lambda s: expand_chunk(s, chunk_chars)  # noqa: E731
     out: list[tuple[str, str, float]] = []
     for t in tickers:
         company = _COMPANY[t]
         for intent in HARD_INTENTS:
-            pos = intent["positive"].format(company=company)
-            baits = [b.format(company=company) for b in intent["baits"]]
+            pos = ex(intent["positive"].format(company=company))
+            baits = [ex(b.format(company=company)) for b in intent["baits"]]
             for q in TRAIN_PARAPHRASES[intent["name"]]:
                 query = q.format(company=company)
                 out.append((query, pos, 1.0))
@@ -59,21 +66,24 @@ def make_cross_examples(
                     out.append((query, b, 0.0))
                 for j in range(fillers_per_intent):
                     out.append(
-                        (query, _distractor(rng, t, rng.randrange(1 << 30)), 0.0)
+                        (query,
+                         ex(_distractor(rng, t, rng.randrange(1 << 30))),
+                         0.0)
                     )
         # easy golden-set domains: positive = the parity-topic paragraph,
         # negatives = fillers AND the other topics' paragraphs (the easy
         # corpus's natural confusables) — same leak discipline, checked
         # by tests/test_hard_eval.py::test_easy_train_paraphrases_no_leakage
         for name, qs in EASY_TRAIN_PARAPHRASES.items():
-            pos = AAPL_TOPICS[name]
-            others = [v for k, v in AAPL_TOPICS.items() if k != name]
+            pos = ex(AAPL_TOPICS[name])
+            others = [ex(v) for k, v in AAPL_TOPICS.items() if k != name]
             for q in qs:
                 query = q.format(company=company)
                 out.append((query, pos, 1.0))
                 out.append((query, rng.choice(others), 0.0))
                 out.append(
-                    (query, _distractor(rng, t, rng.randrange(1 << 30)), 0.0)
+                    (query,
+                     ex(_distractor(rng, t, rng.randrange(1 << 30))), 0.0)
                 )
     return out
 

@@ -237,3 +237,96 @@ def test_easy_train_paraphrases_no_leakage():
                 assert f" {kw.lower()} " not in joined, (name, kw, q)
             shared = content(q) & ev
             assert len(shared) <= 2, (name, q, sorted(shared))
+
+
+def test_pad_templates_keyword_free():
+    """Realistic-chunk padding (expand_chunk) must never plant a scoring
+    keyword: substring scoring would count a padded bait/filler as a hit.
+    Checked as SUBSTRINGS — the pool must dodge even "ai" in "certain"."""
+    from financial_rag_system_tpu.data.synthetic import (
+        _PAD_TEMPLATES,
+        GOLDEN_SET,
+        HARD_INTENTS,
+    )
+
+    kws = {k.lower() for it in GOLDEN_SET for k in it["expected_keywords"]}
+    kws |= {k.lower() for it in HARD_INTENTS for k in it["keywords"]}
+    for t in _PAD_TEMPLATES:
+        filled = t.format(amt=888.8, amt2=77.7, pct=39) if "{" in t else t
+        for kw in kws:
+            assert kw not in filled.lower(), (kw, t[:60])
+
+
+def test_expand_chunk_deterministic_and_sized():
+    """expand_chunk is a pure function of the base text (training
+    positives must equal served chunk text), pads into [0.75x, 1.0x] of
+    the target, and keeps the base text as a prefix."""
+    from financial_rag_system_tpu.data.synthetic import expand_chunk
+
+    base = "The Company relies on third parties for final assembly."
+    a = expand_chunk(base, 1000)
+    b = expand_chunk(base, 1000)
+    assert a == b
+    assert a.startswith(base)
+    assert 750 <= len(a) <= 1000
+    # no-ops: disabled, and already-long text
+    assert expand_chunk(base, None) == base
+    assert expand_chunk("x" * 1200, 1000) == "x" * 1200
+
+
+def test_realistic_corpus_statistics_and_invariants():
+    """chunk_chars=1000 corpora match the reference's chunk shape
+    (p50 within [850, 1000] — /root/reference/ingest.py:71-81) and keep
+    the keyword-uniqueness invariant the scoring rides on."""
+    import numpy as np
+
+    from financial_rag_system_tpu.data.synthetic import (
+        make_corpus,
+        make_hard_corpus,
+    )
+
+    for maker in (make_corpus, make_hard_corpus):
+        ids, texts, payloads = maker(2048, chunk_chars=1000)
+        lens = np.array([len(t) for t in texts])
+        assert 850 <= np.percentile(lens, 50) <= 1000, maker.__name__
+        assert lens.max() <= 1000
+    # keyword uniqueness on the padded hard corpus
+    ids, texts, payloads = make_hard_corpus(2048, chunk_chars=1000)
+    for intent in HARD_INTENTS:
+        kws = [k.lower() for k in intent["keywords"]]
+        for text, p in zip(texts, payloads):
+            if any(k in text.lower() for k in kws):
+                assert p["source_file"] == f"hard_{intent['name']}"
+
+
+def test_train_text_matches_corpus_text_padded():
+    """The trainers' positives equal the served chunk text when both use
+    the same chunk_chars (the train=serve contract)."""
+    from financial_rag_system_tpu.data.synthetic import (
+        AAPL_TOPICS,
+        expand_chunk,
+        make_corpus,
+        make_hard_corpus,
+        make_train_pairs,
+    )
+
+    ids, texts, payloads = make_hard_corpus(512, chunk_chars=1000)
+    corpus_positives = {
+        t for t, p in zip(texts, payloads)
+        if p["source_file"].startswith("hard_")
+    }
+    # the easy-domain positives live in the EASY corpus (make_corpus)
+    easy_ids, easy_texts, easy_payloads = make_corpus(64, chunk_chars=1000)
+    easy_positives = {
+        t for t, p in zip(easy_texts, easy_payloads)
+        if p["source_file"].startswith("topic_")
+    }
+    assert easy_positives == {
+        expand_chunk(v, 1000) for v in AAPL_TOPICS.values()
+    }
+    pairs = make_train_pairs(chunk_chars=1000)
+    missing = [
+        pos[:80] for _q, pos in pairs
+        if pos not in corpus_positives and pos not in easy_positives
+    ]
+    assert not missing, missing
