@@ -56,6 +56,11 @@ CORPUS_N = int(os.environ.get("BENCH_CORPUS_N", 131072))
 BATCH = 32
 RETRIEVE_K = 15
 DIM = 384
+# chunk length of the synthetic corpus: the reference ingests 1000-char
+# chunks (/root/reference/ingest.py:71-81), so the headline is measured
+# at realistic rerank pair lengths (~280-320 tokens) — VERDICT r4 #1.
+# 0 restores the legacy ~150-char chunks (the r2-r4 headline regime).
+CHUNK_CHARS = int(os.environ.get("BENCH_CHUNK_CHARS", 1000)) or None
 N_WARMUP = int(os.environ.get("BENCH_WARMUP", 3))
 N_ITERS = int(os.environ.get("BENCH_ITERS", 30))
 # how long to keep retrying TPU backend init before falling back to CPU
@@ -264,7 +269,11 @@ def main() -> None:
     )
     reranker = CrossEncoderReranker(
         bert.init_params(jax.random.PRNGKey(1), bert.MINILM_L6_CROSS),
-        bert.MINILM_L6_CROSS, tok, max_len=128,
+        # 512: the reference CrossEncoder's max length — realistic
+        # 1000-char chunks rerank untruncated (the fused pair is
+        # lq + DLEN ≈ 330 tokens; the r2-r4 128 cap priced the stage at
+        # ~1/3 of its realistic FLOPs)
+        bert.MINILM_L6_CROSS, tok, max_len=512,
     )
     reranker_batch = 512  # 32 queries x 15 pairs + padding in one forward
     import financial_rag_system_tpu.models.reranker as rr_mod
@@ -287,8 +296,10 @@ def main() -> None:
     tick = np.arange(n, dtype=np.int32) % 8
     dt = np.arange(n, dtype=np.int32) % 2
     index._codes = jnp.asarray(np.stack([tick, dt]))
-    # host-side texts for the rerank stage
-    ids, texts, payloads = make_corpus(corpus_n, seed=1)
+    # host-side texts for the rerank stage (CHUNK_CHARS=1000: realistic
+    # reference-shaped chunks — the rerank cost driver)
+    ids, texts, payloads = make_corpus(corpus_n, seed=1,
+                                       chunk_chars=CHUNK_CHARS)
     index.store.texts = texts
     index.store.payloads = payloads
     index.store.id_to_row = {i: r for r, i in enumerate(ids)}
@@ -316,17 +327,24 @@ def main() -> None:
     from financial_rag_system_tpu.models.tokenizer import SEP_ID, pad_batch
     from financial_rag_system_tpu.ops.fused_query import make_fused_query
 
-    # token-store width sized to the corpus, not a round guess: measured
-    # p99 chunk length is 75 wordpiece tokens (max 144), so 80 covers
-    # p99 + SEP and cuts the rerank pair from 128 to 112 tokens — the
-    # rerank is ~95% of batch FLOPs, so store width is serving latency
-    DLEN = 80
+    # token-store width sized to the measured corpus via the SAME policy
+    # serving applies at ingest (index/flat.py auto_token_width: p99+SEP
+    # rounded up) — the rerank is ~95% of batch FLOPs, so store width is
+    # serving latency.  At CHUNK_CHARS=1000 this lands ~280-320.
+    from financial_rag_system_tpu.index.flat import auto_token_width
+
     log("building device token store ...")
     t0 = time.time()
+    tid_lists = [tok.tokenize_ids(text) for text in texts]
+    DLEN = auto_token_width([len(t) + 1 for t in tid_lists])
+    log(f"auto token store width: {DLEN} "
+        f"(p50 chunk {int(np.percentile([len(t) for t in texts], 50))} "
+        f"chars)")
     dtok = np.zeros((corpus_n, DLEN), np.int32)
-    for i, text in enumerate(texts):
-        tids = tok.tokenize_ids(text)[: DLEN - 1] + [SEP_ID]
+    for i, tids in enumerate(tid_lists):
+        tids = tids[: DLEN - 1] + [SEP_ID]
         dtok[i, : len(tids)] = tids
+    del tid_lists
     doc_tokens = jnp.asarray(dtok)
     log(f"token store ready in {time.time()-t0:.1f}s "
         f"({doc_tokens.nbytes/2**20:.0f} MiB in HBM)")
@@ -379,6 +397,8 @@ def main() -> None:
     )
     set_result(per_query, stage="sustained")
     RESULT["corpus_n"] = corpus_n
+    RESULT["chunk_chars"] = CHUNK_CHARS or 0
+    RESULT["token_store_dlen"] = DLEN
 
     # --- MFU accounting: stage split + achieved TFLOP/s vs chip peak --------
     # (pre-emit so the driver's artifact carries it; tightly bounded and
@@ -429,6 +449,7 @@ def main() -> None:
             275e12 if "v4" in kind else 197e12
         )
         mfu = 100.0 * total_fl / (sustained_batch_ms / 1e3) / peak
+        RESULT["rerank_pair_tokens"] = plen
         RESULT["mfu_pct"] = round(mfu, 1)
         RESULT["flops_per_batch"] = round(total_fl / 1e9, 1)  # GFLOP
         log(

@@ -54,7 +54,7 @@ def build_index(
         # device token store: what the fused serving engine reranks from
         # (--serving-path evaluates THAT pipeline, not the staged one)
         extra = dict(
-            token_store_len=96,
+            token_store_len="auto",  # sized at ingest from measured p99
             tokenizer=getattr(embedder, "tokenizer", None),
         )
     index = FlatIndex(

@@ -30,9 +30,32 @@ from financial_rag_system_tpu.ops.topk import masked_topk
 
 DEFAULT_TILE = 1024
 
+# ceiling for auto-sized token stores: a 1000-char reference chunk is
+# ~200-260 wordpieces, and the fused rerank truncates pairs at the
+# reranker's max_seq_length anyway (ops/fused_query._cross_rerank)
+DEFAULT_TOKEN_STORE_MAX = 384
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def auto_token_width(
+    lengths, *, cap: int = DEFAULT_TOKEN_STORE_MAX, multiple: int = 8,
+    floor: int = 16,
+) -> int:
+    """Token-store width from measured wordpiece lengths: p99 rounded up.
+
+    The sizing policy bench.py applied by hand (measured p99 chunk = 75
+    tokens -> DLEN 80), now applied at ingest (VERDICT r4 #1): store
+    width IS rerank latency when rerank dominates batch FLOPs, and a
+    static width silently truncates realistic 1000-char chunks.
+    ``lengths`` must already include the trailing SEP.
+    """
+    if not len(lengths):
+        return floor
+    p99 = int(np.percentile(np.asarray(lengths), 99))
+    return max(floor, min(cap, _round_up(p99, multiple)))
 
 
 class FlatIndex(SearchMixin):
@@ -46,8 +69,9 @@ class FlatIndex(SearchMixin):
         tile: int = DEFAULT_TILE,
         dtype: jnp.dtype = jnp.bfloat16,
         use_pallas: bool = True,
-        token_store_len: int | None = None,
+        token_store_len: int | str | None = None,
         tokenizer=None,
+        token_store_max: int = DEFAULT_TOKEN_STORE_MAX,
     ):
         from financial_rag_system_tpu.ops.topk import pallas_available
 
@@ -73,7 +97,16 @@ class FlatIndex(SearchMixin):
         )
         self.capacity = _round_up(max(capacity, tile), tile)
         self.store = DocumentStore()
+        # "auto": the store materializes on the first upsert at the
+        # measured p99 wordpiece width (auto_token_width) and widens in
+        # 32-token steps if later ingests measure longer — instead of a
+        # static width that silently truncates realistic chunks
+        self._auto_dlen = token_store_len == "auto" and tokenizer is not None
+        if token_store_len == "auto":
+            token_store_len = None
         self.token_store_len = token_store_len
+        self.token_store_max = token_store_max
+        self._tok_lengths: list[int] = []
         self.tokenizer = tokenizer
         # device arrays live in ONE tuple (emb, codes, doc_tok) swapped as
         # a unit: writers (upsert/_grow, which may change capacity) and
@@ -122,6 +155,13 @@ class FlatIndex(SearchMixin):
     @property
     def n_valid(self) -> int:
         return len(self.store)
+
+    @property
+    def token_store_enabled(self) -> bool:
+        """True when a device token store exists OR will materialize on
+        the first ingest (auto mode) — what fused-program construction
+        should gate on (the program's shapes come per-call)."""
+        return self._doc_tok is not None or self._auto_dlen
 
     def _grow(self, needed: int) -> None:
         new_cap = self.capacity
@@ -177,13 +217,22 @@ class FlatIndex(SearchMixin):
             self._grow(len(self.store))
 
         tok_rows = None
-        if self._doc_tok is not None:
+        if self.tokenizer is not None and (
+            self._doc_tok is not None or self._auto_dlen
+        ):
             from financial_rag_system_tpu.models.tokenizer import SEP_ID
 
+            tid_lists = [self.tokenizer.tokenize_ids(t) for t in texts]
+            if self._auto_dlen:
+                # sizes/widens self._doc_tok + token_store_len (one
+                # _arrays swap) BEFORE the batch rows are written below
+                self._autosize_token_store(
+                    [len(t) + 1 for t in tid_lists]
+                )
             dlen = self.token_store_len
             tok_rows = np.zeros((len(texts), dlen), np.int32)
-            for i, text in enumerate(texts):
-                tids = self.tokenizer.tokenize_ids(text)[: dlen - 1] + [SEP_ID]
+            for i, tids in enumerate(tid_lists):
+                tids = tids[: dlen - 1] + [SEP_ID]
                 tok_rows[i, : len(tids)] = tids
 
         rows_a = np.asarray(rows, np.int64)
@@ -212,6 +261,40 @@ class FlatIndex(SearchMixin):
                 dtok = dtok.at[rows_a].set(jnp.asarray(tok_rows))
         self._arrays = (emb, codes, dtok)  # one swap
         return new_count
+
+    def _autosize_token_store(self, lengths: list[int]) -> None:
+        """Auto mode: materialize the store at the measured p99 width, or
+        widen it when later ingests measure longer chunks.
+
+        Deterministic in the upsert stream (pure function of the batch
+        texts), so multi-process op-broadcast serving stays in lockstep.
+        Widening rounds up to 32-token steps to bound fused-program
+        retraces, and rebuilds every stored row from the host-resident
+        texts so earlier rows aren't left truncated at the old width.
+        """
+        self._tok_lengths.extend(lengths)
+        want = auto_token_width(self._tok_lengths, cap=self.token_store_max)
+        cur = self.token_store_len or 0
+        if self._doc_tok is None:
+            self.token_store_len = want
+            self._doc_tok = jnp.zeros((self.capacity, want), jnp.int32)
+            return
+        if want <= cur:
+            return
+        new_w = min(_round_up(want, 32), self.token_store_max)
+        if new_w <= cur:
+            return
+        from financial_rag_system_tpu.models.tokenizer import SEP_ID
+
+        self.token_store_len = new_w
+        n = len(self.store)
+        rebuilt = np.zeros((self.capacity, new_w), np.int32)
+        for r in range(n):
+            tids = self.tokenizer.tokenize_ids(
+                self.store.texts[r]
+            )[: new_w - 1] + [SEP_ID]
+            rebuilt[r, : len(tids)] = tids
+        self._doc_tok = jnp.asarray(rebuilt)
 
     # ------------------------------------------------------------------
     def search_device(

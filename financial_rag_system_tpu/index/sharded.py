@@ -133,8 +133,9 @@ class ShardedFlatIndex(SearchMixin):
         tile: int = DEFAULT_TILE,
         dtype: jnp.dtype = jnp.bfloat16,
         use_pallas: bool = False,
-        token_store_len: int | None = None,
+        token_store_len: int | str | None = None,
         tokenizer=None,
+        token_store_max: int | None = None,
     ):
         from financial_rag_system_tpu.ops.topk import pallas_available
 
@@ -162,7 +163,20 @@ class ShardedFlatIndex(SearchMixin):
         )
         self.capacity = per_shard * self.n_shards
         self.store = DocumentStore()
+        # auto mode mirrors FlatIndex: materialize at the measured p99
+        # width on first upsert, widen in 32-token steps (see
+        # flat.py _autosize_token_store — deterministic in the upsert
+        # stream, so op-broadcast lockstep holds)
+        from financial_rag_system_tpu.index.flat import (
+            DEFAULT_TOKEN_STORE_MAX,
+        )
+
+        self._auto_dlen = token_store_len == "auto" and tokenizer is not None
+        if token_store_len == "auto":
+            token_store_len = None
         self.token_store_len = token_store_len
+        self.token_store_max = token_store_max or DEFAULT_TOKEN_STORE_MAX
+        self._tok_lengths: list[int] = []
         self.tokenizer = tokenizer
         self._emb_sharding = NamedSharding(mesh, P(AXIS_CORPUS, None))
         self._codes_sharding = NamedSharding(mesh, P(None, AXIS_CORPUS))
@@ -212,6 +226,11 @@ class ShardedFlatIndex(SearchMixin):
     @property
     def n_valid(self) -> int:
         return len(self.store)
+
+    @property
+    def token_store_enabled(self) -> bool:
+        """See FlatIndex.token_store_enabled."""
+        return self._doc_tok is not None or self._auto_dlen
 
     def _grown(self, arrays, needed: int):
         """Grown copies of ``arrays`` (no attribute mutation — the caller
@@ -273,6 +292,15 @@ class ShardedFlatIndex(SearchMixin):
         if len(self.store) > self.capacity:
             arrays = self._grown(arrays, len(self.store))
         emb, codes, dtok = arrays
+        tok_lists = None
+        if self.tokenizer is not None and (
+            dtok is not None or self._auto_dlen
+        ):
+            tok_lists = [self.tokenizer.tokenize_ids(t) for t in texts]
+            if self._auto_dlen:
+                dtok = self._autosized_dtok(
+                    dtok, [len(t) + 1 for t in tok_lists]
+                )
         rows_a = np.asarray(rows)
         # scattered device update keeping the sharding
         emb = jax.device_put(
@@ -285,13 +313,13 @@ class ShardedFlatIndex(SearchMixin):
             ),
             self._codes_sharding,
         )
-        if dtok is not None:
+        if dtok is not None and tok_lists is not None:
             from financial_rag_system_tpu.models.tokenizer import SEP_ID
 
             dlen = self.token_store_len
             tok_rows = np.zeros((len(texts), dlen), np.int32)
-            for i, text in enumerate(texts):
-                tids = self.tokenizer.tokenize_ids(text)[: dlen - 1] + [SEP_ID]
+            for i, tids in enumerate(tok_lists):
+                tids = tids[: dlen - 1] + [SEP_ID]
                 tok_rows[i, : len(tids)] = tids
             dtok = jax.device_put(
                 dtok.at[rows_a].set(jnp.asarray(tok_rows)),
@@ -299,6 +327,43 @@ class ShardedFlatIndex(SearchMixin):
             )
         self._arrays = (emb, codes, dtok)  # one swap
         return new_count
+
+    def _autosized_dtok(self, dtok, lengths: list[int]):
+        """Auto token store for the sharded tier: returns the (possibly
+        freshly materialized or widened) dtok WITHOUT touching
+        self._arrays — the caller owns the single atomic swap.  Same
+        policy as flat.py _autosize_token_store."""
+        from financial_rag_system_tpu.index.flat import (
+            _round_up as _ru,
+            auto_token_width,
+        )
+
+        self._tok_lengths.extend(lengths)
+        want = auto_token_width(self._tok_lengths, cap=self.token_store_max)
+        cur = self.token_store_len or 0
+        if dtok is None:
+            self.token_store_len = want
+            return device_full(
+                self._dtok_sharding, (self.capacity, want), jnp.int32
+            )
+        if want <= cur:
+            return dtok
+        new_w = min(_ru(want, 32), self.token_store_max)
+        if new_w <= cur:
+            return dtok
+        from financial_rag_system_tpu.models.tokenizer import SEP_ID
+
+        self.token_store_len = new_w
+        n = len(self.store)
+        rebuilt = np.zeros((self.capacity, new_w), np.int32)
+        for r in range(n):
+            tids = self.tokenizer.tokenize_ids(
+                self.store.texts[r]
+            )[: new_w - 1] + [SEP_ID]
+            rebuilt[r, : len(tids)] = tids
+        # every process rebuilds from identical host texts (lockstep
+        # contract), so no cross-process value check is needed
+        return host_to_global(self._dtok_sharding, rebuilt, jnp.int32)
 
     def search_device(
         self, query_vecs: jax.Array, query_filter: jax.Array, k: int,

@@ -255,7 +255,11 @@ def build_default_engine(mode: str = "batched") -> RAGEngine:
     # the hermetic hash stack's DE-ALIASED hash rerank does the same
     # (ops/fused_query.fused_hash_rerank_query).
     tok = getattr(embedder, "tokenizer", None)
-    dlen = cfg.token_store_len if tok is not None else None
+    # 0 = auto: the store materializes at the measured p99 wordpiece
+    # width on first ingest (index/flat.py auto_token_width)
+    dlen = (
+        (cfg.token_store_len or "auto") if tok is not None else None
+    )
 
     import jax
 
@@ -303,6 +307,7 @@ def build_default_engine(mode: str = "batched") -> RAGEngine:
                 use_pallas=cfg.use_pallas,
                 dtype=jnp.dtype(cfg.index_dtype),
                 token_store_len=dlen, tokenizer=tok,
+                token_store_max=cfg.token_store_max,
             )
         return RAGEngine(cfg, index, embedder, reranker, mode=mode)
     if os.path.exists(os.path.join(cfg.index_dir, "flat_index.npz")):
@@ -330,6 +335,7 @@ def build_default_engine(mode: str = "batched") -> RAGEngine:
             cfg.embed_dim, tile=cfg.corpus_tile, use_pallas=cfg.use_pallas,
             token_store_len=dlen, tokenizer=tok,
             dtype=jnp.dtype(cfg.index_dtype),
+            token_store_max=cfg.token_store_max,
         )
     return RAGEngine(cfg, index, embedder, reranker, mode=mode)
 

@@ -199,6 +199,15 @@ class RAGEngine:
         full_stack = isinstance(self.embedder, BiEncoder) and isinstance(
             self.reranker, CrossEncoderReranker
         )
+
+        def has_store(idx) -> bool:
+            # auto token stores materialize on the first ingest; the
+            # fused program can be built before that (its shapes come
+            # per-call) — _fused_exec falls back staged while the store
+            # is still None
+            return getattr(idx, "token_store_enabled", False) or (
+                idx._doc_tok is not None
+            )
         if isinstance(index, HNSWIndex):
             flat = index.flat
             if (
@@ -301,7 +310,7 @@ class RAGEngine:
             # sync/batch as the single-chip path with 1/S of its rerank
             # per device.  No tail/selective fallback conditions exist:
             # the sharded flat search is exact.
-            if full_stack and index._doc_tok is not None:
+            if full_stack and has_store(index):
                 from financial_rag_system_tpu.ops.fused_query import (
                     make_sharded_fused_query,
                 )
@@ -323,7 +332,7 @@ class RAGEngine:
 
                 self._fused_kind = "hash"
                 self._fused_hash_rerank = (
-                    not self.reranker.identity and index._doc_tok is not None
+                    not self.reranker.identity and has_store(index)
                 )
                 return make_sharded_fused_hash_query(
                     index.mesh,
@@ -337,7 +346,7 @@ class RAGEngine:
         if not isinstance(index, FlatIndex):
             return None
         quantized = index.quantized
-        if full_stack and index._doc_tok is not None:
+        if full_stack and has_store(index):
             from financial_rag_system_tpu.ops.fused_query import make_fused_query
 
             self._fused_kind = "full"
@@ -356,7 +365,7 @@ class RAGEngine:
 
             self._fused_kind = "hash"
             self._fused_hash_rerank = (
-                not self.reranker.identity and index._doc_tok is not None
+                not self.reranker.identity and has_store(index)
             )
             return make_fused_hash_query(
                 k=self.cfg.retrieve_k,
@@ -509,6 +518,8 @@ class RAGEngine:
             # one read of the array tuple: a concurrent upsert/grow must
             # not pair a new emb with old codes/token-store mid-batch
             emb, idx_codes, doc_tok = index._arrays
+            if doc_tok is None and (kind == "full" or hash_rerank):
+                return None  # auto token store not yet materialized
             nv = jnp.asarray(min(index.n_valid, emb.shape[0]), jnp.int32)
             if kind == "full":
                 rows, bi, ce = fused(

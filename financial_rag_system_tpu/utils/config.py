@@ -92,7 +92,12 @@ class Config:
     index_dtype: str = "bfloat16"   # corpus storage: bfloat16 | int8
     corpus_tile: int = 1024         # corpus rows per Pallas grid step
     max_corpus: int = 1 << 15       # initial sharded capacity (grows on demand)
-    token_store_len: int = 192      # device token store width (fused rerank)
+    # device token store width (fused rerank).  0 = AUTO: sized at ingest
+    # from the measured p99 wordpiece length, widened if later chunks
+    # measure longer (index/flat.py auto_token_width) — a static width
+    # silently truncates realistic 1000-char chunks (VERDICT r4 #1)
+    token_store_len: int = 0
+    token_store_max: int = 384      # ceiling for the auto-sized store
 
     # --- serving -----------------------------------------------------------
     host: str = "0.0.0.0"
@@ -121,6 +126,8 @@ class Config:
             index_dtype=os.environ.get("RAG_TPU_INDEX_DTYPE", "bfloat16"),
             corpus_tile=_env_int("RAG_TPU_CORPUS_TILE", 1024),
             max_corpus=_env_int("RAG_TPU_MAX_CORPUS", 1 << 15),
+            token_store_len=_env_int("RAG_TPU_TOKEN_STORE_LEN", 0),
+            token_store_max=_env_int("RAG_TPU_TOKEN_STORE_MAX", 384),
             batch_window_s=_env_float("RAG_TPU_BATCH_WINDOW_S", 0.05),
             batch_eager_idle_s=_env_float("RAG_TPU_BATCH_EAGER_IDLE_S", 0.005),
             max_batch_size=_env_int("RAG_TPU_MAX_BATCH", 32),
