@@ -86,20 +86,17 @@ def _prep_queries(qv: jax.Array, corpus_dtype, quantized: bool) -> jax.Array:
     return qv.astype(corpus_dtype)
 
 
-def _cross_encode_pairs(
-    rerank_params,
+def _assemble_pairs(
     pair_q: jax.Array,   # (P, LQ) per-pair query token ids
     pair_d: jax.Array,   # (P, DLEN) per-pair doc token ids
     *,
     rerank_cfg: bert.BertConfig,
-) -> jax.Array:
-    """Cross-encode P (query, doc) token-id pairs in one forward.
-
-    Shared pair-assembly core of :func:`_cross_rerank` (single-device:
-    every candidate of every query) and :func:`_sharded_balanced_rerank`
-    (one even 1/S slice of the pair batch per shard).  Returns (P,) f32
-    logits; callers mask empty slots.
-    """
+):
+    """Lay P (query, doc) token-id pairs out as one padded cross-encoder
+    batch.  Returns (pair_ids, pair_types, pair_mask) of shape
+    (round_up(P, 8), plen) — the layout stage of the fused rerank, split
+    out so the telescoping bench prefixes (:func:`fused_two_stage_prefix`)
+    price it separately from the encoder layers."""
     p, lq = pair_q.shape
     dlen = pair_d.shape[1]
     # first-party trained rerankers carry the length they were trained at
@@ -137,8 +134,12 @@ def _cross_encode_pairs(
         pair_ids = jnp.pad(pair_ids, ((0, 0), (0, pad_l)))
         pair_types = jnp.pad(pair_types, ((0, 0), (0, pad_l)))
         pair_mask = jnp.pad(pair_mask, ((0, 0), (0, pad_l)))
+    return pair_ids, pair_types, pair_mask
 
-    hh = bert.encode(rerank_params, pair_ids, pair_types, pair_mask, rerank_cfg)
+
+def _pair_head(rerank_params, hh: jax.Array, p: int) -> jax.Array:
+    """Pooler + classifier epilogue over encoded pairs: (P', L, H) CLS
+    slice -> tanh pooler -> 1-logit classifier -> (p,) f32."""
     pooled = jnp.tanh(
         bert._matmul(hh[:, 0, :], rerank_params["pooler"]["w"],
                      rerank_params["pooler"]["b"])
@@ -147,6 +148,28 @@ def _cross_encode_pairs(
         pooled, rerank_params["classifier"]["w"], rerank_params["classifier"]["b"]
     )
     return logits[:p, 0]
+
+
+def _cross_encode_pairs(
+    rerank_params,
+    pair_q: jax.Array,   # (P, LQ) per-pair query token ids
+    pair_d: jax.Array,   # (P, DLEN) per-pair doc token ids
+    *,
+    rerank_cfg: bert.BertConfig,
+) -> jax.Array:
+    """Cross-encode P (query, doc) token-id pairs in one forward.
+
+    Shared pair-assembly core of :func:`_cross_rerank` (single-device:
+    every candidate of every query) and :func:`_sharded_balanced_rerank`
+    (one even 1/S slice of the pair batch per shard).  Returns (P,) f32
+    logits; callers mask empty slots.
+    """
+    p = pair_q.shape[0]
+    pair_ids, pair_types, pair_mask = _assemble_pairs(
+        pair_q, pair_d, rerank_cfg=rerank_cfg
+    )
+    hh = bert.encode(rerank_params, pair_ids, pair_types, pair_mask, rerank_cfg)
+    return _pair_head(rerank_params, hh, p)
 
 
 def _cross_rerank(
@@ -273,6 +296,106 @@ def fused_two_stage(
         rerank_cfg=rerank_cfg,
     )
     return rows, bi_scores, logits
+
+
+def fused_two_stage_prefix(
+    embed_params,
+    rerank_params,
+    q_ids: jax.Array,
+    q_types: jax.Array,
+    q_mask: jax.Array,
+    query_filter: jax.Array,
+    corpus_emb: jax.Array,
+    corpus_codes: jax.Array,
+    doc_tokens: jax.Array,
+    n_valid: jax.Array,
+    *,
+    embed_cfg: bert.BertConfig,
+    rerank_cfg: bert.BertConfig,
+    k: int,
+    tile: int,
+    use_pallas: bool,
+    quantized: bool = False,
+    stop: str = "full",
+):
+    """Telescoping prefixes of :func:`fused_two_stage` for on-chip stage
+    attribution (VERDICT r4 #2: name where in-pipeline rerank time goes).
+
+    ``stop`` selects how much of the pipeline compiles into the program:
+
+    - ``"embed"``  — BGE encoder only, returns the (B, D) query vectors;
+    - ``"search"`` — + fused masked top-k, returns (rows, bi);
+    - ``"gather"`` — + HBM token gather and pair layout
+      (:func:`_assemble_pairs`), returning checksums that force the
+      gathered (P, plen) pair block to be computed;
+    - ``"layers"`` — + the full cross-encoder stack over the pairs,
+      returning the (P,) CLS column sum (head/epilogue excluded);
+    - ``"full"``   — identical to :func:`fused_two_stage`.
+
+    Stage costs are differences of interleaved medians of consecutive
+    prefixes (bench.py "fused stage split").  Each prefix reuses the
+    EXACT helpers the serving program compiles (:func:`_assemble_pairs`,
+    ``bert.encode``, :func:`_pair_head`), so a prefix difference is the
+    true marginal cost of that stage, not a reimplementation's.
+    """
+    h = bert.encode(embed_params, q_ids, q_types, q_mask, embed_cfg)
+    cls = h[:, 0, :]
+    qv = cls / jnp.linalg.norm(cls, axis=-1, keepdims=True).clip(1e-12)
+    if stop == "embed":
+        return qv
+    q = _prep_queries(qv, corpus_emb.dtype, quantized)
+    if use_pallas:
+        bi, rows = masked_topk_pallas(
+            q, corpus_emb, corpus_codes, query_filter, n_valid, k, tile=tile,
+        )
+    else:
+        bi, rows = masked_topk_xla(
+            q, corpus_emb, corpus_codes, query_filter, n_valid, k
+        )
+    if stop == "search":
+        return rows, bi
+
+    b, lq = q_ids.shape
+    dtok = doc_tokens[jnp.maximum(rows, 0)]  # (B, K, DLEN)
+    pair_q = jnp.broadcast_to(q_ids[:, None, :], (b, k, lq)).reshape(b * k, lq)
+    pair_ids, pair_types, pair_mask = _assemble_pairs(
+        pair_q, dtok.reshape(b * k, -1), rerank_cfg=rerank_cfg
+    )
+    if stop == "gather":
+        # reductions force the gather + layout to be computed; the fetch
+        # stays one tiny vector (B,) like every other prefix
+        chk = (
+            pair_ids.reshape(b, -1).sum(axis=1)
+            + pair_types.reshape(b, -1).sum(axis=1)
+            + pair_mask.reshape(b, -1).sum(axis=1)
+        )
+        return rows, chk
+    hh = bert.encode(rerank_params, pair_ids, pair_types, pair_mask, rerank_cfg)
+    if stop == "layers":
+        return rows, hh[:, 0, :].sum(axis=-1)[: b * k].reshape(b, k)
+    logits = _pair_head(rerank_params, hh, b * k).reshape(b, k)
+    return rows, bi, jnp.where(
+        jnp.isfinite(bi) & (rows >= 0), logits, -jnp.inf
+    )
+
+
+def make_fused_prefix(
+    embed_cfg: bert.BertConfig,
+    rerank_cfg: bert.BertConfig,
+    *,
+    k: int,
+    tile: int = 1024,
+    use_pallas: bool = True,
+    quantized: bool = False,
+    stop: str = "full",
+):
+    """jit-compiled :func:`fused_two_stage_prefix` with static configs."""
+    fn = functools.partial(
+        fused_two_stage_prefix,
+        embed_cfg=embed_cfg, rerank_cfg=rerank_cfg, k=k, tile=tile,
+        use_pallas=use_pallas, quantized=quantized, stop=stop,
+    )
+    return jax.jit(fn)
 
 
 def fused_hash_query(

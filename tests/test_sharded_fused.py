@@ -413,3 +413,73 @@ def test_sharded_ivf_fused_geometry_guard(tmp_path):
     assert eng._fused_batch(*args) is None
     eng.index._state = state
     assert eng._fused_batch(*args) is not None
+
+
+def test_fused_prefix_family_matches_full():
+    """Telescoping bench prefixes (ops/fused_query.fused_two_stage_prefix)
+    compile the SAME pipeline serving compiles: stop='full' is
+    bit-identical to fused_two_stage, and every shorter prefix agrees
+    with the full program on the outputs it shares (VERDICT r4 #2 — the
+    stage attribution is only meaningful if the prefixes are true
+    prefixes)."""
+    from financial_rag_system_tpu.ops.fused_query import make_fused_prefix
+
+    k, tile, b, lq, dlen, d = 7, 64, 4, 16, 32, 32
+    n = 4 * tile
+    rng = np.random.default_rng(3)
+    ep = bert.init_params(jax.random.PRNGKey(0), TINY_EMBED)
+    rp = bert.init_params(jax.random.PRNGKey(1), TINY_CROSS)
+    q_ids = jnp.asarray(rng.integers(103, 2000, (b, lq)), jnp.int32)
+    q_types = jnp.zeros_like(q_ids)
+    q_mask = jnp.ones_like(q_ids)
+    qf = jnp.asarray(
+        np.stack([rng.integers(0, 3, b), np.full(b, -1)], axis=1), jnp.int32
+    )
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    args = (
+        ep, rp, q_ids, q_types, q_mask, qf, jnp.asarray(emb),
+        jnp.asarray(np.stack([rng.integers(0, 3, n), rng.integers(0, 2, n)]),
+                    jnp.int32),
+        jnp.asarray(rng.integers(103, 2000, (n, dlen)), jnp.int32),
+        jnp.asarray(n - 5, jnp.int32),
+    )
+
+    def mk(stop):
+        return make_fused_prefix(
+            TINY_EMBED, TINY_CROSS, k=k, tile=tile, use_pallas=False,
+            stop=stop,
+        )
+
+    rows_f, bi_f, ce_f = mk("full")(*args)
+    ref = fused_two_stage(
+        *args, embed_cfg=TINY_EMBED, rerank_cfg=TINY_CROSS,
+        k=k, tile=tile, use_pallas=False,
+    )
+    # same math, different jit fusion boundaries: scores agree to float
+    # rounding, candidate sets exactly
+    np.testing.assert_array_equal(np.asarray(rows_f), np.asarray(ref[0]))
+    np.testing.assert_allclose(
+        np.asarray(bi_f), np.asarray(ref[1]), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(ce_f), np.asarray(ref[2]), rtol=1e-5, atol=1e-6
+    )
+
+    qv = mk("embed")(*args)
+    assert qv.shape == (b, d)
+    np.testing.assert_allclose(
+        np.asarray(jnp.linalg.norm(qv, axis=-1)), 1.0, rtol=1e-5
+    )
+    rows_s, bi_s = mk("search")(*args)
+    np.testing.assert_array_equal(np.asarray(rows_s), np.asarray(rows_f))
+    np.testing.assert_allclose(
+        np.asarray(bi_s), np.asarray(bi_f), rtol=1e-5, atol=1e-6
+    )
+    rows_g, chk = mk("gather")(*args)
+    np.testing.assert_array_equal(np.asarray(rows_g), np.asarray(rows_f))
+    assert chk.shape == (b,) and bool(np.all(np.asarray(chk) > 0))
+    rows_l, cls_sum = mk("layers")(*args)
+    np.testing.assert_array_equal(np.asarray(rows_l), np.asarray(rows_f))
+    assert cls_sum.shape == (b, k)
+    assert bool(np.all(np.isfinite(np.asarray(cls_sum))))
