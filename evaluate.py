@@ -30,7 +30,7 @@ import numpy as np
 
 def build_index(
     n_chunks: int, embedder, use_pallas: bool, *, hard: bool = False,
-    token_store: bool = False,
+    token_store: bool = False, chunk_chars: int | None = None,
 ):
     from financial_rag_system_tpu.data.synthetic import (
         make_corpus,
@@ -39,7 +39,7 @@ def build_index(
     from financial_rag_system_tpu.index.flat import FlatIndex
 
     maker = make_hard_corpus if hard else make_corpus
-    ids, texts, payloads = maker(n_chunks)
+    ids, texts, payloads = maker(n_chunks, chunk_chars=chunk_chars)
     import jax.numpy as jnp
 
     from financial_rag_system_tpu.utils.config import get_config
@@ -99,6 +99,7 @@ def trained_encoder(
     *, steps: int = 150, seed: int = 0, lr: float | None = None,
     arch: str = "compact", hard_negatives: bool = False,
     filler_negatives: bool = False, neg_weight: float = 1.0,
+    chunk_chars: int | None = None,
 ):
     """Contrastively fine-tuned BERT bi-encoder (random init, no egress).
 
@@ -135,11 +136,13 @@ def trained_encoder(
     # where the bait triples measured negative (canonical: w=0.5 →
     # hard 100%/0.753; w=1.0 also 100% Hit@5 but 0.709 MRR)
     if hard_negatives:
-        pairs: list[tuple[str, ...]] = make_train_triples()
+        pairs: list[tuple[str, ...]] = make_train_triples(
+            chunk_chars=chunk_chars
+        )
     elif filler_negatives:
-        pairs = make_filler_triples()
+        pairs = make_filler_triples(chunk_chars=chunk_chars)
     else:
-        pairs = make_train_pairs()
+        pairs = make_train_pairs(chunk_chars=chunk_chars)
     epochs = max(1, (steps * 32) // len(pairs))
     t0 = time.time()
     params, losses = train(
@@ -156,7 +159,7 @@ def trained_encoder(
 
 def trained_reranker(
     *, steps: int = 150, seed: int = 1, lr: float = 1e-4,
-    arch: str = "compact",
+    arch: str = "compact", chunk_chars: int | None = None,
 ):
     """Cross-encoder head trained on paraphrase positives + bait hard
     negatives (train/cross_encoder.py) — gives the hard-mode two-stage
@@ -174,13 +177,35 @@ def trained_reranker(
 
     cfg = _reranker_cfg(arch)
     params = bert.init_params(jax.random.PRNGKey(seed), cfg)
-    examples = make_cross_examples(seed=seed)
+    examples = make_cross_examples(seed=seed, chunk_chars=chunk_chars)
     epochs = max(1, (steps * 32) // len(examples))
     t0 = time.time()
     # ONE length for train and serve: positions past the trained length
     # stay random init, so the serving reranker (and the exported
-    # max_seq_length) must truncate exactly where training did
+    # max_seq_length) must truncate exactly where training did.  At
+    # realistic chunk lengths (--chunk-chars 1000) the pair no longer
+    # fits 128, so size it the way ingest sizes the token store: p99
+    # measured pair wordpieces, rounded up (index/flat.auto_token_width)
+    # and capped at the architecture's positions — the reranker then
+    # trains and serves untruncated at the reference's pair shape
+    # (reference main.py:241-247 reranks full chunk text)
     max_len = 128
+    if chunk_chars:
+        from financial_rag_system_tpu.index.flat import auto_token_width
+        from financial_rag_system_tpu.models.tokenizer import Tokenizer as _Tk
+
+        _tk = _Tk()
+        lens = [
+            len(_tk.tokenize_ids(q)) + len(_tk.tokenize_ids(c)) + 3
+            for q, c, _ in examples
+        ]
+        max_len = min(
+            cfg.max_positions,
+            max(128, auto_token_width(lens, cap=cfg.max_positions,
+                                      multiple=32)),
+        )
+        print(f"reranker max_len auto-sized to {max_len} "
+              f"(p99 pair wordpieces at chunk_chars={chunk_chars})")
     params, losses = train_cross_encoder(
         params, cfg, examples, epochs=epochs, batch_size=32, lr=lr,
         max_len=max_len, seed=seed,
@@ -218,7 +243,7 @@ def save_trained(embedder, reranker, out_dir: str) -> None:
 def run_evaluation(
     k: int = 5, n_chunks: int = 2048, two_stage: bool = False,
     tier: str = "flat", hard: bool = False, embedder=None, reranker=None,
-    index=None, serving_path: bool = False,
+    index=None, serving_path: bool = False, chunk_chars: int | None = None,
 ):
     from financial_rag_system_tpu.data.synthetic import (
         GOLDEN_SET,
@@ -240,10 +265,11 @@ def run_evaluation(
     else:
         index = build_index(
             n_chunks, embedder, use_pallas, hard=hard,
-            token_store=serving_path,
+            token_store=serving_path, chunk_chars=chunk_chars,
         )
         print(f"built synthetic corpus: {index.n_valid} chunks"
-              + (" (hard mode)" if hard else ""))
+              + (" (hard mode)" if hard else "")
+              + (f" (chunk_chars={chunk_chars})" if chunk_chars else ""))
     if tier == "ivf":
         from financial_rag_system_tpu.index.ivf import IVFIndex
 
@@ -460,6 +486,13 @@ if __name__ == "__main__":
                          "harness — quality AND latency of the path "
                          "users hit; builds the corpus with the device "
                          "token store")
+    ap.add_argument("--chunk-chars", type=int, default=0,
+                    help="pad synthetic chunks toward this many chars "
+                         "(reference ingest.py emits 1000-char chunks; "
+                         "0 = legacy ~150-char corpus).  Applies "
+                         "identically to the corpus builders AND every "
+                         "trainer's supervision, and auto-sizes the "
+                         "trained reranker's pair length")
     ap.add_argument("--report", choices=("one", "full"), default="one",
                     help="full = evaluate BOTH gates (hard 64k + easy "
                          "2048) single- AND two-stage from the one "
@@ -469,16 +502,18 @@ if __name__ == "__main__":
     hard = args.hard or args.trained
     corpus = args.corpus or (65536 if hard else 2048)
     emb, rr = None, None
+    chunk_chars = args.chunk_chars or None
     if args.trained:
         emb = trained_encoder(
             steps=args.train_steps, arch=args.trained_arch,
             hard_negatives=args.hard_negatives,
             filler_negatives=args.filler_negatives,
-            neg_weight=args.neg_weight,
+            neg_weight=args.neg_weight, chunk_chars=chunk_chars,
         )
         if args.two_stage:
             rr = trained_reranker(
-                steps=args.train_steps, arch=args.trained_arch
+                steps=args.train_steps, arch=args.trained_arch,
+                chunk_chars=chunk_chars,
             )
         if args.distill and rr is not None:
             from financial_rag_system_tpu.data.synthetic import (
@@ -518,7 +553,8 @@ if __name__ == "__main__":
         results = {}
         for gate, n_c in (("hard", corpus), ("easy", args.corpus or 2048)):
             t0 = time.time()
-            idx = build_index(n_c, emb, use_pallas, hard=gate == "hard")
+            idx = build_index(n_c, emb, use_pallas, hard=gate == "hard",
+                              chunk_chars=chunk_chars)
             print(f"[{gate}] corpus built: {idx.n_valid} chunks in "
                   f"{time.time()-t0:.0f}s", flush=True)
             for stage, two in (("single", False), ("two", True)):
@@ -534,4 +570,5 @@ if __name__ == "__main__":
     else:
         run_evaluation(args.k, corpus, args.two_stage, tier=args.tier,
                        hard=hard, embedder=emb, reranker=rr,
-                       serving_path=args.serving_path)
+                       serving_path=args.serving_path,
+                       chunk_chars=chunk_chars)
