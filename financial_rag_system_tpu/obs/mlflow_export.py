@@ -103,14 +103,19 @@ def export_jsonl(tracer, path: str, *, n: int | None = None) -> int:
     return len(traces)
 
 
-def try_live_export(tracer, *, n: int | None = None) -> bool:
+def try_live_export(
+    tracer=None, *, n: int | None = None,
+    spans: list[dict[str, Any]] | None = None,
+) -> bool:
     """Replay recent spans into a live MLflow server, if one is wired.
 
     Requires both the ``mlflow`` package (not part of this image) and
     ``MLFLOW_TRACKING_URI`` — mirroring the reference's opt-in wiring
     (main2.py:306-309).  Never raises: serving must not depend on an
     observability sidecar (the reference's own MLflow calls are wrapped
-    in try/except for the same reason, main2.py:310-313).
+    in try/except for the same reason, main2.py:310-313).  Pass
+    ``spans`` to replay an explicit batch (the continuous export pump,
+    obs/export_loop.py) instead of the tracer's recent ring.
     """
     uri = os.environ.get("MLFLOW_TRACKING_URI")
     if not uri:
@@ -122,7 +127,8 @@ def try_live_export(tracer, *, n: int | None = None) -> bool:
         mlflow.set_experiment(
             os.environ.get("MLFLOW_EXPERIMENT", "financial-rag-tpu")
         )
-        spans = tracer.recent_traces(n or 10**9)
+        if spans is None:
+            spans = tracer.recent_traces(n or 10**9)
         for trace in to_mlflow_traces(spans):
             # replay preserving the recorded hierarchy: children open
             # inside their parent's context manager so MLflow nests them

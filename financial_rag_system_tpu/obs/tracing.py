@@ -109,6 +109,7 @@ class Tracer:
         self._metrics: dict[str, _MetricAgg] = {}
         self._jsonl_path = jsonl_path or os.environ.get("RAG_TPU_TRACE_PATH")
         self._jsonl_file = None
+        self._seq = 0  # monotone finished-span counter (export cursors)
 
     @contextmanager
     def span(
@@ -142,6 +143,7 @@ class Tracer:
     def _record(self, sp: Span) -> None:
         d = sp.to_dict()
         with self._lock:
+            self._seq += 1
             self._finished.append(d)
             if len(self._finished) > self._max:
                 self._finished.pop(0)
@@ -165,6 +167,17 @@ class Tracer:
     def recent_traces(self, n: int = 20) -> list[dict[str, Any]]:
         with self._lock:
             return self._finished[-n:]
+
+    def traces_since(self, seq: int) -> tuple[int, list[dict[str, Any]]]:
+        """Spans finished after export cursor ``seq`` (0 = from the
+        start), plus the new cursor.  The ring is bounded at
+        ``max_traces`` spans, so a consumer that falls further behind
+        than that loses the overflow — fine for observability pumps
+        (obs/export_loop.py), which poll far faster than 256 spans
+        accumulate."""
+        with self._lock:
+            new = min(self._seq - seq, len(self._finished))
+            return self._seq, list(self._finished[-new:]) if new > 0 else []
 
     def reset(self) -> None:
         with self._lock:

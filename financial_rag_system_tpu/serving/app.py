@@ -59,8 +59,21 @@ def create_app(engine: RAGEngine) -> web.Application:
 
     async def on_startup(app: web.Application) -> None:
         await engine.startup()
+        # continuous observability export (MLflow tracking server and/or
+        # OTLP collector), decoupled from the request path — started
+        # only when the environment wires a sink (obs/export_loop.py);
+        # the reference exported per-request via MLflow/OTel
+        # instrumentation (main2.py:306-313, main.py:74-75)
+        from financial_rag_system_tpu.obs.export_loop import (
+            maybe_start_export_loop,
+        )
+
+        app["trace_export_loop"] = maybe_start_export_loop(get_tracer())
 
     async def on_cleanup(app: web.Application) -> None:
+        loop = app.get("trace_export_loop")
+        if loop is not None:
+            await asyncio.to_thread(loop.stop)
         await engine.shutdown()
 
     app.on_startup.append(on_startup)
@@ -205,6 +218,15 @@ def create_app(engine: RAGEngine) -> web.Application:
             to_mlflow_traces(get_tracer().recent_traces(n))
         )
 
+    async def traces_otlp(request: web.Request) -> web.Response:
+        """OTLP-JSON trace export (obs/otlp_export.py) — the payload the
+        continuous pump POSTs to a collector, served for inspection and
+        for pull-based scraping."""
+        from financial_rag_system_tpu.obs.otlp_export import to_otlp
+
+        n = int(request.query.get("n", 100))
+        return web.json_response(to_otlp(get_tracer().recent_traces(n)))
+
     async def ui(request: web.Request) -> web.Response:
         from financial_rag_system_tpu.serving.ui import PAGE
 
@@ -225,6 +247,7 @@ def create_app(engine: RAGEngine) -> web.Application:
             web.get("/metrics", metrics),
             web.get("/traces", traces),
             web.get("/traces/mlflow", traces_mlflow),
+            web.get("/traces/otlp", traces_otlp),
             web.get("/", ui),
         ]
     )
