@@ -186,3 +186,87 @@ def test_sharded_auto_matches_flat():
         np.asarray(sh._doc_tok[: sh.n_valid]),
         np.asarray(fl._doc_tok[: fl.n_valid]),
     )
+
+
+def test_fused_matches_staged_at_realistic_chunks(tmp_path):
+    """Fused-vs-staged agreement at reference-realistic 1000-char chunks
+    (VERDICT r4 #1's agreement check): with the auto-sized token store,
+    the fused program's candidate sets and rerank ordering match the
+    staged harness on a realistic corpus — token-store sizing costs no
+    recall.  (Reference main.py:241-247 reranks full chunk text; here
+    the device store must cover it.)"""
+    from financial_rag_system_tpu.data.synthetic import make_hard_corpus
+
+    tok = Tokenizer()
+    ids, texts, payloads = make_hard_corpus(96, chunk_chars=1000)
+    assert int(np.percentile([len(t) for t in texts], 50)) > 700
+
+    embedder = BiEncoder(
+        bert.init_params(jax.random.PRNGKey(0), TINY_EMBED),
+        TINY_EMBED, tok, pooling="cls", max_len=64,
+    )
+    reranker = CrossEncoderReranker(
+        bert.init_params(jax.random.PRNGKey(1), TINY_CROSS),
+        TINY_CROSS, tok, max_len=512,
+    )
+    index = FlatIndex(
+        64, capacity=128, tile=128, use_pallas=False,
+        token_store_len="auto", tokenizer=tok,
+    )
+    index.upsert(ids, embedder.encode(texts), texts, payloads)
+    # the measured store must cover realistic chunks (not the legacy 80)
+    assert index.token_store_len >= 224
+
+    cfg = Config(
+        testing=True, database_url=":memory:",
+        breaker_state_path=str(tmp_path / "cb.json"), embed_dim=64,
+    )
+    eng = RAGEngine(cfg, index, embedder, reranker, mode="sequential")
+    assert eng._fused_fn is not None and eng._fused_kind == "full"
+
+    # a second engine over the SAME corpus with a full-width store
+    # (448: covers every chunk's wordpieces outright, and 32 + 448 still
+    # fits TINY_CROSS's 512 positions):
+    # no chunk can truncate there, so any auto-width cost shows as a
+    # fused-vs-fused divergence (same pair layout in both — this isolates
+    # truncation from the documented fixed-offset layout approximation,
+    # ops/fused_query.py module docstring)
+    index_full = FlatIndex(
+        64, capacity=128, tile=128, use_pallas=False,
+        token_store_len=448, tokenizer=tok,
+    )
+    index_full.upsert(
+        ids, embedder.encode(texts), texts, payloads
+    )
+    eng_full = RAGEngine(
+        cfg, index_full, embedder, reranker, mode="sequential"
+    )
+
+    queries = [
+        "how did revenue trend this quarter",
+        "what pressured gross margin",
+    ]
+    filters = [("AAPL", None), ("AAPL", None)]
+    fused = eng._fused_batch(queries, filters)
+    fused_full = eng_full._fused_batch(queries, filters)
+    assert fused is not None and fused_full is not None
+    staged = eng._embed_retrieve_batch(queries, filters)
+    for ((_fv, fh), (_gv, gh), (_sv, sh)) in zip(fused, fused_full, staged):
+        # identical retrieval candidate sets: fused == staged
+        assert [h["row"] for h in fh] == [h["row"] for h in sh]
+        assert [h["row"] for h in gh] == [h["row"] for h in sh]
+        # identical rerank ORDERING auto-width vs untruncated: the
+        # p99-sized store loses no recall
+        auto_order = [
+            h["row"] for h in sorted(fh, key=lambda h: -h["rerank_score"])
+        ]
+        full_order = [
+            h["row"] for h in sorted(gh, key=lambda h: -h["rerank_score"])
+        ]
+        assert auto_order == full_order
+        # and for every candidate the store fully covers, the device
+        # score is bit-identical to the untruncated store's
+        w = index.token_store_len
+        for hf, hg in zip(fh, gh):
+            if len(tok.tokenize_ids(hf["text"])) + 1 <= w:
+                assert hf["rerank_score"] == hg["rerank_score"]
