@@ -126,6 +126,37 @@ def _flash_enabled(seq: int, heads: int) -> bool:
         return False
 
 
+def _pair_attn_enabled(seq: int, head_dim: int) -> bool:
+    """First-party Pallas pair-attention kernel (ops/attention.py).
+
+    Default AUTO: on TPU, engage when the sequence is long enough that
+    XLA's materialized (B, H, S, S) f32 scores dominate the forward —
+    measured crossover on the v5e at the 480-pair rerank shape: seq 400
+    runs 199 ms with XLA's graph vs ~50 ms with the kernel, while at
+    seq 112 XLA's fusion already hides the small score tensor.  The
+    bundled flash kernel is 2x WORSE at both shapes (pads head_dim 32
+    to 128 lanes) — see --probe rerankprof.  RAG_TPU_PAIR_ATTN=1 forces
+    the kernel at every length, =0 disables it.
+    """
+    import os
+
+    mode = os.environ.get("RAG_TPU_PAIR_ATTN", "auto").lower()
+    if mode in ("0", "false", "off"):
+        return False
+    if head_dim > 128:
+        return False
+    try:
+        import jax as _jax
+
+        if _jax.devices()[0].platform != "tpu":
+            return False
+    except Exception:  # pragma: no cover — backend not initialized
+        return False
+    if mode == "auto":
+        return seq >= 256
+    return True
+
+
 def _flash_attention(q, k, v, attention_mask, inv_sqrt):
     """(B, S, H, hd) inputs -> (B, S, H*hd) context via the fused kernel.
 
@@ -334,6 +365,7 @@ def encode(
     neg = jnp.float32(-1e9)
     bias = jnp.where(attention_mask[:, None, None, :] > 0, 0.0, neg)  # (B,1,1,L)
     inv_sqrt = 1.0 / (hd**0.5)
+    use_pair_attn = _pair_attn_enabled(seq, hd)
     use_flash = _flash_enabled(seq, nh)
     use_fused_block = _fused_block_enabled(params["layers"])
 
@@ -369,7 +401,13 @@ def encode(
             q = proj(hidden, "q_w").astype(act).reshape(b, seq, nh, hd)
             k = proj(hidden, "k_w").astype(act).reshape(b, seq, nh, hd)
             v = proj(hidden, "v_w").astype(act).reshape(b, seq, nh, hd)
-        if use_flash:
+        if use_pair_attn:
+            from financial_rag_system_tpu.ops.attention import (
+                encoder_self_attention,
+            )
+
+            ctx = encoder_self_attention(q, k, v, attention_mask, inv_sqrt)
+        elif use_flash:
             ctx = _flash_attention(q, k, v, attention_mask, inv_sqrt)
         else:
             logits = (

@@ -895,11 +895,12 @@ def rerank_profile(pairs: int = 480, seq: int = 112) -> None:
         return bert._matmul(
             pooled, p["classifier"]["w"], p["classifier"]["b"])[:, 0]
 
-    ids128 = np.zeros((pairs, 128), np.int32)
+    sflash = ((seq + 127) // 128) * 128  # flash block multiple ≥ seq
+    ids128 = np.zeros((pairs, sflash), np.int32)
     ids128[:, :seq] = ids
-    mask128 = np.zeros((pairs, 128), np.int32)
+    mask128 = np.zeros((pairs, sflash), np.int32)
     mask128[:, :seq] = mask
-    types128 = np.zeros((pairs, 128), np.int32)
+    types128 = np.zeros((pairs, sflash), np.int32)
     types128[:, 32:] = mask128[:, 32:]
     j128 = tuple(map(jnp.asarray, (ids128, types128, mask128)))
 
@@ -910,14 +911,21 @@ def rerank_profile(pairs: int = 480, seq: int = 112) -> None:
 
     out_ref = None
     for name, env, jj, fl in (
-        ("bert XLA graph", {"RAG_TPU_FUSED_BLOCK": "0"}, j, fl_at(seq)),
-        ("bert fused-blk", {"RAG_TPU_FUSED_BLOCK": "1"}, j, fl_at(seq)),
-        ("bert fused+fl128",
-         {"RAG_TPU_FUSED_BLOCK": "1", "RAG_TPU_FLASH": "1"}, j128,
-         fl_at(128)),
-        ("bert xla+fl128",
-         {"RAG_TPU_FUSED_BLOCK": "0", "RAG_TPU_FLASH": "1"}, j128,
-         fl_at(128)),
+        ("bert XLA graph",
+         {"RAG_TPU_FUSED_BLOCK": "0", "RAG_TPU_PAIR_ATTN": "0"}, j,
+         fl_at(seq)),
+        ("bert pair-attn",
+         {"RAG_TPU_FUSED_BLOCK": "0", "RAG_TPU_PAIR_ATTN": "1"}, j,
+         fl_at(seq)),
+        ("bert fused-blk",
+         {"RAG_TPU_FUSED_BLOCK": "1", "RAG_TPU_PAIR_ATTN": "0"}, j,
+         fl_at(seq)),
+        (f"bert fused+fl{sflash}",
+         {"RAG_TPU_FUSED_BLOCK": "1", "RAG_TPU_FLASH": "1",
+          "RAG_TPU_PAIR_ATTN": "0"}, j128, fl_at(sflash)),
+        (f"bert xla+fl{sflash}",
+         {"RAG_TPU_FUSED_BLOCK": "0", "RAG_TPU_FLASH": "1",
+          "RAG_TPU_PAIR_ATTN": "0"}, j128, fl_at(sflash)),
     ):
         old = {k: os.environ.get(k) for k in env}
         os.environ.update(env)
@@ -1073,6 +1081,11 @@ if __name__ == "__main__":
     ap.add_argument("--m", type=int, default=16, help="HNSW build degree")
     ap.add_argument("--efc", type=int, default=100,
                     help="HNSW build ef_construction")
+    ap.add_argument("--pairs", type=int, default=480,
+                    help="rerank pair count for --probe rerankprof")
+    ap.add_argument("--seq", type=int, default=112,
+                    help="rerank pair length for --probe rerankprof "
+                         "(1000-char chunks serve at ~400)")
     args = ap.parse_args()
     import jax
 
@@ -1106,7 +1119,7 @@ if __name__ == "__main__":
     elif args.probe == "int8rerank":
         int8rerank_gate()
     elif args.probe == "rerankprof":
-        rerank_profile()
+        rerank_profile(args.pairs, args.seq)
     elif args.probe == "dispatch":
         # dispatch_gate's methodology assumes its own 131k default corpus,
         # not --rows' 1M default — it measures dispatch overhead, not scan
