@@ -462,7 +462,15 @@ def encode(
         ).astype(act)
         return hidden, None
 
-    h, _ = jax.lax.scan(layer, h, params["layers"])
+    import os
+
+    # RAG_TPU_SCAN_UNROLL=N unrolls the layer scan (trace-time knob):
+    # with the pair-attention custom call inside the loop, XLA's layout
+    # assignment around the scan body is pinned per-trip; unrolling lets
+    # it specialize per layer.  Default 1 (rolled) — A/B arm.
+    unroll = max(1, int(os.environ.get("RAG_TPU_SCAN_UNROLL", "1")))
+    h, _ = jax.lax.scan(layer, h, params["layers"],
+                        unroll=min(unroll, cfg.layers))
     return h.astype(jnp.float32)
 
 
