@@ -57,6 +57,16 @@ def main() -> None:
                     help="leave the server running on exit")
     ap.add_argument("--no-load", action="store_true",
                     help="skip the concurrency-10 load test")
+    ap.add_argument("--ingest", type=int, default=0, metavar="N",
+                    help="upsert an N-chunk synthetic corpus through "
+                         "POST /index/upsert before profiling (the "
+                         "production ingest path) — for servers that "
+                         "start empty, e.g. the trained-stack composite")
+    ap.add_argument("--ingest-hard", action="store_true",
+                    help="use the hard-mode corpus for --ingest")
+    ap.add_argument("--chunk-chars", type=int, default=0,
+                    help="pad ingested chunks toward this many chars "
+                         "(1000 = reference ingest.py shape)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the server onto the CPU backend (the "
                          "axon plugin ignores JAX_PLATFORMS, so this "
@@ -99,6 +109,41 @@ def main() -> None:
                 time.sleep(5)
         else:
             raise SystemExit("server never came up; see the log")
+        if args.ingest:
+            from financial_rag_system_tpu.data.synthetic import (
+                make_corpus,
+                make_hard_corpus,
+            )
+
+            maker = make_hard_corpus if args.ingest_hard else make_corpus
+            ids, texts, payloads = maker(
+                args.ingest, chunk_chars=args.chunk_chars or None
+            )
+            print(f"ingesting {len(ids)} chunks via /index/upsert ...",
+                  flush=True)
+            t0 = time.time()
+            for i in range(0, len(ids), 1024):
+                sl = slice(i, i + 1024)
+                body = {"ids": list(ids[sl]), "texts": list(texts[sl]),
+                        "payloads": list(payloads[sl])}
+                # the first upsert pays tunnel warmup + embed compile and
+                # can 504 at the server's request timeout while ingest
+                # continues server-side — retry; ids make it idempotent
+                for attempt in range(6):
+                    try:
+                        _post(base + "/index/upsert", body, timeout=600)
+                        break
+                    except urllib.error.HTTPError as e:
+                        if e.code != 504 or attempt == 5:
+                            raise
+                        time.sleep(20)
+                    except (urllib.error.URLError, TimeoutError):
+                        if attempt == 5:
+                            raise
+                        time.sleep(20)
+            n_idx = _get(base + "/ready").get("indexed_chunks")
+            print(f"ingested in {time.time()-t0:.1f}s "
+                  f"(indexed_chunks={n_idx})", flush=True)
         print("server up; warming the fused program ...", flush=True)
         t0 = time.time()
         # The first /ask routinely 504s at the server's 90 s request
